@@ -1,0 +1,206 @@
+"""Multi-attribute join search — the engine's flagship operator.
+
+Semantics (the 4-phase contract of SURVEY.md §2.11, shared by the
+reference's ``Seq_Search.py:78-93`` and ``Par_Search.py:89-119``):
+
+1. a **match** is a lake ``(table, row)`` whose normalized cells contain
+   *all* n query attributes of one query row (``Par_Search.py:249,284``);
+2. **column join-score** = number of matches attributed to
+   ``(table, column)`` (``Par_Search.py:312-316``);
+3. **table join-score** = sum of the table's top-n column scores
+   (``Par_Search.py:318-327``);
+4. result = top-k tables / top-2k columns by score (``Par_Search.py:329-330``).
+
+Spark-first design — one lazy Catalyst DAG, zero driver collects:
+
+- the reference probes Vertica once per query column and collects key
+  lists to the driver (``Par_Search.py:172``, ``handlers.py:69-71``);
+  here the probe is a **broadcast semi-join** of the posting index
+  against the distinct query keys, so keys never leave the executors and
+  the parquet scan receives the key filter as a runtime bloom/IN filter;
+- the thesis's pre-join reduction trick (drop ``(table,row)`` groups
+  with fewer than n matched keys *before* the mapping join,
+  ``Par_Search.py:244-250``) is kept — it is an application-level
+  semi-join Catalyst cannot invent, and it shrinks the expensive join's
+  input by orders of magnitude;
+- small sides (query keys, mappings) are explicitly ``broadcast()`` —
+  a query table is thousands of rows against a 100 TB index;
+- aggregation is partial/final hash agg; top-k is
+  ``TakeOrderedAndProject`` via ``orderBy().limit()``.
+
+Deterministic divergences from the reference (documented per SURVEY.md
+§2.11 "quirks to not replicate blindly"):
+
+- posting dedup keeps the **smallest** column id per ``(table,row,key)``
+  (the reference's ``dropDuplicates`` keeps an arbitrary one);
+- query rows are deduplicated on the *normalized* attribute tuple, and
+  the row identity (``MapKey``) joins attributes with a ``US`` (0x1f)
+  separator — the reference's space-joined MapKey conflates distinct
+  rows (``Par_Search.py:213-215``);
+- ties in scores break on ascending table / column id;
+- top-n-per-table uses n = attribute count (Par semantics; Seq
+  hard-codes 2, ``Object.py:78-79``).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.functions.text import normalize_col, normalize_sql
+
+MAPKEY_SEP = "\x1f"
+DEFAULT_TOP_K = 20
+
+
+def _query_mappings(query_df: DataFrame, attrs: list[str]) -> DataFrame:
+    """Normalize + dedup the query table; unpivot to (key, MapKey) pairs."""
+    norm = query_df.select(
+        *[normalize_col(F.col(a)).alias(f"_a{i}") for i, a in enumerate(attrs)]
+    )
+    for i in range(len(attrs)):
+        norm = norm.filter(F.col(f"_a{i}") != "")
+    norm = norm.dropDuplicates()
+    norm = norm.withColumn(
+        "MapKey", F.concat_ws(MAPKEY_SEP, *[F.col(f"_a{i}") for i in range(len(attrs))])
+    )
+    pairs = [
+        norm.select(F.col(f"_a{i}").alias("key"), "MapKey") for i in range(len(attrs))
+    ]
+    return reduce(DataFrame.unionByName, pairs)
+
+
+def multi_attribute_join_search(
+    postings: DataFrame,
+    query_df: DataFrame,
+    attrs: list[str],
+    k: int = DEFAULT_TOP_K,
+) -> tuple[DataFrame, DataFrame]:
+    """Return ``(table_scores, column_scores)`` DataFrames.
+
+    ``table_scores``: ``(table INT, join_score BIGINT)`` — top-k.
+    ``column_scores``: ``(table INT, column INT, join_score BIGINT)`` — top-2k.
+    """
+    n = len(attrs)
+    mappings = _query_mappings(query_df, attrs)
+    keys = mappings.select("key").distinct()
+
+    # Probe: semi-join the index with the (small, broadcast) key set.
+    probed = postings.join(F.broadcast(keys), "key", "left_semi")
+
+    # Dedup postings per (table,row,key), keeping the smallest column id.
+    deduped = probed.groupBy("table", "row", "key").agg(F.min("column").alias("column"))
+
+    # Pre-join reduction: a (table,row) can only be a match if it hit
+    # >= n distinct query keys (Par_Search.py:244-250's trick).
+    w_row = Window.partitionBy("table", "row")
+    reduced = (
+        deduped.withColumn("_cnt", F.count(F.lit(1)).over(w_row))
+        .filter(F.col("_cnt") >= n)
+        .drop("_cnt")
+    )
+
+    # Attribute matched postings to query rows; keep (table,row,MapKey)
+    # groups where all n attributes of that query row hit.
+    mapped = reduced.join(F.broadcast(mappings), "key")
+    w_match = Window.partitionBy("table", "row", "MapKey")
+    matches = (
+        mapped.withColumn("_cnt", F.count(F.lit(1)).over(w_match))
+        .filter(F.col("_cnt") >= n)
+        .drop("_cnt")
+    )
+
+    col_scores_all = matches.groupBy("table", "column").agg(
+        F.count(F.lit(1)).alias("join_score")
+    )
+    w_rank = Window.partitionBy("table").orderBy(
+        F.desc("join_score"), F.asc("column")
+    )
+    top_cols = (
+        col_scores_all.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+    table_scores = (
+        top_cols.groupBy("table")
+        .agg(F.sum("join_score").alias("join_score"))
+        .orderBy(F.desc("join_score"), F.asc("table"))
+        .limit(k)
+    )
+    column_scores = top_cols.orderBy(
+        F.desc("join_score"), F.asc("table"), F.asc("column")
+    ).limit(2 * k)
+    return table_scores, column_scores
+
+
+def join_search_sql(
+    index_sql: str,
+    query_table: str,
+    attrs: list[str],
+    k: int = DEFAULT_TOP_K,
+    result: str = "tables",
+) -> str:
+    """DuckDB SQL computing the identical result (differential oracle).
+
+    ``index_sql`` is a SELECT producing ``(key, table, column, row)``
+    (see :func:`..index.posting_index_sql`); ``result`` picks which of
+    the two outputs to return ('tables' or 'columns').
+    """
+    n = len(attrs)
+    norm_cols = ", ".join(
+        f"{normalize_sql(a)} AS _a{i}" for i, a in enumerate(attrs)
+    )
+    nonempty = " AND ".join(f"_a{i} <> ''" for i in range(len(attrs)))
+    mapkey = ", ".join(f"_a{i}" for i in range(len(attrs)))
+    key_union = "\nUNION ALL\n".join(
+        f"SELECT _a{i} AS key, MapKey FROM qnorm" for i in range(len(attrs))
+    )
+    final = (
+        """
+SELECT "table", CAST(SUM(join_score) AS BIGINT) AS join_score
+FROM top_cols GROUP BY "table"
+ORDER BY join_score DESC, "table" ASC
+LIMIT {k}
+""".format(k=k)
+        if result == "tables"
+        else """
+SELECT "table", "column", join_score FROM top_cols
+ORDER BY join_score DESC, "table" ASC, "column" ASC
+LIMIT {kk}
+""".format(kk=2 * k)
+    )
+    return f"""
+WITH postings AS ({index_sql}),
+qraw AS (SELECT DISTINCT * FROM (
+    SELECT {norm_cols} FROM {query_table}
+) WHERE {nonempty}),
+qnorm AS (SELECT *, concat_ws(chr(31), {mapkey}) AS MapKey FROM qraw),
+mappings AS ({key_union}),
+probed AS (
+    SELECT p."table", p.row, p.key, MIN(p."column") AS "column"
+    FROM postings p WHERE p.key IN (SELECT DISTINCT key FROM mappings)
+    GROUP BY p."table", p.row, p.key
+),
+reduced AS (
+    SELECT * FROM probed
+    QUALIFY COUNT(*) OVER (PARTITION BY "table", row) >= {n}
+),
+matches AS (
+    SELECT r."table", r.row, r."column", m.MapKey
+    FROM reduced r JOIN mappings m ON r.key = m.key
+    QUALIFY COUNT(*) OVER (PARTITION BY r."table", r.row, m.MapKey) >= {n}
+),
+col_scores AS (
+    SELECT "table", "column", CAST(COUNT(*) AS BIGINT) AS join_score
+    FROM matches GROUP BY "table", "column"
+),
+top_cols AS (
+    SELECT "table", "column", join_score FROM col_scores
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY "table" ORDER BY join_score DESC, "column" ASC
+    ) <= {n}
+)
+{final}
+"""

@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+Replaces the reference's hand-rolled builder (``Par_Search.py:55-67``:
+fixed executor counts, 50g driver memory, shuffle.partitions=cores) with
+AQE-first defaults: adaptive execution picks shuffle partition counts and
+rewrites skewed joins at runtime, which is the right default both on
+``local[32]`` and on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "multi_attribute_join_search_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    - AQE on (runtime partition coalescing + skew-join handling).
+    - Arrow on (fast pandas interchange for the few Pandas-UDF paths).
+    - Session timezone pinned to UTC so timestamps agree with external
+      oracles (DuckDB parquet timestamps are UTC-naive).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

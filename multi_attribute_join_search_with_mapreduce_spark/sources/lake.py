@@ -1,0 +1,44 @@
+"""Lake readers for the driver's parquet testdata.
+
+The reference's only data source is a Vertica posting table plus a CSV
+fetched over HTTP (``handlers.py:42-59``, ``Par_Search.py:145-148``).
+Here the lake is ordinary parquet DataFrames; CSV/JSON/JDBC remain
+available through the stock ``spark.read`` surface (see
+:func:`read_csv_source`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_lake(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in names}
+
+
+def register_lake(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every lake table as a temp view for the SQL surface."""
+    for name, df in load_lake(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv_source(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """CSV query-table source (reference: ``Par_Search.py:145-148``)."""
+    return spark.read.csv(path, header=header, inferSchema=True)

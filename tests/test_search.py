@@ -1,0 +1,90 @@
+"""Join-search core: golden fixture (FIXTURES.md A2 scenarios) +
+differential test against the DuckDB oracle on sf0.001."""
+
+from __future__ import annotations
+
+from multi_attribute_join_search_with_mapreduce_spark.index import build_posting_index, posting_index_sql
+from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+    join_search_sql,
+    multi_attribute_join_search,
+)
+from tests.conftest import assert_df_equals_duckdb
+
+
+def _fixture_postings(spark):
+    """Hand-built posting index covering the A2 golden scenarios:
+    - table 1: true match on two different columns (row 3)
+    - table 2: (table,row) matching only one attribute -> filtered
+    - table 3: both attributes hit the *same* column (counted, Par quirk)
+    - duplicate postings (table,row,key) -> deduped
+    - table 4: two matching rows -> score 4
+    """
+    rows = [
+        # table 1, row 3: both attrs, different columns (+ dup posting)
+        ("james cameron", 1, 1, 3),
+        ("avatar", 1, 2, 3),
+        ("avatar", 1, 2, 3),
+        # table 1, row 4: only one attr -> dropped by reduction
+        ("james cameron", 1, 1, 4),
+        # table 2, row 7: only one attr
+        ("avatar", 2, 1, 7),
+        # table 3, row 1: both attrs in the SAME column
+        ("james cameron", 3, 5, 1),
+        ("avatar", 3, 5, 1),
+        # table 4: two fully matching rows
+        ("james cameron", 4, 1, 10),
+        ("avatar", 4, 2, 10),
+        ("james cameron", 4, 1, 11),
+        ("avatar", 4, 2, 11),
+        # noise key that is in no query row
+        ("gore verbinski", 5, 1, 1),
+    ]
+    return spark.createDataFrame(rows, "key string, table int, column int, row bigint")
+
+
+def _fixture_query(spark):
+    rows = [
+        ("James Cameron", "The Avatar!"),  # normalizes to (james cameron, avatar)
+        ("James Cameron", "The Avatar!"),  # duplicate query row -> deduped
+        ("Unknown Person", "No Such Movie"),  # matches nothing
+    ]
+    return spark.createDataFrame(rows, "director string, title string")
+
+
+def test_golden_scores(spark):
+    tbl, col = multi_attribute_join_search(
+        _fixture_postings(spark), _fixture_query(spark), ["director", "title"], k=20
+    )
+    tbl_rows = [(r["table"], r["join_score"]) for r in tbl.collect()]
+    # table 4: 2 matching rows x 2 cols = 4; table 1: 1 row x 2 cols = 2;
+    # table 3: same-column double-hit counts 2 (Par quirk, one column only)
+    assert tbl_rows == [(4, 4), (1, 2), (3, 2)]
+    col_rows = [(r["table"], r["column"], r["join_score"]) for r in col.collect()]
+    assert col_rows == [
+        (3, 5, 2),
+        (4, 1, 2),
+        (4, 2, 2),
+        (1, 1, 1),
+        (1, 2, 1),
+    ]
+
+
+def test_search_differential_sf0001(spark, sf_dir):
+    """Full pipeline (index build + search) vs DuckDB on real testdata.
+
+    Query = part(p_brand, p_type) against the 5-dim-table lake."""
+    postings = build_posting_index(spark, sf_dir)
+    import duckdb  # noqa: F401
+
+    query_df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    tbl, col = multi_attribute_join_search(postings, query_df, ["p_brand", "p_type"])
+    sql_tbl = join_search_sql(posting_index_sql(), "part", ["p_brand", "p_type"], result="tables")
+    sql_col = join_search_sql(posting_index_sql(), "part", ["p_brand", "p_type"], result="columns")
+    assert_df_equals_duckdb(tbl, sql_tbl, sf_dir)
+    assert_df_equals_duckdb(col, sql_col, sf_dir)
+    assert tbl.count() > 0
+
+
+def test_index_differential_sf0001(spark, sf_dir):
+    postings = build_posting_index(spark, sf_dir)
+    assert_df_equals_duckdb(postings, posting_index_sql(), sf_dir)

@@ -6,7 +6,8 @@
 
 Column names are aliased identically on both sides; aggregates are cast
 so Spark and DuckDB types line up (DuckDB SUM(BIGINT) -> HUGEINT must be
-cast back to BIGINT, etc.).
+cast back to BIGINT, etc.). Queries whose semantics are not
+SQL-expressible carry ``sql=None`` and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -19,10 +20,19 @@ from multi_attribute_join_search_with_mapreduce_spark.index import (
     build_posting_index,
     posting_index_sql,
 )
+from multi_attribute_join_search_with_mapreduce_spark.operators.events import EVENT_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.operators.relational import (
+    RELATIONAL_QUERIES,
+)
+from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
+    SIMILARITY_QUERIES,
+)
+from multi_attribute_join_search_with_mapreduce_spark.operators.textops import TEXT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
     join_search_sql,
     multi_attribute_join_search,
 )
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec, merge
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
 FLAGSHIP_ATTRS = ["p_brand", "p_type"]
@@ -35,23 +45,39 @@ def _search(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
     return tbl if which == "tables" else col
 
 
+SEARCH_QUERIES: dict[str, QuerySpec] = {
+    "mjs_posting_index": QuerySpec(
+        lambda spark, sf: build_posting_index(spark, sf), posting_index_sql()
+    ),
+    "mjs_search_tables": QuerySpec(
+        lambda spark, sf: _search(spark, sf, "tables"),
+        join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="tables"),
+    ),
+    "mjs_search_columns": QuerySpec(
+        lambda spark, sf: _search(spark, sf, "columns"),
+        join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="columns"),
+    ),
+}
+
+
+def registry() -> dict[str, QuerySpec]:
+    return merge(
+        SEARCH_QUERIES,
+        RELATIONAL_QUERIES,
+        TEXT_QUERIES,
+        SIMILARITY_QUERIES,
+        EVENT_QUERIES,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _search(spark, "/root/testdata/sf0.001", "tables")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "mjs_posting_index": lambda spark, sf: build_posting_index(spark, sf),
-        "mjs_search_tables": lambda spark, sf: _search(spark, sf, "tables"),
-        "mjs_search_columns": lambda spark, sf: _search(spark, sf, "columns"),
-    }
+    return {name: spec.fn for name, spec in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    idx = posting_index_sql()
-    return {
-        "mjs_posting_index": idx,
-        "mjs_search_tables": join_search_sql(idx, "part", FLAGSHIP_ATTRS, result="tables"),
-        "mjs_search_columns": join_search_sql(idx, "part", FLAGSHIP_ATTRS, result="columns"),
-    }
+    return {name: spec.sql for name, spec in registry().items() if spec.sql is not None}

@@ -1,0 +1,176 @@
+"""Event-stream analytics in batch form (SURVEY.md §7 M6 counterpart).
+
+The streaming renditions (watermarks, ``dropDuplicatesWithinWatermark``,
+update-mode windows) live in :mod:`..streaming.events`; these batch
+versions have exact SQL equivalents, so they carry the differential
+oracle while the streaming tests assert stream==batch parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+SESSION_GAP_MIN = 30
+DEC = "decimal(18,2)"
+
+
+def tumbling_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour tumbling windows per event type (epoch-aligned, like
+    Structured Streaming's ``window()``)."""
+    e = load_table(spark, "events", sf)
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sliding_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    e = load_table(spark, "events", sf)
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").getField("start").alias("window_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SLIDING_SQL = """
+WITH offsets AS (SELECT UNNEST([0, 30]) AS off_min)
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL (off_min) MINUTE AS window_start,
+  COUNT(*) AS n_events
+FROM events, offsets
+GROUP BY 1
+"""
+
+
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user, via
+    lag + cumulative sum — the classic batch sessionization plan."""
+    e = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    with_gap = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                > SESSION_GAP_MIN * 60
+            )
+        ).cast("int"),
+    )
+    with_id = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_id.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH with_gap AS (
+  SELECT user_id, event_id, ts,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR date_diff('second', prev_ts, ts) > {SESSION_GAP_MIN * 60}
+            THEN 1 ELSE 0 END AS new_session
+  FROM with_gap
+),
+with_id AS (
+  SELECT *, CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM with_id GROUP BY user_id, session_id
+"""
+
+
+def event_type_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user funnel flags (saw view -> click -> purchase) + conversion
+    aggregate — conditional aggregation over event streams."""
+    e = load_table(spark, "events", sf)
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("saw_view"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("saw_click"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("saw_purchase"),
+    )
+    return (
+        per_user.groupBy("saw_view", "saw_click", "saw_purchase")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("saw_view", "saw_click", "saw_purchase")
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INTEGER) AS saw_view,
+    CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INTEGER) AS saw_click,
+    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS saw_purchase
+  FROM events GROUP BY user_id
+)
+SELECT saw_view, saw_click, saw_purchase, COUNT(*) AS n_users
+FROM per_user GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction from the string ``props`` column."""
+    e = load_table(spark, "events", sf)
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
+
+
+JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n
+FROM events GROUP BY k ORDER BY k
+"""
+
+
+EVENT_QUERIES: dict[str, QuerySpec] = {
+    "tumbling_window_counts": QuerySpec(tumbling_window_counts, TUMBLING_SQL),
+    "sliding_window_counts": QuerySpec(sliding_window_counts, SLIDING_SQL),
+    "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL),
+    "event_type_funnel": QuerySpec(event_type_funnel, FUNNEL_SQL),
+    "json_props_extract": QuerySpec(json_props_extract, JSON_SQL),
+}

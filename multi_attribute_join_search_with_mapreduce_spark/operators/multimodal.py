@@ -1,0 +1,103 @@
+"""Multimodal column plumbing (SURVEY.md M5): image/audio/video as
+opaque ``binary`` columns + typed metadata, processed by Arrow-batched
+``mapInPandas`` operators.
+
+The container ships no image/audio codecs, so the *decode kernels* are
+deterministic fakes / ``NotImplementedError`` stubs behind
+``_HAS_CODECS`` — but the Spark-side plumbing (schemas, batch
+iteration, partition-parallel UDF execution, metadata pushdown) is real
+and tested. Swapping the kernel body for PIL/torchaudio is a one-line
+change that does not touch the plan shape.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches through the
+Python worker — memory stays bounded by batch size, rows never
+materialize on the driver; partition count controls parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # real codecs are not in this environment; gate behind import-try
+    import PIL.Image  # type: ignore # noqa: F401
+
+    _HAS_CODECS = True
+except ImportError:
+    _HAS_CODECS = False
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, width int, height int, sample_rate int"
+)
+
+FEATURE_SCHEMA = "media_id bigint, kind string, n_bytes bigint, checksum string, feat_mean double"
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table: payload bytes derived from the id
+    (stands in for spark.read.format('binaryFile'))."""
+    base = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.concat(F.lit("payload-"), F.sha2(F.col("id").cast("string"), 256)), "utf-8").alias("payload"),
+        (F.col("id") % 640 + 16).cast("int").alias("width"),
+        (F.col("id") % 480 + 16).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+    )
+    return base
+
+
+def decode_image(payload: bytes) -> bytes:
+    """Stub decode kernel — replace with PIL when codecs are available."""
+    if not _HAS_CODECS:
+        raise NotImplementedError("image codecs not available in this environment")
+    raise NotImplementedError("wire PIL.Image.open here")
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The fake 'feature' (mean byte value) exercises the real data path:
+    binary column -> pandas batch -> numeric feature column.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "feat_mean": payloads.map(
+                        lambda b: float(sum(bytes(b))) / max(len(bytes(b)), 1)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into frame
+    descriptors (frame index + byte offsets) without decoding — the
+    shape a real frame sampler would fill in."""
+    video = media.filter(F.col("kind") == "video")
+    return video.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.lit(90), F.lit(every_n))).alias("frame_idx"),
+        F.length("payload").alias("_payload_len"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") * F.col("_payload_len")).alias("byte_offset"),
+    )

@@ -1,0 +1,520 @@
+"""General relational operator surface (SURVEY.md §2 M4).
+
+The reference only ever runs equi-joins + group-counts + window top-n
+(§2.3-2.6); a user of a general engine also needs the rest of the
+relational algebra. Everything here is stock DataFrame API — the point
+of each query is (a) driver-checkable differential coverage of one
+operator family and (b) a plan we have inspected for scale (pushdown,
+broadcast, partial agg; see tests/test_plans.py).
+
+Scale notes: every query is a single lazy DAG; dimension sides of joins
+are broadcast; aggregations rely on partial/final hash aggregation;
+top-k is orderBy+limit (TakeOrderedAndProject — no full sort at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _money_sum(col: F.Column, alias: str) -> F.Column:
+    """Exact, order-independent money sum rendered as DOUBLE."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+# --- TPC-H-style analytics -------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf)
+    disc_price = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    charge = disc_price * (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(F.col("l_quantity"), "sum_qty"),
+            _money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, "customer", sf)
+    o = load_table(spark, "orders", sf)
+    l = load_table(spark, "lineitem", sf)
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), o.o_custkey == F.col("c_custkey"))
+        .filter(
+            (F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    r = load_table(spark, "region", sf)
+    n = load_table(spark, "nation", sf)
+    c = load_table(spark, "customer", sf)
+    o = load_table(spark, "orders", sf)
+    l = load_table(spark, "lineitem", sf)
+    s = load_table(spark, "supplier", sf)
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --- grouping sets / cube / rollup ----------------------------------------
+
+def rollup_customers(spark: SparkSession, sf: str) -> DataFrame:
+    r = load_table(spark, "region", sf)
+    n = load_table(spark, "nation", sf)
+    c = load_table(spark, "customer", sf)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _money_sum(F.col("c_acctbal"), "sum_acctbal"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def cube_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, "orders", sf)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- window functions ------------------------------------------------------
+
+def window_topn_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, "orders", sf)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+WINDOW_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def window_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, "orders", sf)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def window_lag_events(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT user_id, event_id, value,
+  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+  LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_value
+FROM events
+"""
+
+
+# --- join variants ---------------------------------------------------------
+
+def left_join_order_counts(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, "customer", sf)
+    o = load_table(spark, "orders", sf)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+LEFT_JOIN_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, "customer", sf)
+    o = load_table(spark, "orders", sf)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def semi_join_parts(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, "part", sf)
+    l = load_table(spark, "lineitem", sf)
+    return p.join(
+        l.filter(F.col("l_quantity") >= 45), p.p_partkey == l.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+SEMI_JOIN_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45)
+"""
+
+
+def full_outer_nation_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join of customer-nation counts vs supplier-nation counts."""
+    c = load_table(spark, "customer", sf)
+    s = load_table(spark, "supplier", sf)
+    cn = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    sn = s.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return (
+        cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(cn.c_nationkey, sn.s_nationkey).alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+FULL_OUTER_SQL = """
+SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+  COALESCE(n_customers, 0) AS n_customers,
+  COALESCE(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) cn
+FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) sn
+ON cn.c_nationkey = sn.s_nationkey
+"""
+
+
+# --- set operations --------------------------------------------------------
+
+def set_intersect_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, "customer", sf)
+    o = load_table(spark, "orders", sf)
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    with_orders = o.select(F.col("o_custkey").alias("custkey"))
+    return building.intersect(with_orders)
+
+
+SET_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+def set_except_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, "customer", sf)
+    o = load_table(spark, "orders", sf)
+    return (
+        c.select(F.col("c_custkey").alias("custkey"))
+        .exceptAll(o.select(F.col("o_custkey").alias("custkey")).distinct())
+    )
+
+
+SET_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT ALL
+SELECT DISTINCT o_custkey AS custkey FROM orders
+"""
+
+
+def union_keys(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, "customer", sf)
+    s = load_table(spark, "supplier", sf)
+    return (
+        c.select(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").cast("int").alias("nationkey")))
+        .distinct()
+    )
+
+
+UNION_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+  UNION ALL
+  SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+)
+"""
+
+
+# --- pivot / scalar functions / top-k -------------------------------------
+
+def pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    """Manual pivot (sum-when) — portable across engines by construction."""
+    l = load_table(spark, "lineitem", sf)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity").cast(DEC))).cast("double").alias("qty_o"),
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity").cast(DEC))).cast("double").alias("qty_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
+  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, "orders", sf)
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+def scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, "orders", sf)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("int").alias("priority_rank"),
+        F.length(F.col("o_orderpriority")).alias("priority_len"),
+        F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
+        F.round(F.col("o_totalprice").cast(DEC) * F.lit(0.1).cast(DEC), 2).cast("double").alias("fee"),
+    )
+
+
+SCALAR_SQL = """
+SELECT o_orderkey,
+  CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+  CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+  DATE_TRUNC('month', o_orderdate)::TIMESTAMP AS order_month_start,
+  UPPER(o_orderstatus) AS status_upper,
+  CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS priority_rank,
+  CAST(LENGTH(o_orderpriority) AS INTEGER) AS priority_len,
+  CONCAT_WS('|', o_orderstatus, o_orderpriority) AS status_prio,
+  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(18,2)), 2) AS DOUBLE) AS fee
+FROM orders
+"""
+
+
+def case_bucketing(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, "orders", sf)
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("price_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("price_bucket")
+    )
+
+
+CASE_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS price_bucket,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY price_bucket
+"""
+
+
+def distinct_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf)
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps,
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+RELATIONAL_QUERIES: dict[str, QuerySpec] = {
+    "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
+    "tpch_q5_local_supplier": QuerySpec(q5_local_supplier, Q5_SQL),
+    "rollup_customers": QuerySpec(rollup_customers, ROLLUP_SQL),
+    "cube_orders": QuerySpec(cube_orders, CUBE_SQL),
+    "window_topn_orders": QuerySpec(window_topn_orders, WINDOW_TOPN_SQL),
+    "window_running_total": QuerySpec(window_running_total, WINDOW_RUNNING_SQL),
+    "window_lag_events": QuerySpec(window_lag_events, WINDOW_LAG_SQL),
+    "left_join_order_counts": QuerySpec(left_join_order_counts, LEFT_JOIN_SQL),
+    "anti_join_customers": QuerySpec(anti_join_customers, ANTI_JOIN_SQL),
+    "semi_join_parts": QuerySpec(semi_join_parts, SEMI_JOIN_SQL),
+    "full_outer_nation_counts": QuerySpec(full_outer_nation_counts, FULL_OUTER_SQL),
+    "set_intersect_customers": QuerySpec(set_intersect_customers, SET_INTERSECT_SQL),
+    "set_except_customers": QuerySpec(set_except_customers, SET_EXCEPT_SQL),
+    "union_nation_keys": QuerySpec(union_keys, UNION_SQL),
+    "pivot_returnflag": QuerySpec(pivot_returnflag, PIVOT_SQL),
+    "topk_orders": QuerySpec(topk_orders, TOPK_SQL),
+    "scalar_functions": QuerySpec(scalar_functions, SCALAR_SQL),
+    "case_bucketing": QuerySpec(case_bucketing, CASE_SQL),
+    "distinct_aggregates": QuerySpec(distinct_aggregates, DISTINCT_AGG_SQL),
+}

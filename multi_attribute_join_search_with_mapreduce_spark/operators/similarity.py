@@ -1,0 +1,166 @@
+"""Similarity search over the ``embeddings`` fixture (SURVEY.md §7 M5).
+
+Two paths:
+
+- :func:`knn_brute` — exact cosine top-k against a query vector. The
+  dot product / norms are native higher-order functions
+  (``zip_with`` + ``aggregate``) over the array column — JVM-side, no
+  Python. At scale this is one narrow pass over the table + a top-k
+  (TakeOrderedAndProject); the query vector is a scalar subquery /
+  crossJoin(broadcast(1 row)).
+- :func:`knn_bucketed` — the scale path: a deterministic sign-quantized
+  coarse bucket (IVF-style, the signs of the first ``BUCKET_DIMS``
+  components) prunes the candidate set to the query's own bucket before
+  scoring. On 100 TB the bucket key becomes the partition key, so a
+  probe touches one partition instead of the full table.
+
+Cosine values are rounded to 4 decimals on both sides — float
+accumulation order differs between engines in the last bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+BUCKET_DIMS = 6
+
+
+def _dvec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def knn_brute(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(_dvec("embedding"), _dvec("q_embedding")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+# DuckDB: explicit fold over indices so the accumulation order matches
+# Spark's left-to-right aggregate (then rounded anyway).
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot}) / SQRT(({na}) * ({nb}))"
+
+
+KNN_BRUTE_SQL = f"""
+WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+  ROUND({_cosine_sql('embedding', 'q_embedding')}, 4) AS cosine
+FROM embeddings, q
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def _bucket(col: Column) -> Column:
+    """Deterministic IVF-style coarse bucket: signs of leading dims."""
+    signs = F.transform(
+        F.slice(col, 1, BUCKET_DIMS), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    return F.array_join(signs, "")
+
+
+_BUCKET_SQL = (
+    f"array_to_string(list_transform(list_slice({{c}}, 1, {BUCKET_DIMS}), "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+def knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN: score only vectors in the query's coarse bucket."""
+    e = load_table(spark, "embeddings", sf).withColumn("bucket", _bucket(F.col("embedding")))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(_dvec("embedding"), _dvec("q_embedding")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+KNN_BUCKETED_SQL = f"""
+WITH e AS (SELECT *, {_BUCKET_SQL.format(c='embedding')} AS bucket FROM embeddings),
+q AS (SELECT embedding AS q_embedding, bucket AS q_bucket FROM e WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+  ROUND({_cosine_sql('embedding', 'q_embedding')}, 4) AS cosine
+FROM e, q
+WHERE vec_id <> {QUERY_VEC_ID} AND bucket = q_bucket
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def pairwise_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid norms — exercises array agg across rows
+    (element-wise mean via posexplode + regroup)."""
+    e = load_table(spark, "embeddings", sf)
+    exploded = e.select("label", F.posexplode(_dvec("embedding")).alias("dim", "v"))
+    cent = exploded.groupBy("label", "dim").agg(F.avg("v").alias("mean_v"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 4).alias("centroid_norm"))
+        .orderBy("label")
+    )
+
+
+CENTROID_SQL = """
+WITH exploded AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+cent AS (SELECT label, dim, AVG(v) AS mean_v FROM exploded GROUP BY label, dim)
+SELECT label, ROUND(SQRT(SUM(mean_v * mean_v)), 4) AS centroid_norm
+FROM cent GROUP BY label ORDER BY label
+"""
+
+
+SIMILARITY_QUERIES: dict[str, QuerySpec] = {
+    "knn_brute_cosine": QuerySpec(knn_brute, KNN_BRUTE_SQL),
+    "knn_bucketed_cosine": QuerySpec(knn_bucketed, KNN_BUCKETED_SQL),
+    "label_centroid_norms": QuerySpec(pairwise_label_centroids, CENTROID_SQL),
+}

@@ -1,0 +1,345 @@
+"""Text analysis + deduplication operators over the ``documents`` fixture
+(SURVEY.md §7 M5 — the LLM-training-data-pipeline extensions).
+
+All hot-path logic is native Spark expressions / higher-order functions
+(JVM-side, codegen): tokenization via ``split``/``filter``, shingling
+via ``sequence``+``transform``, MinHash via ``md5`` over shingles with
+lexicographic MIN. ``md5`` is used as the portable hash everywhere —
+identical hex output in Spark and DuckDB, so every operator here is
+fully differential-testable, including MinHash-LSH.
+
+Scale notes: everything is per-row narrow work until the final
+aggregation; LSH candidate generation joins on band buckets (shuffle on
+band hash — bounded by bands×docs, not docs²), never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.functions.text import (
+    STOPWORDS,
+    normalize_col,
+    normalize_sql,
+)
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+# --- shared token helpers (plain whitespace tokens, not stopword-filtered) --
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+_TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content hash: survivor = smallest doc_id per hash."""
+    d = load_table(spark, "documents", sf)
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- token counting / quality stats ---------------------------------------
+
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, "documents", sf)
+    toks = _tokens(F.col("text"))
+    tok_lens = F.transform(toks, F.length)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_toks = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.aggregate(tok_lens, F.lit(0), lambda acc, x: acc + x).cast("double") / n_toks, 4
+        ).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_toks, 4).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+  CAST(LENGTH(text) AS INTEGER) AS n_chars,
+  CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+  ROUND(CAST(list_sum(list_transform({_TOKENS_SQL}, t -> LENGTH(t))) AS DOUBLE)
+        / len({_TOKENS_SQL}), 4) AS avg_token_len,
+  ROUND(CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+        / len({_TOKENS_SQL}), 4) AS stopword_ratio,
+  ROUND(CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        / LENGTH(text), 4) AS punct_ratio
+FROM documents
+"""
+
+
+def token_count_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, "documents", sf)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(_tokens(F.col("text")))).alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT source, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --- language identification (n-gram/stopword heuristic) -------------------
+
+# Tiny per-language function-word lists; the *heuristic* (argmax of
+# function-word hit ratio) is the operator — lists are deliberately small.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for", "with", "are"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es": ("el", "la", "los", "las", "que", "de", "es", "un", "una", "para"),
+    "fr": ("le", "la", "les", "et", "est", "que", "une", "pour", "dans", "des"),
+}
+
+
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, "documents", sf)
+    toks = _tokens(F.lower(F.col("text")))
+
+    def marker_hits(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        # single-param lambda: a 2-param lambda means (element, index) to F.filter
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    hits = {lang: marker_hits(words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # insertion order breaks ties deterministically
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"t -> t IN ({words})))"
+    )
+
+
+LANG_ID_SQL = (
+    "SELECT doc_id, lang, CASE WHEN best = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    + " END AS pred_lang FROM (SELECT doc_id, lang, "
+    + ", ".join(f"{_lang_hits_sql(lang)} AS h_{lang}" for lang in LANG_MARKERS)
+    + ", GREATEST("
+    + ", ".join(f"h_{lang}" for lang in LANG_MARKERS)
+    + ") AS best FROM documents)"
+)
+
+
+# --- document fingerprint --------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprint of the *normalized* text (stable under case,
+    punctuation and stopword noise) — the dedup-friendly identity."""
+    d = load_table(spark, "documents", sf)
+    return d.select(
+        "doc_id", F.md5(normalize_col(F.col("text"))).alias("fingerprint")
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5({normalize_sql('text')}) AS fingerprint FROM documents
+"""
+
+
+# --- MinHash + LSH near-duplicate detection --------------------------------
+
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+SHINGLE_W = 3
+
+
+def _shingles(col: Column) -> Column:
+    """3-word shingles; whole text as one shingle for short docs."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_W - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, F.least(i + 1, n)),
+            F.element_at(toks, F.least(i + 2, n)),
+        ),
+    )
+
+
+_SHINGLES_SQL = f"""
+list_transform(
+  generate_series(1, GREATEST(len({_TOKENS_SQL}) - {SHINGLE_W - 1}, 1)),
+  i -> concat_ws(' ',
+        {_TOKENS_SQL}[i],
+        {_TOKENS_SQL}[LEAST(i + 1, len({_TOKENS_SQL}))],
+        {_TOKENS_SQL}[LEAST(i + 2, len({_TOKENS_SQL}))])
+)
+"""
+
+
+def _minhash(col: Column, seed: int) -> Column:
+    """Portable MinHash: lexicographic min of md5(seed || shingle)."""
+    return F.array_min(
+        F.transform(_shingles(col), lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def _minhash_sql(seed: int) -> str:
+    return (
+        f"list_min(list_transform({_SHINGLES_SQL}, s -> md5(concat('{seed}:', s))))"
+    )
+
+
+def minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc LSH band buckets: (doc_id, band, band_hash)."""
+    d = load_table(spark, "documents", sf)
+    sig = [_minhash(F.col("text"), s).alias(f"mh{s}") for s in range(N_HASHES)]
+    with_sig = d.select("doc_id", *sig)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            with_sig.select(
+                "doc_id",
+                F.lit(b).cast("int").alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, bands)
+
+
+def _minhash_bands_sql() -> str:
+    rows_per_band = N_HASHES // N_BANDS
+    selects = []
+    for b in range(N_BANDS):
+        parts = ", ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        selects.append(
+            f"SELECT doc_id, CAST({b} AS INTEGER) AS band, "
+            f"md5(concat_ws('|', {parts})) AS band_hash FROM sigs"
+        )
+    sig_cols = ", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_HASHES))
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents)\n{union}"
+
+
+MINHASH_BANDS_SQL = _minhash_bands_sql()
+
+
+def near_dup_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate near-duplicate pairs + estimated Jaccard similarity.
+
+    LSH: docs sharing any band bucket become candidates (join on
+    band_hash — never a cross join); the estimate is the fraction of
+    agreeing minhash components.
+    """
+    d = load_table(spark, "documents", sf)
+    sig = [_minhash(F.col("text"), s).alias(f"mh{s}") for s in range(N_HASHES)]
+    with_sig = d.select("doc_id", *sig)
+    bands = minhash_bands(spark, sf)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = with_sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)])
+    sb = with_sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_HASHES)])
+    agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / N_HASHES, 4).alias("est_jaccard"),
+        )
+    )
+
+
+def _near_dup_sql() -> str:
+    sig_cols = ", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_HASHES))
+    rows_per_band = N_HASHES // N_BANDS
+    band_selects = []
+    for b in range(N_BANDS):
+        parts = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {parts})) AS band_hash FROM sigs"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(N_HASHES)
+    )
+    return f"""
+WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+bands AS ({bands_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  ROUND(CAST({agree} AS DOUBLE) / {N_HASHES}, 4) AS est_jaccard
+FROM pairs
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+"""
+
+
+NEAR_DUP_SQL = _near_dup_sql()
+
+
+TEXT_QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL),
+    "token_count_by_source": QuerySpec(token_count_by_source, TOKEN_COUNT_SQL),
+    "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
+    "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "minhash_bands": QuerySpec(minhash_bands, MINHASH_BANDS_SQL),
+    "near_dup_candidates": QuerySpec(near_dup_candidates, NEAR_DUP_SQL),
+}

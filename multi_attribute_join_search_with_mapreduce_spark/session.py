@@ -38,6 +38,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read as long and convert in the loader (lake.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]")

@@ -25,8 +25,23 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+# Columns stored as parquet TIMESTAMP(NANOS): with
+# spark.sql.legacy.parquet.nanosAsLong they arrive as BIGINT nanoseconds
+# and are converted to proper timestamps here (truncating to micros,
+# which is exactly what DuckDB's nanos->TIMESTAMP read does).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            from pyspark.sql import functions as F
+
+            # integer `div`, not `/`: float division loses precision on
+            # epoch-nanos magnitudes (~1.7e18 > 2^53)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def load_lake(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

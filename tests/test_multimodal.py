@@ -1,0 +1,51 @@
+"""Multimodal plumbing: schemas, Arrow-batched kernels, frame-sampling
+plan — the decode kernels are stubs, the Spark data path is real."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
+    _HAS_CODECS,
+    decode_image,
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+
+
+def test_feature_extraction_runs_distributed(spark):
+    media = synthetic_media(spark, n=64).repartition(8)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 64
+    r = {row["media_id"]: row for row in rows}
+    assert r[0]["n_bytes"] > 0
+    assert len(r[0]["checksum"]) == 32
+    assert 0 <= r[0]["feat_mean"] <= 255
+    assert feats.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,n_bytes:bigint,checksum:string,feat_mean:double>"
+    )
+
+
+def test_features_deterministic(spark):
+    a = extract_features(synthetic_media(spark, 16)).collect()
+    b = extract_features(synthetic_media(spark, 16).repartition(5)).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_decode_stub_gated():
+    if not _HAS_CODECS:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x00")
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media(spark, 30)
+    frames = frame_sample_plan(media, every_n=10)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"media_id", "frame_idx", "byte_offset"}
+    assert sorted(pdf["frame_idx"].unique()) == [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert len(pdf) == n_videos * 10

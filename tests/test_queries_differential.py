@@ -1,0 +1,28 @@
+"""Differential gate mirror: every registry query vs its DuckDB oracle
+at sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import assert_df_equals_duckdb
+
+REGISTRY = entry_mod.registry()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    if spec.sql is None:
+        assert df.count() >= 0  # rows-only check for non-SQL-expressible ops
+    else:
+        assert_df_equals_duckdb(df, spec.sql, sf_dir)
+
+
+def test_registry_is_consistent():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20

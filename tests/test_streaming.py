@@ -1,0 +1,42 @@
+"""Structured Streaming: drive file-source streams to completion with
+the memory sink and assert parity with the batch renditions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.operators.events import tumbling_window_counts
+from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+    dedup_within_watermark_stream,
+    events_stream_from_parquet,
+    run_stream_to_memory,
+    windowed_counts_stream,
+)
+
+
+def test_windowed_counts_stream_matches_batch(spark, sf_dir):
+    stream = windowed_counts_stream(events_stream_from_parquet(spark, sf_dir))
+    got = run_stream_to_memory(stream, "win_counts", output_mode="complete")
+    batch = tumbling_window_counts(spark, sf_dir)
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
+    assert len(g) > 0
+
+
+def test_dedup_within_watermark(spark, sf_dir):
+    events = events_stream_from_parquet(spark, sf_dir)
+    deduped = dedup_within_watermark_stream(events)
+    got = run_stream_to_memory(deduped, "dedup_stream")
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
+    )
+    assert got.count() == n_distinct
+
+
+def test_stream_is_incremental(spark, sf_dir):
+    """The source must declare itself streaming (not a disguised batch)."""
+    events = events_stream_from_parquet(spark, sf_dir)
+    assert events.isStreaming
+    agg = windowed_counts_stream(events)
+    assert agg.isStreaming

@@ -189,64 +189,92 @@ SHINGLE_W = 3
 
 
 def _shingles(col: Column) -> Column:
-    """3-word shingles; whole text as one shingle for short docs."""
+    """3-word shingles (whole text as one shingle for docs under 3 tokens).
+
+    Built from ``zip_with`` over shifted ``slice``s of the token array —
+    NOT ``transform(sequence, i -> element_at(tokens, i))``: inside a
+    lambda the captured ``tokens`` expression is re-evaluated per
+    element, so the element_at formulation re-runs the regex split
+    O(tokens) times per row (measured ~20x slower end-to-end).
+    """
     toks = _tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_W - 1), F.lit(1)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, F.least(i + 1, n)),
-            F.element_at(toks, F.least(i + 2, n)),
-        ),
+    shift1 = F.slice(toks, 2, F.greatest(n - 1, F.lit(1)))
+    shift2 = F.slice(toks, 3, F.greatest(n - 2, F.lit(1)))
+    tri = F.zip_with(
+        F.zip_with(toks, shift1, lambda x, y: F.concat_ws(" ", x, y)),
+        shift2,
+        lambda xy, z: F.concat_ws(" ", xy, z),
     )
+    full = F.slice(tri, 1, F.greatest(n - (SHINGLE_W - 1), F.lit(1)))
+    return F.when(n >= SHINGLE_W, full).otherwise(F.array(F.array_join(toks, " ")))
 
 
 _SHINGLES_SQL = f"""
-list_transform(
-  generate_series(1, GREATEST(len({_TOKENS_SQL}) - {SHINGLE_W - 1}, 1)),
-  i -> concat_ws(' ',
-        {_TOKENS_SQL}[i],
-        {_TOKENS_SQL}[LEAST(i + 1, len({_TOKENS_SQL}))],
-        {_TOKENS_SQL}[LEAST(i + 2, len({_TOKENS_SQL}))])
-)
+CASE WHEN len({_TOKENS_SQL}) >= {SHINGLE_W} THEN
+  list_transform(
+    generate_series(1, len({_TOKENS_SQL}) - {SHINGLE_W - 1}),
+    i -> concat_ws(' ', {_TOKENS_SQL}[i], {_TOKENS_SQL}[i + 1], {_TOKENS_SQL}[i + 2])
+  )
+ELSE [array_to_string({_TOKENS_SQL}, ' ')] END
 """
 
 
-def _minhash(col: Column, seed: int) -> Column:
-    """Portable MinHash: lexicographic min of md5(seed || shingle)."""
-    return F.array_min(
-        F.transform(_shingles(col), lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
-    )
-
-
 def _minhash_sql(seed: int) -> str:
+    """Portable MinHash: lexicographic min of md5(seed || shingle)."""
     return (
         f"list_min(list_transform({_SHINGLES_SQL}, s -> md5(concat('{seed}:', s))))"
     )
 
 
-def minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-doc LSH band buckets: (doc_id, band, band_hash)."""
-    d = load_table(spark, "documents", sf)
-    sig = [_minhash(F.col("text"), s).alias(f"mh{s}") for s in range(N_HASHES)]
-    with_sig = d.select("doc_id", *sig)
-    rows_per_band = N_HASHES // N_BANDS
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            with_sig.select(
-                "doc_id",
-                F.lit(b).cast("int").alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
-        )
-    from functools import reduce
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{N_HASHES-1}.
 
-    return reduce(DataFrame.unionByName, bands)
+    Two-stage: the shingle array is materialized once (persisted), then
+    the N_HASHES mins are computed over the in-memory array. Inlining
+    the shingle construction into each hash expression instead doubles
+    end-to-end cost (the token/zip work runs once per seed)."""
+    d = load_table(spark, "documents", sf)
+    shingled = d.select("doc_id", _shingles(F.col("text")).alias("_shingles")).persist()
+
+    def mh(seed: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("_shingles"), lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        ).alias(f"mh{seed}")
+
+    return shingled.select("doc_id", *[mh(s) for s in range(N_HASHES)])
+
+
+def _bands_from_sigs(with_sig: DataFrame) -> DataFrame:
+    """Derive LSH band buckets from a signature frame via posexplode —
+    a single narrow pass, no per-band union (which would recompute the
+    signatures once per band branch)."""
+    rows_per_band = N_HASHES // N_BANDS
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return with_sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    ).withColumn("band", F.col("band").cast("int"))
+
+
+def minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc LSH band buckets: (doc_id, band, band_hash).
+
+    The signature frame is persisted before banding: otherwise Catalyst's
+    projection collapse inlines all 8 minhash expression trees into the
+    band-hash generator, the combined tree falls out of whole-stage
+    codegen, and evaluation goes interpreted (observed ~100x slower).
+    """
+    return _bands_from_sigs(minhash_signatures(spark, sf).persist())
 
 
 def _minhash_bands_sql() -> str:
@@ -275,10 +303,11 @@ def near_dup_candidates(spark: SparkSession, sf: str) -> DataFrame:
     band_hash — never a cross join); the estimate is the fraction of
     agreeing minhash components.
     """
-    d = load_table(spark, "documents", sf)
-    sig = [_minhash(F.col("text"), s).alias(f"mh{s}") for s in range(N_HASHES)]
-    with_sig = d.select("doc_id", *sig)
-    bands = minhash_bands(spark, sf)
+    # One signature computation, pinned: the band self-join and both
+    # estimate joins would otherwise each recompute the md5-per-shingle
+    # work (observed 6x slowdown without the persist).
+    with_sig = minhash_signatures(spark, sf).persist()
+    bands = _bands_from_sigs(with_sig)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")))

@@ -159,7 +159,41 @@ FROM cent GROUP BY label ORDER BY label
 """
 
 
+EMB_NEAR_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal; p99 in-bucket cosine ~0.35
+
+
+def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    The coarse sign-bucket prunes candidate pairs (same pattern as LSH
+    banding: join on bucket, never vectors²), then exact cosine filters
+    at the threshold. At scale the bucket is the shuffle/partition key.
+    """
+    e = load_table(spark, "embeddings", sf).withColumn("bucket", _bucket(F.col("embedding")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    cos = F.round(_cosine(_dvec("emb_a"), _dvec("emb_b")), 4)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+    )
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT *, {_BUCKET_SQL.format(c='embedding')} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) >= {EMB_NEAR_DUP_THRESHOLD}
+ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+"""
+
+
 SIMILARITY_QUERIES: dict[str, QuerySpec] = {
+    "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEAR_DUP_SQL),
     "knn_brute_cosine": QuerySpec(knn_brute, KNN_BRUTE_SQL),
     "knn_bucketed_cosine": QuerySpec(knn_bucketed, KNN_BUCKETED_SQL),
     "label_centroid_norms": QuerySpec(pairwise_label_centroids, CENTROID_SQL),

@@ -363,7 +363,187 @@ JOIN sigs sb ON sb.doc_id = doc_b
 NEAR_DUP_SQL = _near_dup_sql()
 
 
+# --- SimHash near-duplicate fingerprint ------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash over whitespace tokens.
+
+    Each token hashes to a 32-bit value (first 8 hex chars of md5 —
+    portable across engines); bit *i* of the fingerprint is the sign of
+    sum(+1/-1) of that bit across tokens. Token hash values are
+    materialized once into an int array column, then the 32 bit-sums
+    are static ``aggregate`` expressions over it (no per-bit rehash).
+    """
+    d = load_table(spark, "documents", sf)
+    vals = F.transform(
+        _tokens(F.col("text")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    hashed = d.select("doc_id", vals.alias("_hv")).persist()
+
+    def bit(i: int) -> Column:
+        # bit 0 = MSB of the 32-bit token hash
+        contrib = lambda v: (F.shiftright(v, 31 - i).bitwiseAND(F.lit(1)) * 2 - 1)
+        s = F.aggregate(F.col("_hv"), F.lit(0).cast("bigint"), lambda acc, v: acc + contrib(v))
+        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return hashed.select(
+        "doc_id", F.concat(*[bit(i) for i in range(SIMHASH_BITS)]).alias("simhash")
+    )
+
+
+_HV_SQL = (
+    f"list_transform({_TOKENS_SQL}, "
+    "t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))"
+)
+
+SIMHASH_SQL = (
+    "SELECT doc_id, concat("
+    + ", ".join(
+        "CASE WHEN list_sum(list_transform(hv, "
+        f"v -> ((v >> {31 - i}) & 1) * 2 - 1)) > 0 THEN '1' ELSE '0' END"
+        for i in range(SIMHASH_BITS)
+    )
+    + f") AS simhash FROM (SELECT doc_id, {_HV_SQL} AS hv FROM documents)"
+)
+
+
+# --- exact n-gram Jaccard over LSH candidate pairs --------------------------
+
+def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity, computed only for LSH candidate
+    pairs (the scale pattern: LSH prunes docs² down to in-bucket pairs,
+    the exact set comparison runs on the survivors)."""
+    with_sig = minhash_signatures(spark, sf).persist()
+    bands = _bands_from_sigs(with_sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    d = load_table(spark, "documents", sf)
+    sh = d.select(
+        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
+    ).persist()
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+        )
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    sig_cols = ", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_HASHES))
+    rows_per_band = N_HASHES // N_BANDS
+    band_selects = []
+    for b in range(N_BANDS):
+        parts = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {parts})) AS band_hash FROM sigs"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+bands AS ({bands_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents)
+SELECT doc_a, doc_b,
+  ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+FROM pairs
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+"""
+
+
+NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
+
+
+# --- composite quality score -----------------------------------------------
+
+# BPE-ish pre-tokenizer: letter runs, single digits, punctuation runs.
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic document quality: four 0/1 criteria averaged —
+    avg token length in [3,10], stopword ratio in [0.05,0.6],
+    punctuation ratio < 0.2, and 10 <= n_tokens <= 5000. Also emits a
+    BPE-ish subword token count (regexp, not whitespace)."""
+    d = load_table(spark, "documents", sf)
+    toks = _tokens(F.col("text"))
+    n_toks = F.size(toks)
+    tok_lens = F.transform(toks, F.length)
+    avg_len = F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).cast("double") / n_toks
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double") / n_toks
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    crit = [
+        (avg_len >= 3) & (avg_len <= 10),
+        (stop_ratio >= 0.05) & (stop_ratio <= 0.6),
+        punct_ratio < 0.2,
+        (n_toks >= 10) & (n_toks <= 5000),
+    ]
+    score = sum(c.cast("int") for c in crit).cast("double") / len(crit)
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).cast("bigint").alias("n_bpe_tokens"),
+        F.round(score, 2).alias("quality"),
+        (score >= 0.75).alias("keep"),
+    )
+
+
+QUALITY_SQL = rf"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+  ROUND(CAST(
+      CASE WHEN avg_len >= 3 AND avg_len <= 10 THEN 1 ELSE 0 END
+    + CASE WHEN stop_ratio >= 0.05 AND stop_ratio <= 0.6 THEN 1 ELSE 0 END
+    + CASE WHEN punct_ratio < 0.2 THEN 1 ELSE 0 END
+    + CASE WHEN n_toks >= 10 AND n_toks <= 5000 THEN 1 ELSE 0 END
+  AS DOUBLE) / 4, 2) AS quality,
+  (CASE WHEN avg_len >= 3 AND avg_len <= 10 THEN 1 ELSE 0 END
+    + CASE WHEN stop_ratio >= 0.05 AND stop_ratio <= 0.6 THEN 1 ELSE 0 END
+    + CASE WHEN punct_ratio < 0.2 THEN 1 ELSE 0 END
+    + CASE WHEN n_toks >= 10 AND n_toks <= 5000 THEN 1 ELSE 0 END) >= 3 AS keep
+FROM (
+  SELECT doc_id, text,
+    len({_TOKENS_SQL}) AS n_toks,
+    CAST(list_sum(list_transform({_TOKENS_SQL}, t -> LENGTH(t))) AS DOUBLE)
+      / len({_TOKENS_SQL}) AS avg_len,
+    CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+      / len({_TOKENS_SQL}) AS stop_ratio,
+    CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      / LENGTH(text) AS punct_ratio
+  FROM documents
+)
+"""
+
+
 TEXT_QUERIES: dict[str, QuerySpec] = {
+    "simhash": QuerySpec(simhash, SIMHASH_SQL),
+    "ngram_jaccard": QuerySpec(ngram_jaccard, NGRAM_JACCARD_SQL),
+    "quality_score": QuerySpec(quality_score, QUALITY_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL),
     "token_count_by_source": QuerySpec(token_count_by_source, TOKEN_COUNT_SQL),

@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from multi_attribute_join_search_with_mapreduce_spark.index import (
-    build_posting_index,
+    cached_posting_index,
     posting_index_sql,
 )
 from multi_attribute_join_search_with_mapreduce_spark.operators.events import EVENT_QUERIES
@@ -39,7 +39,7 @@ FLAGSHIP_ATTRS = ["p_brand", "p_type"]
 
 
 def _search(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
-    postings = build_posting_index(spark, sf_dir)
+    postings = cached_posting_index(spark, sf_dir)
     query_df = load_table(spark, "part", sf_dir)
     tbl, col = multi_attribute_join_search(postings, query_df, FLAGSHIP_ATTRS)
     return tbl if which == "tables" else col
@@ -47,7 +47,7 @@ def _search(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
 
 SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_posting_index": QuerySpec(
-        lambda spark, sf: build_posting_index(spark, sf), posting_index_sql()
+        lambda spark, sf: cached_posting_index(spark, sf), posting_index_sql()
     ),
     "mjs_search_tables": QuerySpec(
         lambda spark, sf: _search(spark, sf, "tables"),

@@ -32,6 +32,9 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
     join_search_sql,
     multi_attribute_join_search,
 )
+from multi_attribute_join_search_with_mapreduce_spark.plans.sql_surface import (
+    join_search_sql_level,
+)
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec, merge
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
@@ -56,6 +59,11 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_search_columns": QuerySpec(
         lambda spark, sf: _search(spark, sf, "columns"),
         join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="columns"),
+    ),
+    # Entry point C (SQL-level strategy): same contract via spark.sql text.
+    "mjs_search_sql_level": QuerySpec(
+        lambda spark, sf: join_search_sql_level(spark, sf, "part", FLAGSHIP_ATTRS),
+        join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="tables"),
     ),
 }
 

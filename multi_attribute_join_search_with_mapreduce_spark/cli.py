@@ -1,0 +1,131 @@
+"""CLI mirroring the reference's ``main.py`` (flags at ``main.py:13-27``).
+
+A user of the reference runs::
+
+    python main.py <rows> <cores> [-par|-seq] [-col|-row|-cell|-sql] [-read|-write]
+
+Here::
+
+    python -m multi_attribute_join_search_with_mapreduce_spark \
+        --query-csv movie.csv --attrs director_name,movie_title \
+        [--rows N] [--cores N] [--strategy dataframe|sql] \
+        [--sf-dir /root/testdata/sf0.01] [--k 20] \
+        [--write-index DIR | --read-index DIR]
+
+Flag parity notes:
+
+- ``-par`` vs ``-seq`` is gone: there is one engine and it is always
+  distributed — the reference's Seq/Par split existed because its
+  sequential engine was a separate pandas implementation.
+- ``-col/-row/-cell`` probe granularities all collapse into the single
+  semi-join probe (SURVEY.md §3.2 — they differed only in how many SQL
+  round-trips the Vertica probe took; a Catalyst plan has no
+  round-trips). ``--strategy sql`` runs the ``spark.sql`` surface
+  (entry point C); ``dataframe`` the DataFrame API (entry point A).
+- ``-read/-write`` map to ``--read-index/--write-index``: the posting
+  index cached as Parquet (``Par_Search.py:92-99,124-134``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="multi_attribute_join_search_with_mapreduce_spark",
+        description="Multi-attribute join search over a parquet data lake",
+    )
+    p.add_argument("--query-csv", help="query table CSV (path or URL)")
+    p.add_argument("--query-table", help="lake table name to use as the query table")
+    p.add_argument("--attrs", required=True, help="comma-separated query column names")
+    p.add_argument("--rows", type=int, default=None, help="truncate query input to N rows")
+    p.add_argument("--cores", type=int, default=None, help="local[N] parallelism")
+    p.add_argument("--k", type=int, default=20, help="top-k tables (2k columns)")
+    p.add_argument(
+        "--strategy",
+        choices=("dataframe", "sql"),
+        default="dataframe",
+        help="DataFrame API (entry point A) or spark.sql surface (entry point C)",
+    )
+    p.add_argument("--sf-dir", default=None, help="lake directory (default $SPARK_GRAFT_SF_DIR)")
+    p.add_argument("--write-index", metavar="DIR", help="persist the posting index as parquet")
+    p.add_argument("--read-index", metavar="DIR", help="load a previously persisted index")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if bool(args.query_csv) == bool(args.query_table):
+        print("error: exactly one of --query-csv / --query-table is required", file=sys.stderr)
+        return 2
+
+    from multi_attribute_join_search_with_mapreduce_spark.session import get_spark
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import (
+        load_table,
+        read_csv_source,
+        sf_dir_from_env,
+    )
+
+    sf_dir = args.sf_dir or sf_dir_from_env()
+    if args.cores:  # local[N] parallelism, like the reference's `cores` arg
+        import os
+
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.cores)
+    spark: SparkSession = get_spark("majs-cli")
+    attrs = [a.strip() for a in args.attrs.split(",") if a.strip()]
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import cached_posting_index
+    from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+        multi_attribute_join_search,
+    )
+
+    if args.read_index:
+        postings = spark.read.parquet(args.read_index)
+    else:
+        postings = cached_posting_index(spark, sf_dir)
+    if args.write_index:
+        postings.write.mode("overwrite").parquet(args.write_index)
+        postings = spark.read.parquet(args.write_index)
+
+    if args.strategy == "sql":
+        from multi_attribute_join_search_with_mapreduce_spark.plans.sql_surface import (
+            join_search_sql_level,
+            join_search_spark_sql_text,
+            register_sql_surface,
+        )
+
+        if args.query_csv:
+            q = read_csv_source(spark, args.query_csv)
+            if args.rows:
+                q = q.limit(args.rows)
+            q.createOrReplaceTempView("query_input")
+            register_sql_surface(spark, sf_dir)
+            tables = spark.sql(join_search_spark_sql_text("query_input", attrs, args.k, "tables"))
+            columns = spark.sql(join_search_spark_sql_text("query_input", attrs, args.k, "columns"))
+        else:
+            tables = join_search_sql_level(spark, sf_dir, args.query_table, attrs, args.k, "tables")
+            columns = join_search_sql_level(spark, sf_dir, args.query_table, attrs, args.k, "columns")
+    else:
+        if args.query_csv:
+            q = read_csv_source(spark, args.query_csv)
+        else:
+            q = load_table(spark, args.query_table, sf_dir)
+        if args.rows:
+            q = q.limit(args.rows)
+        tables, columns = multi_attribute_join_search(postings, q, attrs, args.k)
+
+    print("== table scores ==")
+    for r in tables.collect():
+        print(f"table={r['table']}\tjoin_score={r['join_score']}")
+    print("== column scores ==")
+    for r in columns.collect():
+        print(f"table={r['table']}\tcolumn={r['column']}\tjoin_score={r['join_score']}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

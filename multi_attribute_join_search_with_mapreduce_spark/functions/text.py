@@ -93,6 +93,18 @@ def normalize_sql(expr: str) -> str:
     )
 
 
+def normalize_spark_sql(expr: str) -> str:
+    """Spark-SQL-dialect rendering of :func:`normalize_col` (for the
+    ``spark.sql`` surface — same spec, third dialect)."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = (
+        "filter(split(trim(regexp_replace(regexp_replace("
+        f"lower({expr}), '[^\\\\x00-\\\\x7F]', ''), '[^a-z0-9]+', ' ')), ' '), "
+        f"t -> t != '' AND NOT array_contains(array({stop}), t))"
+    )
+    return f"array_join({toks}, ' ')"
+
+
 def normalize_py(s: str | None) -> str | None:
     """Pure-Python rendering of the same spec (unit-test oracle)."""
     if s is None:

@@ -1,0 +1,129 @@
+"""SQL entry point: the whole engine surface as ``spark.sql`` text.
+
+The reference exposes a SQL-level join-discovery strategy (entry point C,
+``main.py -seq -sql`` → per-row self-joins built in ``handlers.py:92-107``).
+SURVEY.md §3.3 collapses that into one statement over a registered
+``posting_index`` view; this module is that statement, plus the view/
+function registration a SQL user needs:
+
+- :func:`register_sql_surface` registers every lake table, the
+  ``posting_index`` view, and a ``majs_normalize`` SQL scalar function
+  (Spark SQL UDF — pure SQL expression, so it inlines into codegen and
+  costs nothing over the DataFrame path);
+- :func:`join_search_sql_level` runs the full 4-phase search
+  (SURVEY.md §2.11) as a single ``spark.sql`` query — the same Catalyst
+  plan shape as the DataFrame path in ``operators/search.py``, reached
+  from SQL text instead of the DataFrame API.
+
+The N-self-joins-for-N-rows shape of the reference's SQL strategy (the
+thesis's slowest variant) is deliberately *not* reproduced — at 100 TB it
+is N full probe passes; the single-statement form is one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from multi_attribute_join_search_with_mapreduce_spark.functions.text import normalize_spark_sql
+from multi_attribute_join_search_with_mapreduce_spark.index import cached_posting_index
+from multi_attribute_join_search_with_mapreduce_spark.operators.search import DEFAULT_TOP_K
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import register_lake
+
+NORMALIZE_FN_DDL = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION majs_normalize(s STRING) "
+    f"RETURNS STRING RETURN {normalize_spark_sql('s')}"
+)
+
+
+def register_sql_surface(spark: SparkSession, sf_dir: str) -> None:
+    """Register lake views + ``posting_index`` + ``majs_normalize``."""
+    register_lake(spark, sf_dir)
+    cached_posting_index(spark, sf_dir).createOrReplaceTempView("posting_index")
+    spark.sql(NORMALIZE_FN_DDL)
+
+
+def join_search_spark_sql_text(
+    query_table: str,
+    attrs: list[str],
+    k: int = DEFAULT_TOP_K,
+    result: str = "tables",
+) -> str:
+    """One Spark SQL statement computing the §2.11 contract.
+
+    Mirrors the DataFrame plan: normalize+dedup query rows → unpivot to
+    (key, MapKey) → pre-join reduction on ``(table, row)`` → mapping
+    join → per-(table,row,MapKey) threshold → score → top-k.
+    """
+    n = len(attrs)
+    norm_cols = ", ".join(
+        f"majs_normalize(`{a}`) AS _a{i}" for i, a in enumerate(attrs)
+    )
+    nonempty = " AND ".join(f"_a{i} != ''" for i in range(n))
+    mapkey = ", ".join(f"_a{i}" for i in range(n))
+    key_union = "\nUNION ALL\n".join(
+        f"SELECT _a{i} AS key, MapKey FROM qnorm" for i in range(n)
+    )
+    final = (
+        f"""
+SELECT `table`, CAST(SUM(join_score) AS BIGINT) AS join_score
+FROM top_cols GROUP BY `table`
+ORDER BY join_score DESC, `table` ASC
+LIMIT {k}
+"""
+        if result == "tables"
+        else f"""
+SELECT `table`, `column`, join_score FROM top_cols
+ORDER BY join_score DESC, `table` ASC, `column` ASC
+LIMIT {2 * k}
+"""
+    )
+    return f"""
+WITH qraw AS (SELECT DISTINCT * FROM (
+    SELECT {norm_cols} FROM {query_table}
+) WHERE {nonempty}),
+qnorm AS (SELECT *, concat_ws(chr(31), {mapkey}) AS MapKey FROM qraw),
+mappings AS ({key_union}),
+probed AS (
+    SELECT p.`table`, p.`row`, p.key, MIN(p.`column`) AS `column`
+    FROM posting_index p
+    WHERE p.key IN (SELECT DISTINCT key FROM mappings)
+    GROUP BY p.`table`, p.`row`, p.key
+),
+reduced AS (
+    SELECT `table`, `row`, key, `column` FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY `table`, `row`) AS _c FROM probed
+    ) WHERE _c >= {n}
+),
+matches AS (
+    SELECT `table`, `row`, `column`, MapKey FROM (
+        SELECT r.`table`, r.`row`, r.`column`, m.MapKey,
+               COUNT(*) OVER (PARTITION BY r.`table`, r.`row`, m.MapKey) AS _c
+        FROM reduced r JOIN mappings m ON r.key = m.key
+    ) WHERE _c >= {n}
+),
+col_scores AS (
+    SELECT `table`, `column`, COUNT(*) AS join_score
+    FROM matches GROUP BY `table`, `column`
+),
+top_cols AS (
+    SELECT `table`, `column`, join_score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY `table` ORDER BY join_score DESC, `column` ASC
+        ) AS _rn FROM col_scores
+    ) WHERE _rn <= {n}
+)
+{final}
+"""
+
+
+def join_search_sql_level(
+    spark: SparkSession,
+    sf_dir: str,
+    query_table: str,
+    attrs: list[str],
+    k: int = DEFAULT_TOP_K,
+    result: str = "tables",
+) -> DataFrame:
+    """Entry point C equivalent: the search via ``spark.sql``."""
+    register_sql_surface(spark, sf_dir)
+    return spark.sql(join_search_spark_sql_text(query_table, attrs, k, result))

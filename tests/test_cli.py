@@ -1,0 +1,88 @@
+"""CLI surface (``python -m multi_attribute_join_search_with_mapreduce_spark``) — in-process
+(``main()`` reuses the active test SparkSession via ``getOrCreate``)."""
+
+from __future__ import annotations
+
+import pytest
+
+from multi_attribute_join_search_with_mapreduce_spark.cli import main
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def query_csv(tmp_path):
+    p = tmp_path / "query.csv"
+    p.write_text("brand,type\nBrand#13,ECONOMY\nBrand#19,PROMO\n")
+    return str(p)
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_cli_dataframe_strategy(spark, capsys, query_csv):
+    rc, out = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001],
+    )
+    assert rc == 0
+    assert "table=5\tjoin_score=8" in out
+    assert "table=5\tcolumn=1\tjoin_score=4" in out
+
+
+def test_cli_sql_strategy_matches_dataframe(spark, capsys, query_csv):
+    rc_df, out_df = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001],
+    )
+    rc_sql, out_sql = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001,
+         "--strategy", "sql"],
+    )
+    assert rc_df == rc_sql == 0
+    assert out_df == out_sql
+
+
+def test_cli_lake_query_table(spark, capsys):
+    rc, out = _run(
+        capsys,
+        ["--query-table", "part", "--attrs", "p_brand,p_type", "--sf-dir", SF001],
+    )
+    assert rc == 0
+    assert "table=5\tjoin_score=400" in out
+
+
+def test_cli_rows_limit(spark, capsys, query_csv):
+    rc, out = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001,
+         "--rows", "1"],
+    )
+    assert rc == 0
+    assert "table=5\tjoin_score=2" in out  # only Brand#13,ECONOMY probes
+
+
+def test_cli_requires_exactly_one_input(spark, capsys, query_csv):
+    assert main(["--attrs", "a,b"]) == 2
+    assert main(["--query-csv", query_csv, "--query-table", "part", "--attrs", "a,b"]) == 2
+
+
+def test_cli_index_roundtrip(spark, capsys, query_csv, tmp_path):
+    idx = str(tmp_path / "idx_parquet")
+    rc, out = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001,
+         "--write-index", idx],
+    )
+    assert rc == 0 and "table=5\tjoin_score=8" in out
+    rc2, out2 = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001,
+         "--read-index", idx],
+    )
+    assert rc2 == 0
+    assert out2 == out

@@ -8,7 +8,9 @@ Patterns covered, all built-in Structured Streaming:
 - watermark + tumbling-window aggregation (late data beyond the
   watermark is dropped by the engine);
 - streaming dedup bounded by the watermark
-  (``dropDuplicatesWithinWatermark``).
+  (``dropDuplicatesWithinWatermark``);
+- custom stateful sessionization via ``applyInPandasWithState``
+  (:func:`stateful_sessionize_stream`).
 
 Tests drive these with the memory sink + ``processAllAvailable`` and
 assert parity with the batch renditions in ``operators/events.py``.
@@ -67,6 +69,86 @@ def dedup_within_watermark_stream(events: DataFrame, watermark: str = "2 hours")
     streaming state stays bounded by the watermark (exactly-once-ish
     ingestion dedup)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+SESSION_GAP_MIN = 30
+
+_SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_ns", T.LongType()),
+        T.StructField("last_ns", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def stateful_sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``
+    (the engine's custom-stateful-operator pattern, SURVEY.md §7 M6).
+
+    Per-user state = the open session ``(start, last_ts, n)``. A new
+    event past the inactivity gap *closes* the open session (emitted
+    downstream) and starts a fresh one; the final open session per user
+    stays in state, exactly like a live pipeline. Arrow-batched, no
+    row-at-a-time Python.
+
+    Same gap semantics as the batch ``operators/events.py:sessionize``;
+    tests assert emitted-closed-sessions == batch sessions minus each
+    user's last.
+    """
+    import pandas as pd  # local import: worker-side dependency
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = gap_min * 60 * 1_000_000_000
+
+    def close_sessions(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start_ns, last_ns, n = state.get
+        else:
+            start_ns = last_ns = -1
+            n = 0
+        closed: list[tuple[int, int, int, int]] = []
+        for pdf in pdf_iter:
+            # datetime64[ns] -> epoch nanos, sorted within the batch per user
+            ts_ns = (
+                pd.Series(pdf["ts"]).astype("int64").sort_values().to_numpy()
+            )
+            for t in ts_ns:
+                if n == 0:
+                    start_ns, last_ns, n = t, t, 1
+                elif t - last_ns > gap_ns:
+                    closed.append((user_id, start_ns, last_ns, n))
+                    start_ns, last_ns, n = t, t, 1
+                else:
+                    last_ns, n = t, n + 1
+        state.update((int(start_ns), int(last_ns), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime([c[1] for c in closed], unit="ns"),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="ns"),
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        close_sessions,
+        outputStructType=_SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def run_stream_to_memory(

@@ -34,6 +34,37 @@ def test_dedup_within_watermark(spark, sf_dir):
     assert got.count() == n_distinct
 
 
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir):
+    """applyInPandasWithState sessions == batch sessions minus each
+    user's final (still-open) session."""
+    from pyspark.sql import Window
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import sessionize
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        stateful_sessionize_stream,
+    )
+
+    got = run_stream_to_memory(
+        stateful_sessionize_stream(events_stream_from_parquet(spark, sf_dir)),
+        "sess_state_test",
+    )
+    w = Window.partitionBy("user_id")
+    batch_closed = (
+        sessionize(spark, sf_dir)
+        .withColumn("_max", F.max("session_id").over(w))
+        .filter(F.col("session_id") != F.col("_max"))
+    )
+    g = {tuple(r) for r in got.select("user_id", "session_start", "session_end", "n_events").collect()}
+    b = {
+        tuple(r)
+        for r in batch_closed.select(
+            "user_id", "session_start", "session_end", F.col("n_events").cast("long")
+        ).collect()
+    }
+    assert g == b
+    assert len(g) > 0
+
+
 def test_stream_is_incremental(spark, sf_dir):
     """The source must declare itself streaming (not a disguised batch)."""
     events = events_stream_from_parquet(spark, sf_dir)

@@ -1,0 +1,50 @@
+"""Physical-plan quality gate: every registered query must compile to a
+plan free of scale killers (SURVEY.md §4; the 100 TB design bar).
+
+- no ``CartesianProduct`` — an unintended cross join is O(n²) at scale;
+- no ``BatchEvalPython`` — a row-at-a-time Python UDF in the hot path
+  (the reference's single biggest perf sink, ``Par_Search.py:164-166``);
+  Arrow-batched ``mapInPandas``/``ArrowEvalPython`` stages are allowed;
+- every equi-join on a small dimension side broadcasts (checked
+  implicitly: SortMergeJoin appears only where broadcast is impossible,
+  e.g. full-outer).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+REGISTRY = entry_mod.registry()
+
+# full outer join cannot broadcast; SMJ is the correct strategy there.
+SMJ_ALLOWED = {"full_outer_nation_counts"}
+
+
+def _plan_of(spark, name, sf_dir):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_has_no_scale_killers(spark, sf_dir, name):
+    plan = _plan_of(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    if name not in SMJ_ALLOWED:
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: SortMergeJoin where a broadcast was expected"
+        )
+
+
+def test_search_probe_is_broadcast_semi_join(spark, sf_dir):
+    plan = _plan_of(spark, "mjs_search_tables", sf_dir)
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "BroadcastHashJoin Inner" in plan

@@ -27,6 +27,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.relational impor
 from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
     SIMILARITY_QUERIES,
 )
+from multi_attribute_join_search_with_mapreduce_spark.operators.skew import SKEW_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.textops import TEXT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
     join_search_sql,
@@ -39,12 +40,15 @@ from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec,
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
 FLAGSHIP_ATTRS = ["p_brand", "p_type"]
+THREE_ATTRS = ["p_name", "p_brand", "p_type"]
 
 
-def _search(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+def _search(
+    spark: SparkSession, sf_dir: str, which: str, attrs: list[str] = FLAGSHIP_ATTRS
+) -> DataFrame:
     postings = cached_posting_index(spark, sf_dir)
     query_df = load_table(spark, "part", sf_dir)
-    tbl, col = multi_attribute_join_search(postings, query_df, FLAGSHIP_ATTRS)
+    tbl, col = multi_attribute_join_search(postings, query_df, attrs)
     return tbl if which == "tables" else col
 
 
@@ -59,6 +63,12 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_search_columns": QuerySpec(
         lambda spark, sf: _search(spark, sf, "columns"),
         join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="columns"),
+    ),
+    # n=3 attributes: the reference hard-codes 2 (Par_Search.py:215);
+    # the engine is schema-driven for any n.
+    "mjs_search_3attr": QuerySpec(
+        lambda spark, sf: _search(spark, sf, "tables", THREE_ATTRS),
+        join_search_sql(posting_index_sql(), "part", THREE_ATTRS, result="tables"),
     ),
     # Entry point C (SQL-level strategy): same contract via spark.sql text.
     "mjs_search_sql_level": QuerySpec(
@@ -75,6 +85,7 @@ def registry() -> dict[str, QuerySpec]:
         TEXT_QUERIES,
         SIMILARITY_QUERIES,
         EVENT_QUERIES,
+        SKEW_QUERIES,
     )
 
 

@@ -77,12 +77,34 @@ def multi_attribute_join_search(
     query_df: DataFrame,
     attrs: list[str],
     k: int = DEFAULT_TOP_K,
+    strategy: str = "rare_key",
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(table_scores, column_scores)`` DataFrames.
 
     ``table_scores``: ``(table INT, join_score BIGINT)`` — top-k.
     ``column_scores``: ``(table INT, column INT, join_score BIGINT)`` — top-2k.
+
+    Strategies (identical results, differential-tested against each
+    other and the oracle):
+
+    - ``"rare_key"`` (default): selectivity-ordered probing. Each query
+      row joins postings on its globally *rarest* attribute value only;
+      the remaining attributes are verified against a per-``(table,
+      row)`` key set. Partial matches (row hits one common attribute
+      but not the rest) never materialize. With a frequent/rare
+      attribute mix (e.g. brand × product-name) this cuts the join
+      input by orders of magnitude: probing ``part ⨝ part`` on 3
+      attributes at sf0.1 went 46s → ~3s.
+    - ``"mapkey"``: the direct rendition of the reference's plan
+      (``Par_Search.py:244-285``) — join postings to every (key,
+      MapKey) pair, then keep ``(table,row,MapKey)`` groups hitting all
+      n attributes. Fan-out is Σ freq(attr value) over all query
+      attrs, which explodes when an attribute has few distinct values.
     """
+    if strategy == "rare_key":
+        return _rare_key_search(postings, query_df, attrs, k)
+    if strategy != "mapkey":
+        raise ValueError(f"unknown strategy: {strategy!r}")
     n = len(attrs)
     mappings = _query_mappings(query_df, attrs)
     keys = mappings.select("key").distinct()
@@ -118,6 +140,120 @@ def multi_attribute_join_search(
     w_rank = Window.partitionBy("table").orderBy(
         F.desc("join_score"), F.asc("column")
     )
+    top_cols = (
+        col_scores_all.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+    table_scores = (
+        top_cols.groupBy("table")
+        .agg(F.sum("join_score").alias("join_score"))
+        .orderBy(F.desc("join_score"), F.asc("table"))
+        .limit(k)
+    )
+    column_scores = top_cols.orderBy(
+        F.desc("join_score"), F.asc("table"), F.asc("column")
+    ).limit(2 * k)
+    return table_scores, column_scores
+
+
+def _rare_key_search(
+    postings: DataFrame,
+    query_df: DataFrame,
+    attrs: list[str],
+    k: int = DEFAULT_TOP_K,
+) -> tuple[DataFrame, DataFrame]:
+    """Selectivity-ordered probe (see :func:`multi_attribute_join_search`).
+
+    Pipeline, one lazy DAG:
+
+    1. normalize+dedup query rows; broadcast-semi-join probe + posting
+       dedup + pre-join reduction exactly as the mapkey strategy;
+    2. ``freq``: global frequency of each surviving posting key;
+    3. each query row picks its lowest-frequency attribute as
+       ``probe_key`` (ties break on key text) — rows with any
+       zero-frequency attribute are dropped (they cannot match);
+    4. ``hits`` = reduced postings ⨝ broadcast probe on
+       ``key = probe_key`` — fan-out is freq(rarest attr), not
+       Σ freq(all attrs);
+    5. verify the other attributes with an array lookup against the
+       per-``(table,row)`` key/column set (built on the same
+       ``(table,row)`` partitioning the reduction window already
+       created — no extra shuffle);
+    6. attribute each attr's match to its posting column via the same
+       set (array lookup, no join) and score as usual.
+    """
+    n = len(attrs)
+    norm = query_df.select(
+        *[normalize_col(F.col(a)).alias(f"_a{i}") for i, a in enumerate(attrs)]
+    )
+    for i in range(n):
+        norm = norm.filter(F.col(f"_a{i}") != "")
+    norm = norm.dropDuplicates()
+    norm = norm.withColumn(
+        "MapKey", F.concat_ws(MAPKEY_SEP, *[F.col(f"_a{i}") for i in range(n)])
+    )
+    attr_cols = [F.col(f"_a{i}") for i in range(n)]
+    melted = norm.select(
+        "MapKey", F.explode(F.array(*attr_cols)).alias("key")
+    )
+    keys = melted.select("key").distinct()
+
+    probed = postings.join(F.broadcast(keys), "key", "left_semi")
+    deduped = probed.groupBy("table", "row", "key").agg(F.min("column").alias("column"))
+    w_row = Window.partitionBy("table", "row")
+    reduced = (
+        deduped.withColumn("_cnt", F.count(F.lit(1)).over(w_row))
+        .filter(F.col("_cnt") >= n)
+        .drop("_cnt")
+    )
+
+    freq = reduced.groupBy("key").agg(F.count(F.lit(1)).alias("_freq"))
+    with_freq = freq.join(F.broadcast(melted), "key")
+    w_rare = Window.partitionBy("MapKey").orderBy(F.asc("_freq"), F.asc("key"))
+    rarest = (
+        with_freq.withColumn("_rn", F.row_number().over(w_rare))
+        .withColumn("_n_present", F.count(F.lit(1)).over(Window.partitionBy("MapKey")))
+        # early drop: an attr instance with zero lake frequency means the
+        # row can never match (verification would drop it later anyway)
+        .filter((F.col("_rn") == 1) & (F.col("_n_present") == n))
+        .select("MapKey", F.col("key").alias("probe_key"))
+    )
+    probe = rarest.join(norm, "MapKey")
+
+    hits = reduced.join(
+        F.broadcast(probe), F.col("key") == F.col("probe_key")
+    ).select("table", "row", "MapKey", *[f"_a{i}" for i in range(n)])
+
+    kc = reduced.groupBy("table", "row").agg(
+        F.collect_list(F.struct("key", "column")).alias("_kc")
+    )
+    verified = hits.join(kc, ["table", "row"])
+
+    def _has_key(attr_col):
+        # closure factory: a 2-param lambda would mean (element, index)
+        return F.size(F.filter(F.col("_kc"), lambda e: e["key"] == attr_col)) > 0
+
+    for i in range(n):
+        verified = verified.filter(_has_key(F.col(f"_a{i}")))
+
+    matched = verified.select(
+        "table",
+        "row",
+        "MapKey",
+        "_kc",
+        F.explode(F.array(*[F.col(f"_a{i}") for i in range(n)])).alias("_mk"),
+    ).select(
+        "table",
+        F.element_at(
+            F.filter(F.col("_kc"), lambda e: e["key"] == F.col("_mk")), 1
+        )["column"].alias("column"),
+    )
+
+    col_scores_all = matched.groupBy("table", "column").agg(
+        F.count(F.lit(1)).alias("join_score")
+    )
+    w_rank = Window.partitionBy("table").orderBy(F.desc("join_score"), F.asc("column"))
     top_cols = (
         col_scores_all.withColumn("_rn", F.row_number().over(w_rank))
         .filter(F.col("_rn") <= n)

@@ -1,0 +1,42 @@
+"""Bucketed posting-index persistence: the scale path for repeated
+probes — a key-bucketed index joins on ``key`` with no index-side
+shuffle (SURVEY.md §1.4 / index.py docstring)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from multi_attribute_join_search_with_mapreduce_spark.index import (
+    build_posting_index,
+    write_posting_index,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_table(spark, sf_dir):
+    name = "pidx_bucketed_test"
+    write_posting_index(spark, sf_dir, out_table=name, buckets=8)
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_index_roundtrip(spark, sf_dir, bucketed_table):
+    got = spark.table(bucketed_table)
+    expect = build_posting_index(spark, sf_dir)
+    assert got.count() == expect.count()
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expect.collect()}
+
+
+def test_bucketed_self_join_has_no_index_side_shuffle(spark, sf_dir, bucketed_table):
+    t = spark.table(bucketed_table)
+    # force a sort-merge join (no broadcast) — the case bucketing serves
+    joined = t.alias("a").hint("merge").join(t.alias("b"), "key")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join should not shuffle either side"

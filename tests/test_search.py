@@ -51,9 +51,17 @@ def _fixture_query(spark):
     return spark.createDataFrame(rows, "director string, title string")
 
 
-def test_golden_scores(spark):
+import pytest
+
+
+@pytest.mark.parametrize("strategy", ["rare_key", "mapkey"])
+def test_golden_scores(spark, strategy):
     tbl, col = multi_attribute_join_search(
-        _fixture_postings(spark), _fixture_query(spark), ["director", "title"], k=20
+        _fixture_postings(spark),
+        _fixture_query(spark),
+        ["director", "title"],
+        k=20,
+        strategy=strategy,
     )
     tbl_rows = [(r["table"], r["join_score"]) for r in tbl.collect()]
     # table 4: 2 matching rows x 2 cols = 4; table 1: 1 row x 2 cols = 2;
@@ -88,3 +96,24 @@ def test_search_differential_sf0001(spark, sf_dir):
 def test_index_differential_sf0001(spark, sf_dir):
     postings = build_posting_index(spark, sf_dir)
     assert_df_equals_duckdb(postings, posting_index_sql(), sf_dir)
+
+
+def test_strategies_agree_three_attrs(spark, sf_dir):
+    """rare_key and mapkey must be result-identical (n=3, real data)."""
+    postings = build_posting_index(spark, sf_dir)
+    query_df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    attrs = ["p_name", "p_brand", "p_type"]
+    t_rare, c_rare = multi_attribute_join_search(postings, query_df, attrs, strategy="rare_key")
+    t_map, c_map = multi_attribute_join_search(postings, query_df, attrs, strategy="mapkey")
+    assert t_rare.collect() == t_map.collect()
+    assert c_rare.collect() == c_map.collect()
+
+
+def test_unknown_strategy_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown strategy"):
+        multi_attribute_join_search(
+            _fixture_postings(spark), _fixture_query(spark), ["director", "title"],
+            strategy="bogus",
+        )

@@ -50,6 +50,35 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Reference 4-phase breakdown (BASELINE.md / log_runtime,
+    # Par_Search.py:16-32) on the flagship search: cumulative stage
+    # materializations, differenced. The full-pipeline time stays the
+    # per-query number above; this is the phase attribution.
+    from multi_attribute_join_search_with_mapreduce_spark.index import cached_posting_index
+    from multi_attribute_join_search_with_mapreduce_spark.operators.search import search_stages
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    import __spark_entry__ as entry_mod
+
+    st = search_stages(
+        cached_posting_index(spark, sf_dir),
+        load_table(spark, "part", sf_dir),
+        entry_mod.FLAGSHIP_ATTRS,
+    )
+    phases: dict[str, float] = {}
+    cum_prev = 0.0
+    t0 = time.perf_counter()
+    for phase, df in (
+        ("import", st.mappings),
+        ("query", st.probed),
+        ("join_discovery", st.matched),
+        ("scoring", st.tables),
+    ):
+        df.count()
+        cum = time.perf_counter() - t0
+        phases[phase] = round(cum - cum_prev, 4)
+        cum_prev = cum
+
     print(
         json.dumps(
             {
@@ -57,6 +86,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "phases": phases,
                 "sf": sf,
             }
         )

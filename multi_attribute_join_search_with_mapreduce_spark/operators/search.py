@@ -44,6 +44,7 @@ Deterministic divergences from the reference (documented per SURVEY.md
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -53,6 +54,18 @@ from multi_attribute_join_search_with_mapreduce_spark.functions.text import norm
 
 MAPKEY_SEP = "\x1f"
 DEFAULT_TOP_K = 20
+
+
+@dataclass(frozen=True)
+class SearchStages:
+    """The four reference phases (SURVEY.md §2.11 / ``log_runtime``) as
+    separately materializable sub-DAGs, for phase-level benchmarking."""
+
+    mappings: DataFrame  # import: normalized/deduped query rows, unpivoted
+    probed: DataFrame  # query: posting-index probe (semi-join)
+    matched: DataFrame  # join_discovery: verified per-attr match rows
+    tables: DataFrame  # scoring: top-k table scores
+    columns: DataFrame  # scoring: top-2k column scores
 
 
 def _query_mappings(query_df: DataFrame, attrs: list[str]) -> DataFrame:
@@ -102,7 +115,8 @@ def multi_attribute_join_search(
       attrs, which explodes when an attribute has few distinct values.
     """
     if strategy == "rare_key":
-        return _rare_key_search(postings, query_df, attrs, k)
+        st = _rare_key_stages(postings, query_df, attrs, k)
+        return st.tables, st.columns
     if strategy != "mapkey":
         raise ValueError(f"unknown strategy: {strategy!r}")
     n = len(attrs)
@@ -157,12 +171,24 @@ def multi_attribute_join_search(
     return table_scores, column_scores
 
 
-def _rare_key_search(
+def search_stages(
     postings: DataFrame,
     query_df: DataFrame,
     attrs: list[str],
     k: int = DEFAULT_TOP_K,
-) -> tuple[DataFrame, DataFrame]:
+) -> SearchStages:
+    """Public phase-exposing variant of the default (rare_key) search —
+    used by ``bench.py`` for the reference's 4-phase wall-clock
+    breakdown (``log_runtime``, ``Par_Search.py:16-32``)."""
+    return _rare_key_stages(postings, query_df, attrs, k)
+
+
+def _rare_key_stages(
+    postings: DataFrame,
+    query_df: DataFrame,
+    attrs: list[str],
+    k: int = DEFAULT_TOP_K,
+) -> SearchStages:
     """Selectivity-ordered probe (see :func:`multi_attribute_join_search`).
 
     Pipeline, one lazy DAG:
@@ -268,7 +294,13 @@ def _rare_key_search(
     column_scores = top_cols.orderBy(
         F.desc("join_score"), F.asc("table"), F.asc("column")
     ).limit(2 * k)
-    return table_scores, column_scores
+    return SearchStages(
+        mappings=melted,
+        probed=deduped,
+        matched=matched,
+        tables=table_scores,
+        columns=column_scores,
+    )
 
 
 def join_search_sql(

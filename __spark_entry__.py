@@ -27,6 +27,9 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.relational impor
 from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
     SIMILARITY_QUERIES,
 )
+from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
+    MULTIMODAL_QUERIES,
+)
 from multi_attribute_join_search_with_mapreduce_spark.operators.skew import SKEW_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.textops import TEXT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
@@ -86,6 +89,7 @@ def registry() -> dict[str, QuerySpec]:
         SIMILARITY_QUERIES,
         EVENT_QUERIES,
         SKEW_QUERIES,
+        MULTIMODAL_QUERIES,
     )
 
 

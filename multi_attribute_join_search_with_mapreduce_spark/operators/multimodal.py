@@ -87,6 +87,51 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+N_MEDIA = 64
+
+
+def media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry: feature extraction over the synthetic media table
+    (``sf`` unused — media is generated, standing in for binaryFile).
+
+    The DuckDB oracle recomputes the kernel in SQL, so the ``mapInPandas``
+    Arrow path is *value*-checked end-to-end, not just smoke-run."""
+    return extract_features(synthetic_media(spark, N_MEDIA))
+
+
+# payload is ASCII, so chars == bytes; ascii() gives the byte value.
+_MEDIA_SQL = f"""
+SELECT id AS media_id,
+  (['image','audio','video'])[CAST(id % 3 AS INT) + 1] AS kind,
+  'payload-' || sha256(CAST(id AS VARCHAR)) AS payload
+FROM range({N_MEDIA}) t(id)
+"""
+
+MEDIA_FEATURES_SQL = f"""
+WITH media AS ({_MEDIA_SQL})
+SELECT media_id, kind,
+  CAST(LENGTH(payload) AS BIGINT) AS n_bytes,
+  md5(payload) AS checksum,
+  CAST(list_sum(list_transform(generate_series(1, LENGTH(payload)),
+       i -> ascii(substr(payload, i, 1)))) AS DOUBLE) / LENGTH(payload) AS feat_mean
+FROM media
+"""
+
+
+def media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry: the video frame-sampling plan."""
+    return frame_sample_plan(synthetic_media(spark, N_MEDIA))
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+WITH media AS ({_MEDIA_SQL})
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+  CAST(frame_idx * LENGTH(payload) AS INT) AS byte_offset
+FROM media, UNNEST(generate_series(0, 90, 10)) AS t(frame_idx)
+WHERE kind = 'video'
+"""
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into frame
     descriptors (frame index + byte offsets) without decoding — the
@@ -101,3 +146,11 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         "frame_idx",
         (F.col("frame_idx") * F.col("_payload_len")).alias("byte_offset"),
     )
+
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
+
+MULTIMODAL_QUERIES: dict[str, QuerySpec] = {
+    "media_features": QuerySpec(media_features, MEDIA_FEATURES_SQL),
+    "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
+}

@@ -31,6 +31,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal impor
     MULTIMODAL_QUERIES,
 )
 from multi_attribute_join_search_with_mapreduce_spark.operators.skew import SKEW_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.operators.temporal import TEMPORAL_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.textops import TEXT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
     join_search_sql,
@@ -90,6 +91,7 @@ def registry() -> dict[str, QuerySpec]:
         EVENT_QUERIES,
         SKEW_QUERIES,
         MULTIMODAL_QUERIES,
+        TEMPORAL_QUERIES,
     )
 
 

@@ -195,6 +195,31 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 # --- window functions ------------------------------------------------------
 
+def grouping_sets_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): totals by
+    (status, priority), by status alone, and the grand total — via
+    ``spark.sql`` since the DataFrame API exposes only rollup/cube."""
+    o = load_table(spark, "orders", sf)
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 def window_topn_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, "orders", sf)
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -502,6 +527,7 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     "tpch_q5_local_supplier": QuerySpec(q5_local_supplier, Q5_SQL),
     "rollup_customers": QuerySpec(rollup_customers, ROLLUP_SQL),
     "cube_orders": QuerySpec(cube_orders, CUBE_SQL),
+    "grouping_sets_orders": QuerySpec(grouping_sets_orders, GROUPING_SETS_SQL),
     "window_topn_orders": QuerySpec(window_topn_orders, WINDOW_TOPN_SQL),
     "window_running_total": QuerySpec(window_running_total, WINDOW_RUNNING_SQL),
     "window_lag_events": QuerySpec(window_lag_events, WINDOW_LAG_SQL),

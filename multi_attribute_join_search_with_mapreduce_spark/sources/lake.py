@@ -54,6 +54,37 @@ def register_lake(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TAB
         df.createOrReplaceTempView(name)
 
 
+def read_jdbc_source(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic JDBC scan (SURVEY.md §2.1 S3 — the reference reads its
+    posting table from Vertica; the engine's native path is parquet, but
+    the connector surface stays available for external DBs).
+
+    When ``partition_column`` is given, the read is split into
+    ``num_partitions`` parallel range queries — without it a JDBC scan
+    is a single-task bottleneck.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_csv_source(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
     """CSV query-table source (reference: ``Par_Search.py:145-148``)."""
     return spark.read.csv(path, header=header, inferSchema=True)

@@ -31,6 +31,9 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal impor
     MULTIMODAL_QUERIES,
 )
 from multi_attribute_join_search_with_mapreduce_spark.operators.skew import SKEW_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.operators.subqueries import (
+    SUBQUERY_QUERIES,
+)
 from multi_attribute_join_search_with_mapreduce_spark.operators.temporal import TEMPORAL_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.textops import TEXT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
@@ -90,6 +93,7 @@ def registry() -> dict[str, QuerySpec]:
         SIMILARITY_QUERIES,
         EVENT_QUERIES,
         SKEW_QUERIES,
+        SUBQUERY_QUERIES,
         MULTIMODAL_QUERIES,
         TEMPORAL_QUERIES,
     )

@@ -37,6 +37,11 @@ def main() -> None:
 
     t0 = time.perf_counter()
     build_posting_index(spark, sf_dir).limit(1).count()
+    # Also warm the Python-worker + Arrow path (one-time fork/exec of the
+    # pandas-UDF workers) so it isn't billed to the first mapInPandas query.
+    spark.range(0, 32, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     print(f"# warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}

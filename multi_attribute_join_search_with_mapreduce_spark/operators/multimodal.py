@@ -38,8 +38,13 @@ FEATURE_SCHEMA = "media_id bigint, kind string, n_bytes bigint, checksum string,
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic fake media table: payload bytes derived from the id
-    (stands in for spark.read.format('binaryFile'))."""
-    base = spark.range(n).select(
+    (stands in for spark.read.format('binaryFile')).
+
+    Partition count scales with rows (~16 rows per partition, as a real
+    binaryFile scan would pack by bytes) instead of inheriting the
+    default parallelism — 32 near-empty partitions each paying Python
+    worker + Arrow setup dominated the runtime for tiny tables."""
+    base = spark.range(0, n, 1, max(1, min(n // 16, 64))).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

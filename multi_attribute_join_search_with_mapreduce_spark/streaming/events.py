@@ -151,6 +151,52 @@ def stateful_sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN
     )
 
 
+def purchase_click_join_stream(
+    events: DataFrame, max_lag_hours: int = 1, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval self-join: each purchase joined to the
+    same user's clicks in the preceding ``max_lag_hours``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so the engine can expire join state — the streaming
+    analogue of a range join, with state bounded by watermark + interval
+    instead of growing forever. Batch parity is asserted in tests with
+    the identical join condition on the static events table.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            click_user = purchase_user AND
+            click_ts >= purchase_ts - INTERVAL {max_lag_hours} HOURS AND
+            click_ts <= purchase_ts
+            """
+        ),
+        "inner",
+    ).select(
+        "purchase_user", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -65,6 +65,46 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir):
     assert len(g) > 0
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream self-join == the same interval join on
+    the static table (single source file, so no cross-batch loss)."""
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        purchase_click_join_stream,
+    )
+
+    got = run_stream_to_memory(
+        purchase_click_join_stream(events_stream_from_parquet(spark, sf_dir)),
+        "ss_join_test",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = purchases.join(
+        clicks,
+        F.expr(
+            "click_user = purchase_user AND "
+            "click_ts >= purchase_ts - INTERVAL 1 HOURS AND click_ts <= purchase_ts"
+        ),
+    ).select(
+        "purchase_user", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
+    assert len(g) > 0
+
+
 def test_stream_is_incremental(spark, sf_dir):
     """The source must declare itself streaming (not a disguised batch)."""
     events = events_stream_from_parquet(spark, sf_dir)

@@ -192,9 +192,120 @@ ORDER BY cosine DESC, vec_a ASC, vec_b ASC
 """
 
 
+N_PROBE = 2
+
+
+def _centroid_df(e: DataFrame) -> DataFrame:
+    """Coarse quantizer codebook: one centroid per label (a stand-in for
+    a k-means codebook trained offline — deterministic, so the oracle
+    can recompute it). Components are rounded so both engines assign
+    identical cells despite float-sum ordering differences."""
+    exploded = e.select("label", F.posexplode(_dvec("embedding")).alias("dim", "v"))
+    cent = exploded.groupBy("label", "dim").agg(F.round(F.avg("v"), 6).alias("cv"))
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("cell"), "cvec")
+    )
+
+
+def _assign_cells(e: DataFrame, centroids: DataFrame, n_nearest: int) -> DataFrame:
+    """Nearest-centroid assignment: vectors × broadcast codebook, keep
+    the top ``n_nearest`` cells per vector (1 for indexing, N_PROBE for
+    the query's probe list)."""
+    from pyspark.sql import Window
+
+    cos = F.round(_cosine(_dvec("embedding"), F.col("cvec")), 4)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("cell"))
+    return (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_nearest)
+        .select("vec_id", "cell")
+    )
+
+
+def knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: score only vectors whose cell is among the query's
+    ``N_PROBE`` nearest centroid cells.
+
+    At 100 TB the assignment runs once at ingest and the index is
+    written partitioned by ``cell``; a probe then reads nprobe
+    partitions (here: nprobe/n_cells of the data) instead of the full
+    table. The codebook is tiny and broadcast; nothing ever pairs
+    vectors with vectors."""
+    e = load_table(spark, "embeddings", sf)
+    centroids = _centroid_df(e)
+    assign = _assign_cells(e, centroids, 1)
+    probe_cells = _assign_cells(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID), centroids, N_PROBE
+    ).select("cell")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    candidates = (
+        assign.join(F.broadcast(probe_cells), "cell")
+        .join(e, "vec_id")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+    )
+    return (
+        candidates.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(_dvec("embedding"), _dvec("q_embedding")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_CENT_SQL = """
+exploded AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+cent AS (
+  SELECT label AS cell, list(cv ORDER BY dim) AS cvec
+  FROM (SELECT label, dim, ROUND(AVG(v), 6) AS cv FROM exploded GROUP BY label, dim)
+  GROUP BY label
+)
+"""
+
+KNN_IVF_SQL = f"""
+WITH {_CENT_SQL},
+scored AS (
+  SELECT e.vec_id, c.cell,
+    ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY ROUND({_cosine_sql('e.embedding', 'c.cvec')}, 4) DESC, c.cell ASC
+    ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (SELECT vec_id, cell FROM scored WHERE rn = 1),
+probe_cells AS (SELECT cell FROM scored WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBE}),
+q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+  ROUND({_cosine_sql('e.embedding', 'q_embedding')}, 4) AS cosine
+FROM assign a
+JOIN probe_cells p ON a.cell = p.cell
+JOIN embeddings e ON e.vec_id = a.vec_id
+CROSS JOIN q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEAR_DUP_SQL),
     "knn_brute_cosine": QuerySpec(knn_brute, KNN_BRUTE_SQL),
     "knn_bucketed_cosine": QuerySpec(knn_bucketed, KNN_BUCKETED_SQL),
+    "knn_ivf_cosine": QuerySpec(knn_ivf, KNN_IVF_SQL),
     "label_centroid_norms": QuerySpec(pairwise_label_centroids, CENTROID_SQL),
 }

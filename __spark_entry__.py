@@ -35,6 +35,9 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.subqueries impor
     SUBQUERY_QUERIES,
 )
 from multi_attribute_join_search_with_mapreduce_spark.operators.temporal import TEMPORAL_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.operators.tpch_deep import (
+    TPCH_DEEP_QUERIES,
+)
 from multi_attribute_join_search_with_mapreduce_spark.operators.textops import TEXT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
     join_search_sql,
@@ -94,6 +97,7 @@ def registry() -> dict[str, QuerySpec]:
         EVENT_QUERIES,
         SKEW_QUERIES,
         SUBQUERY_QUERIES,
+        TPCH_DEEP_QUERIES,
         MULTIMODAL_QUERIES,
         TEMPORAL_QUERIES,
     )

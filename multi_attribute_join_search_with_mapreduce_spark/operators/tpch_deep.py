@@ -1,0 +1,641 @@
+"""Deep TPC-H shapes: the remaining classic query skeletons (Q2, Q7-Q9,
+Q11-Q13, Q15, Q16, Q19-Q21) adapted to the driver schema.
+
+The reference engine computes only the join-search contract
+(SURVEY.md §2.11); this module completes the *general-analytics* surface
+the survey calls for in §2.3-§2.6 ("engine must still expose them").
+The driver testdata has no ``partsupp`` table and no
+``l_commitdate``/``l_receiptdate``/``l_shipmode`` columns, so each query
+keeps the canonical TPC-H *shape* (what the optimizer must handle) while
+substituting schema-compatible predicates:
+
+- Q2   correlated scalar MIN  -> window min over the correlation key;
+- Q7   nation-pair volume     -> two broadcast nation joins, OR'd pair
+  predicate, year rollup;
+- Q8   market-share ratio     -> conditional sum / sum per group;
+- Q9   profit by nation-year  -> multi-join with computed measure;
+- Q11  HAVING vs global scalar-> agg, then broadcast 1-row total join;
+- Q12  late-shipment priority -> date-arithmetic predicate + pivot-CASE;
+- Q13  distribution-of-counts -> left outer join + agg-of-agg;
+- Q15  view + scalar MAX      -> derived revenue view reused twice;
+- Q16  NOT IN + count-distinct-> left-anti join + dedup + countDistinct;
+- Q19  disjunctive predicates -> OR of three conjunctive branches pushed
+  into one scan;
+- Q20  nested IN chain        -> semi-join against a HAVING aggregate;
+- Q21  double EXISTS/NOT EXISTS -> decorrelated into one per-order
+  aggregate (n_suppliers, n_late_suppliers) instead of two self-joins.
+
+Scale notes: fact-fact joins shuffle on orderkey/partkey only;
+dimension sides (part, supplier, nation, region, 1-row scalars) are
+broadcast; every agg is partial/final; late predicates are pure column
+expressions so they ride inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+DEC = "decimal(18,2)"
+
+REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 shape (adapted: lineitem is the part<->supplier bridge, "supply
+    cost" = cheapest observed extended price): for STANDARD parts, the
+    EUROPE supplier(s) matching the per-part minimum cost.
+
+    The correlated scalar MIN decorrelates into a window min over
+    p_partkey — one extra shuffle-free pass over the already-grouped
+    aggregate instead of a per-part re-scan.
+    """
+    p = load_table(spark, "part", sf).filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, "supplier", sf)
+    n = load_table(spark, "nation", sf)
+    r = load_table(spark, "region", sf).filter(F.col("r_name") == "EUROPE")
+    l = load_table(spark, "lineitem", sf)
+    cost = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice").cast(DEC)).alias("_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("_min_cost", F.min("_cost").over(w))
+        .filter(F.col("_cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(cost AS DOUBLE) AS supply_cost
+FROM (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+  GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+) ps
+WHERE cost = (
+  SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+  FROM lineitem l2
+  JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE l2.l_partkey = ps.p_partkey AND r2.r_name = 'EUROPE'
+)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Q7: shipping volume between a nation pair, both directions, per
+    ship year. Nation dims are broadcast twice under different aliases;
+    the OR'd pair predicate is evaluated post-join as a codegen'd
+    expression (no extra shuffle)."""
+    l = load_table(spark, "lineitem", sf).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, "orders", sf)
+    c = load_table(spark, "customer", sf)
+    s = load_table(spark, "supplier", sf)
+    n1 = load_table(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         {REV_SQL} AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8: NATION_3's share of the ASIA ECONOMY-part market per order
+    year — a conditional-sum / sum ratio over one joined fact stream.
+    Exact decimal sums make the double ratio partition-order stable."""
+    l = load_table(spark, "lineitem", sf)
+    o = load_table(spark, "orders", sf).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, "customer", sf)
+    s = load_table(spark, "supplier", sf)
+    p = load_table(spark, "part", sf).filter(F.col("p_type") == "ECONOMY")
+    n1 = load_table(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cr_key")
+    )
+    r = load_table(spark, "region", sf).filter(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, "nation", sf).select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _revenue()
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(r), F.col("_cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast(DEC)))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(rev).cast("double").alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year, nation_volume, total_volume,
+       nation_volume / total_volume AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {REV_SQL}
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+         CAST(SUM({REV_SQL}) AS DOUBLE) AS total_volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY o_year
+)
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """Q9 (adapted: no ps_supplycost — cost proxy is half the part's
+    retail price per unit): profit on '%gear%' parts by supplier nation
+    and order year."""
+    l = load_table(spark, "lineitem", sf)
+    o = load_table(spark, "orders", sf)
+    s = load_table(spark, "supplier", sf)
+    p = load_table(spark, "part", sf).filter(F.col("p_name").contains("gear"))
+    n = load_table(spark, "nation", sf)
+    amount = _revenue() - (
+        F.lit(0.5).cast(DEC)
+        * F.col("p_retailprice").cast(DEC)
+        * F.col("l_quantity").cast(DEC)
+    ).cast(DEC)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM({REV_SQL}
+         - CAST(CAST(0.5 AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """Q11 shape (adapted: "stock value" = revenue shipped by NATION_7
+    suppliers per part): parts whose value exceeds a fraction of the
+    nation total. The uncorrelated HAVING scalar becomes a broadcast
+    1-row cross join against the reused aggregate."""
+    l = load_table(spark, "lineitem", sf)
+    s = load_table(spark, "supplier", sf)
+    n = load_table(spark, "nation", sf).filter(F.col("n_name") == "NATION_7")
+    per_part = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).alias("_value"))
+    )
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_value") > F.lit(0.001).cast(DEC) * F.col("_total"))
+        .select("l_partkey", F.col("_value").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = f"""
+SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+FROM (
+  SELECT l_partkey, SUM({REV_SQL}) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+WHERE value > CAST(0.001 AS DECIMAL(18,2)) * (
+  SELECT SUM({REV_SQL})
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q12_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 (adapted: no l_shipmode/l_receiptdate — grouped by
+    l_linestatus, "late" = shipped >45 days after the order date):
+    priority mix of late shipments. The date-arithmetic predicate and
+    the CASE pivot are pure column expressions."""
+    l = load_table(spark, "lineitem", sf).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, "orders", sf)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13: distribution of per-customer order counts — left outer join
+    (customers with no qualifying orders count as 0) followed by an
+    aggregation of the aggregation."""
+    c = load_table(spark, "customer", sf)
+    o = load_table(spark, "orders", sf).filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15: the revenue "view" is built once and reused for both the
+    per-supplier rows and the scalar MAX; equality on exact decimals
+    avoids float-compare flakiness. The 1-row max side is broadcast."""
+    l = load_table(spark, "lineitem", sf).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("_rev")
+    )
+    top = revenue.agg(F.max("_rev").alias("_max_rev"))
+    s = load_table(spark, "supplier", sf)
+    return (
+        revenue.join(F.broadcast(top), F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({REV_SQL}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Q16 (adapted: lineitem bridges part<->supplier; excluded
+    suppliers are those with negative balances): distinct supplier count
+    per (brand, type, size) — NOT IN as a left-anti join, then dedup of
+    the bridge pairs before countDistinct."""
+    l = load_table(spark, "lineitem", sf)
+    bad = load_table(spark, "supplier", sf).filter(F.col("s_acctbal") < 0)
+    p = load_table(spark, "part", sf).filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    pairs = (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .dropDuplicates()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19: revenue under an OR of three conjunctive (brand, size,
+    quantity) branches. The disjunction is a single codegen'd predicate
+    evaluated after the broadcast part join; the common p_size floor is
+    what the scan can push down."""
+    l = load_table(spark, "lineitem", sf)
+    p = load_table(spark, "part", sf)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+GROUP BY ALL
+"""
+
+
+def q20_excess_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    """Q20 shape (adapted: "excess stock" = shipped >40 units of one
+    'small %' part in 1996): the nested IN chain collapses into a
+    semi-join against a HAVING aggregate keyed on (partkey, suppkey)."""
+    l = load_table(spark, "lineitem", sf).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, "part", sf).filter(F.col("p_name").startswith("small"))
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_qty"))
+        .filter(F.col("_qty") > 40)
+        .select("l_suppkey")
+        .dropDuplicates()
+    )
+    s = load_table(spark, "supplier", sf)
+    n = load_table(spark, "nation", sf)
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 40
+)
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 shape (adapted: "late" = shipped >60 days after the order
+    date): suppliers who were the *only* late supplier in a
+    multi-supplier order.
+
+    The classic double EXISTS / NOT EXISTS self-joins decorrelate into
+    ONE per-order aggregate — n_suppliers and n_late_suppliers — then a
+    join back to the late lines: two shuffles on l_orderkey total,
+    versus four for the literal four-way self-join, and no skew
+    amplification on popular orders.
+    """
+    l = load_table(spark, "lineitem", sf)
+    o = load_table(spark, "orders", sf)
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "_late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late") == 1, F.col("l_suppkey"))).alias("_n_late"),
+    )
+    sole_late = per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)).select(
+        "l_orderkey"
+    )
+    s = load_table(spark, "supplier", sf)
+    return (
+        lo.filter(F.col("_late") == 1)
+        .join(sole_late, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+TPCH_DEEP_QUERIES: dict[str, QuerySpec] = {
+    "tpch_q2_min_cost_supplier": QuerySpec(q2_min_cost_supplier, Q2_SQL),
+    "tpch_q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL),
+    "tpch_q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
+    "tpch_q9_product_profit": QuerySpec(q9_product_profit, Q9_SQL),
+    "tpch_q11_important_stock": QuerySpec(q11_important_stock, Q11_SQL),
+    "tpch_q12_late_shipments": QuerySpec(q12_late_shipments, Q12_SQL),
+    "tpch_q13_customer_distribution": QuerySpec(q13_customer_distribution, Q13_SQL),
+    "tpch_q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
+    "tpch_q16_supplier_counts": QuerySpec(q16_supplier_counts, Q16_SQL),
+    "tpch_q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL),
+    "tpch_q20_excess_shipments": QuerySpec(q20_excess_shipments, Q20_SQL),
+    "tpch_q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_SQL),
+}

@@ -126,8 +126,16 @@ def multi_attribute_join_search(
     # Probe: semi-join the index with the (small, broadcast) key set.
     probed = postings.join(F.broadcast(keys), "key", "left_semi")
 
-    # Dedup postings per (table,row,key), keeping the smallest column id.
-    deduped = probed.groupBy("table", "row", "key").agg(F.min("column").alias("column"))
+    # One explicit (table,row) shuffle that every downstream op reuses:
+    # hash-partitioning on (table,row) satisfies the dedup groupBy's
+    # (table,row,key) clustering (subset rule), the reduction window,
+    # and the (table,row,MapKey) match window — without it each of
+    # those would re-shuffle the full posting stream.
+    deduped = (
+        probed.repartition("table", "row")
+        .groupBy("table", "row", "key")
+        .agg(F.min("column").alias("column"))
+    )
 
     # Pre-join reduction: a (table,row) can only be a match if it hit
     # >= n distinct query keys (Par_Search.py:244-250's trick).
@@ -226,7 +234,14 @@ def _rare_key_stages(
     keys = melted.select("key").distinct()
 
     probed = postings.join(F.broadcast(keys), "key", "left_semi")
-    deduped = probed.groupBy("table", "row", "key").agg(F.min("column").alias("column"))
+    # Single (table,row) shuffle shared by dedup, the reduction window,
+    # the kc key-set aggregate, and the verify join (see the mapkey
+    # strategy comment above — same subset-clustering argument).
+    deduped = (
+        probed.repartition("table", "row")
+        .groupBy("table", "row", "key")
+        .agg(F.min("column").alias("column"))
+    )
     w_row = Window.partitionBy("table", "row")
     reduced = (
         deduped.withColumn("_cnt", F.count(F.lit(1)).over(w_row))
@@ -234,7 +249,11 @@ def _rare_key_stages(
         .drop("_cnt")
     )
 
-    freq = reduced.groupBy("key").agg(F.count(F.lit(1)).alias("_freq"))
+    # Key frequencies come from the *pre-reduction* dedup: the rarest-
+    # attribute choice is a selectivity heuristic, so the cheaper stream
+    # gives identical results (verification drops any false probe), and
+    # this branch skips the reduction window entirely.
+    freq = deduped.groupBy("key").agg(F.count(F.lit(1)).alias("_freq"))
     with_freq = freq.join(F.broadcast(melted), "key")
     w_rare = Window.partitionBy("MapKey").orderBy(F.asc("_freq"), F.asc("key"))
     rarest = (

@@ -543,8 +543,10 @@ def q20_excess_shipments(spark: SparkSession, sf: str) -> DataFrame:
     )
     s = load_table(spark, "supplier", sf)
     n = load_table(spark, "nation", sf)
+    # heavy is a distinct supplier-id list — bounded by the supplier
+    # dimension, so broadcasting it is safe at any scale.
     return (
-        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name")

@@ -22,7 +22,10 @@ import __spark_entry__ as entry_mod
 REGISTRY = entry_mod.registry()
 
 # full outer join cannot broadcast; SMJ is the correct strategy there.
-SMJ_ALLOWED = {"full_outer_nation_counts"}
+# q21's semi-join probes a per-order aggregate keyed on l_orderkey — a
+# fact-sized side that must NOT broadcast at scale, so SMJ/shuffle is
+# the right plan.
+SMJ_ALLOWED = {"full_outer_nation_counts", "tpch_q21_waiting_suppliers"}
 
 
 def _plan_of(spark, name, sf_dir):

@@ -30,6 +30,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.similarity impor
 from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
     MULTIMODAL_QUERIES,
 )
+from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import PIPELINE_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.skew import SKEW_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.subqueries import (
     SUBQUERY_QUERIES,
@@ -96,6 +97,7 @@ def registry() -> dict[str, QuerySpec]:
         SIMILARITY_QUERIES,
         EVENT_QUERIES,
         SKEW_QUERIES,
+        PIPELINE_QUERIES,
         SUBQUERY_QUERIES,
         TPCH_DEEP_QUERIES,
         MULTIMODAL_QUERIES,

@@ -1,0 +1,255 @@
+"""Training-data pipeline operators over the ``documents`` corpus:
+deterministic splits, mixture sampling, TF-IDF, shard packing, sketches.
+
+The reference engine has no corpus tooling; these are the operations a
+large-scale LLM-data pipeline needs around the dedup/similarity surface
+in :mod:`.textops` / :mod:`.similarity`. Design rules for 100 TB:
+
+- **Determinism via content hashing, not RNG.** Splits and samples key
+  on ``md5`` of a stable id, so membership is reproducible across runs,
+  partitionings, and engines (both Spark and DuckDB ship md5). No
+  ``rand()`` — a reshuffled re-run must produce the same train set.
+- **No global ordering.** Shard packing uses a *partition-local*
+  running total (``PARTITION BY source ORDER BY doc_id``) — a global
+  cumulative sum would serialize 100 TB through one task; per-source
+  packing parallelizes and is what real pipelines do (pack within a
+  shard/source, never across the whole corpus).
+- **Integer/exact arithmetic in comparisons.** Token counts are
+  BIGINT; the TF-IDF weight avoids ``ln`` (libm vs JVM can differ by
+  1 ulp) in favor of the exact-rounded rational ``tf * N / df``, so the
+  differential value-hash is bit-stable.
+- Sketch aggregates (HLL distinct counts, approximate quantiles) are
+  genuinely approximate — no SQL oracle; bounded-error unit tests in
+  ``tests/test_pipeline.py`` are the check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
+from multi_attribute_join_search_with_mapreduce_spark.functions.text import tokenize_col, tokenize_sql
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+# Whitespace token count, matching textops' convention. (A function,
+# not a module constant: Column construction needs a live session.)
+def _n_tokens() -> F.Column:
+    return F.size(F.split(F.trim("text"), r"\s+"))
+
+
+_N_TOKENS_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+
+def _split_col() -> F.Column:
+    """'train'/'test' from the first hex digit of md5(doc_id): digits
+    0-c -> train (13/16 = 81.25%), d-f -> test. Content-keyed, so the
+    assignment survives any repartitioning or re-run."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return F.when(h <= "c", "train").otherwise("test")
+
+
+_SPLIT_SQL = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' "
+    "THEN 'train' ELSE 'test' END"
+)
+
+
+def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash split with per-(split, source) doc/token
+    accounting — the op every pretraining corpus build starts with."""
+    d = load_table(spark, "documents", sf)
+    return (
+        d.withColumn("split", _split_col())
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_n_tokens().cast("long")).alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = f"""
+SELECT {_SPLIT_SQL} AS split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({_N_TOKENS_SQL}) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY split, source
+ORDER BY split, source
+"""
+
+
+# Per-source keep-rates as sixteenths, keyed on the SECOND md5 hex digit
+# so sampling is independent of the train/test split digit.
+_MIXTURE_SIXTEENTHS: dict[str, int] = {"src0": 16, "src1": 8, "src2": 4}
+_MIXTURE_DEFAULT = 2
+_HEX = "0123456789abcdef"
+
+
+def mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-source downsampling (corpus mixture weights):
+    keep a doc when its second md5 hex digit falls under the source's
+    threshold. Pure map-side filter — no shuffle until the audit agg."""
+    d = load_table(spark, "documents", sf)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)
+    thr = F.lit(_HEX[_MIXTURE_DEFAULT])
+    for src, sixteenths in _MIXTURE_SIXTEENTHS.items():
+        cond = F.col("source") == src
+        thr = F.when(cond, F.lit("g" if sixteenths >= 16 else _HEX[sixteenths])).otherwise(thr)
+    return (
+        d.filter(h < thr)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(_n_tokens().cast("long")).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_thr_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{src}' THEN '{'g' if s >= 16 else _HEX[s]}'"
+        for src, s in _MIXTURE_SIXTEENTHS.items()
+    )
+    return f"CASE {whens} ELSE '{_HEX[_MIXTURE_DEFAULT]}' END"
+
+
+MIXTURE_SAMPLE_SQL = f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM({_N_TOKENS_SQL}) AS BIGINT) AS n_tokens
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < {_mixture_thr_sql()}
+GROUP BY source
+ORDER BY source
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus TF-IDF: top-50 terms by summed weight.
+
+    tokens explode (narrow) -> tf per (doc, term) -> df per term; the
+    corpus size N joins in as a broadcast 1-row aggregate. The weight is
+    ``tf * (N / df)`` — a linear inverse-frequency weight instead of the
+    usual log-idf, so both engines compute identical IEEE doubles (see
+    module docstring); the ranking is monotone-equivalent for fixed df.
+    """
+    d = load_table(spark, "documents", sf)
+    toks = d.select("doc_id", F.explode(tokenize_col(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per_term.join(F.broadcast(n_docs))
+        .withColumn(
+            "sum_tfidf",
+            F.col("total_tf").cast("double")
+            * (F.col("_n").cast("double") / F.col("df").cast("double")),
+        )
+        .select("term", "df", "total_tf", "sum_tfidf")
+        .orderBy(F.desc("sum_tfidf"), "term")
+        .limit(50)
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+per_term AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY term
+)
+SELECT term, df, total_tf,
+       CAST(total_tf AS DOUBLE) * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / CAST(df AS DOUBLE)) AS sum_tfidf
+FROM per_term
+ORDER BY sum_tfidf DESC, term
+LIMIT 50
+"""
+
+_SHARD_TOKEN_BUDGET = 2048
+
+
+def pack_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing: assign docs to fixed token-budget shards
+    by a running token total, *within each source partition* (a global
+    running sum would serialize the corpus through one task). Integer
+    window arithmetic only — bit-stable across engines."""
+    d = load_table(spark, "documents", sf).select(
+        "doc_id", "source", _n_tokens().cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "shard",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(_SHARD_TOKEN_BUDGET)
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+        )
+        .orderBy("source", "shard")
+    )
+
+
+PACK_SHARDS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST({_N_TOKENS_SQL} AS BIGINT) AS n_tok FROM documents
+),
+packed AS (
+  SELECT source, n_tok,
+         CAST((SUM(n_tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok) // {_SHARD_TOKEN_BUDGET} AS BIGINT) AS shard
+  FROM d
+)
+SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+FROM packed
+GROUP BY source, shard
+ORDER BY source, shard
+"""
+
+
+def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch aggregates per event type: HLL++ distinct users and
+    approximate value quantiles. One partial/final pass — at 100 TB the
+    sketches merge map-side; no exact-distinct shuffle of user ids.
+    Genuinely approximate => no SQL oracle (driver rows-only check);
+    bounded-error assertions live in tests/test_pipeline.py."""
+    e = load_table(spark, "events", sf)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+                "value_quantiles"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+PIPELINE_QUERIES: dict[str, QuerySpec] = {
+    "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
+    "mixture_sample": QuerySpec(mixture_sample, MIXTURE_SAMPLE_SQL),
+    "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_SQL),
+    "pack_shards": QuerySpec(pack_shards, PACK_SHARDS_SQL),
+    "approx_sketches": QuerySpec(approx_sketches, None),
+}

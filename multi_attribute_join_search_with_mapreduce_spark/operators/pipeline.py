@@ -227,6 +227,44 @@ ORDER BY source, shard
 """
 
 
+def quantile_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quantile gating: keep docs in the top half of their
+    source's length distribution. Rank-based (``percent_rank`` over a
+    total order), not value-based — an exact-percentile threshold would
+    interpolate doubles and drift between engines, while ANSI
+    percent_rank is pure integer arithmetic. One window shuffle on
+    ``source``; at 100 TB the per-source partitions stay parallel."""
+    d = load_table(spark, "documents", sf)
+    w = Window.partitionBy("source").orderBy(F.length("text"), "doc_id")
+    return (
+        d.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min(F.length("text")).cast("long").alias("min_len"),
+            F.max(F.length("text")).cast("long").alias("max_len"),
+        )
+        .orderBy("source")
+    )
+
+
+QUANTILE_GATE_SQL = """
+WITH ranked AS (
+  SELECT source, LENGTH(text) AS len,
+         percent_rank() OVER (
+           PARTITION BY source ORDER BY LENGTH(text), doc_id
+         ) AS pr
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(len) AS BIGINT) AS min_len,
+       CAST(MAX(len) AS BIGINT) AS max_len
+FROM ranked WHERE pr >= 0.5
+GROUP BY source ORDER BY source
+"""
+
+
 def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch aggregates per event type: HLL++ distinct users and
     approximate value quantiles. One partial/final pass — at 100 TB the
@@ -251,5 +289,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "mixture_sample": QuerySpec(mixture_sample, MIXTURE_SAMPLE_SQL),
     "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_SQL),
     "pack_shards": QuerySpec(pack_shards, PACK_SHARDS_SQL),
+    "quantile_gate": QuerySpec(quantile_gate, QUANTILE_GATE_SQL),
     "approx_sketches": QuerySpec(approx_sketches, None),
 }

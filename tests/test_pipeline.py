@@ -71,3 +71,24 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         p50 = ap.value_quantiles[0]
         lo, hi = sorted((ex.p50 * 0.5, ex.p50 * 1.5))
         assert lo <= p50 <= hi or abs(p50 - ex.p50) < 1.0
+
+
+def test_quantile_gate_keeps_top_half_by_length(spark, sf_dir):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import quantile_gate
+
+    rows = {r.source: r for r in quantile_gate(spark, sf_dir).collect()}
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.length("text")).alias("max_len"),
+        )
+        .collect()
+    )
+    for d in docs:
+        g = rows[d.source]
+        # percent_rank >= 0.5 keeps the upper half (within one rank of n/2)
+        assert 0 < g.n_kept <= d.n // 2 + 1
+        assert g.max_len == d.max_len  # the longest doc always survives
+        assert g.min_len <= g.max_len

@@ -90,18 +90,22 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
 
 
 def registry() -> dict[str, QuerySpec]:
+    # Ordered so queries the driver has NOT yet verified come first:
+    # CORRECTNESS_r01 checked only the first 50 entries, leaving all of
+    # tpch_deep/subqueries/temporal/multimodal and the tail of pipeline
+    # unproven. Groups with green r01 rows rotate to the back.
     return merge(
+        TPCH_DEEP_QUERIES,
+        SUBQUERY_QUERIES,
+        TEMPORAL_QUERIES,
+        MULTIMODAL_QUERIES,
+        PIPELINE_QUERIES,
+        EVENT_QUERIES,
+        SKEW_QUERIES,
         SEARCH_QUERIES,
         RELATIONAL_QUERIES,
         TEXT_QUERIES,
         SIMILARITY_QUERIES,
-        EVENT_QUERIES,
-        SKEW_QUERIES,
-        PIPELINE_QUERIES,
-        SUBQUERY_QUERIES,
-        TPCH_DEEP_QUERIES,
-        MULTIMODAL_QUERIES,
-        TEMPORAL_QUERIES,
     )
 
 

@@ -35,9 +35,18 @@ NORMALIZE_FN_DDL = (
 )
 
 
-def register_sql_surface(spark: SparkSession, sf_dir: str) -> None:
-    """Register lake views + ``posting_index`` + ``majs_normalize``."""
-    register_lake(spark, sf_dir)
+def register_sql_surface(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> None:
+    """Register lake views + ``posting_index`` + ``majs_normalize``.
+
+    ``names`` limits which lake tables become views; the default is the
+    full lake for ad-hoc SQL users.
+    """
+    if names is None:
+        register_lake(spark, sf_dir)
+    else:
+        register_lake(spark, sf_dir, names)
     cached_posting_index(spark, sf_dir).createOrReplaceTempView("posting_index")
     spark.sql(NORMALIZE_FN_DDL)
 
@@ -124,6 +133,14 @@ def join_search_sql_level(
     k: int = DEFAULT_TOP_K,
     result: str = "tables",
 ) -> DataFrame:
-    """Entry point C equivalent: the search via ``spark.sql``."""
-    register_sql_surface(spark, sf_dir)
+    """Entry point C equivalent: the search via ``spark.sql``.
+
+    Registers only the tables the search touches (the indexed dimension
+    tables + the query table) — loading events/documents/embeddings to
+    answer a part-table search is wasted work.
+    """
+    from multi_attribute_join_search_with_mapreduce_spark.index import LAKE_TABLES
+
+    needed = tuple(dict.fromkeys([s.name for s in LAKE_TABLES] + [query_table]))
+    register_sql_surface(spark, sf_dir, names=needed)
     return spark.sql(join_search_spark_sql_text(query_table, attrs, k, result))

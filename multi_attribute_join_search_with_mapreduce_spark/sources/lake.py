@@ -33,6 +33,10 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    # Runtime-settable legacy conf: sessions built outside get_spark()
+    # (e.g. the driver's own) would otherwise fail with
+    # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) columns (events.ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

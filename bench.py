@@ -5,8 +5,15 @@ Mirrors the reference's four-phase wall-clock breakdown (``log_runtime``,
 ``Par_Search.py:16-32``) but times whole materialized queries — each
 query is one lazy Catalyst DAG, so import/probe/join/score phases fuse.
 
-Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+Prints ONE compact JSON line on stdout:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "phases":
+{...}, "regressions": [...], "sf": ...}`` where ``queries`` holds the
+slowest queries only (the consumer truncated a full 76-entry map in r01).
+The full per-query timing map goes to ``bench_queries.json`` and stderr.
+
+``regressions`` compares this run to ``BENCH_BASELINE.json`` (last
+known-good per-query timings) and lists queries >1.5x slower; empty in
+the happy case.
 """
 
 from __future__ import annotations
@@ -84,14 +91,37 @@ def main() -> None:
         phases[phase] = round(cum - cum_prev, 4)
         cum_prev = cum
 
+    # Full per-query map to a file (and stderr above); stdout stays small
+    # so the consumer's line capture can't truncate the JSON mid-object.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "bench_queries.json"), "w") as f:
+        json.dump({"sf": sf, "phases": phases, "queries": timings}, f, indent=1)
+
+    # Regression guard vs the last known-good run (>1.5x and >0.2s absolute,
+    # so sub-100ms jitter on tiny queries doesn't page anyone).
+    regressions: list[str] = []
+    baseline_path = os.path.join(repo_dir, "BENCH_BASELINE.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base_doc = json.load(f)
+        # timings only comparable at the same scale factor
+        base = base_doc.get("queries", {}) if base_doc.get("sf") == sf else {}
+        for name, dt in timings.items():
+            b = base.get(name)
+            if b is not None and dt > 1.5 * b and dt - b > 0.2:
+                regressions.append(f"{name}: {b:.2f}s -> {dt:.2f}s")
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": round(total, 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "phases": phases,
+                "regressions": regressions,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

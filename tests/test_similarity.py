@@ -48,3 +48,62 @@ def test_ivf_prunes_candidates(spark, sf_dir):
     )
     assert probed < total, "probe list did not prune anything"
     assert n_cells == 10
+
+
+def test_ivf_codebook_built_once_across_probes(spark, sf_dir, monkeypatch):
+    """Probes reuse the cached index: the codebook/assignment build runs
+    once per lake, not once per query (VERDICT r1 §wrong-4)."""
+    import multi_attribute_join_search_with_mapreduce_spark.operators.similarity as sim
+
+    sim._IVF_CACHE.clear()
+    calls = {"n": 0}
+    real = sim._centroid_df
+
+    def counting(e):
+        calls["n"] += 1
+        return real(e)
+
+    monkeypatch.setattr(sim, "_centroid_df", counting)
+    knn_ivf(spark, sf_dir).collect()
+    knn_ivf(spark, sf_dir).collect()
+    assert calls["n"] == 1, f"codebook rebuilt {calls['n']} times for 2 probes"
+    sim._IVF_CACHE.clear()
+
+
+def test_near_dup_more_bits_is_subset(spark, sf_dir):
+    """Raising bucket bits only splits buckets (prefix property), so the
+    pair set shrinks monotonically — the documented scale knob."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    p6 = {(r.vec_a, r.vec_b) for r in embedding_near_dup(spark, sf_dir, bits=6).collect()}
+    p8 = {(r.vec_a, r.vec_b) for r in embedding_near_dup(spark, sf_dir, bits=8).collect()}
+    assert p8 <= p6
+
+
+def test_multiprobe_recovers_sibling_bucket_pairs(spark, sf_dir):
+    """1-bit multi-probe finds every single-probe pair plus only pairs
+    whose sign buckets differ in exactly one bit."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
+        BUCKET_DIMS,
+        _bucket,
+        embedding_near_dup,
+        embedding_near_dup_multiprobe,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    single = {(r.vec_a, r.vec_b) for r in embedding_near_dup(spark, sf_dir).collect()}
+    multi = {(r.vec_a, r.vec_b) for r in embedding_near_dup_multiprobe(spark, sf_dir).collect()}
+    assert single <= multi
+    buckets = {
+        r.vec_id: r.b
+        for r in load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", _bucket(F.col("embedding"), BUCKET_DIMS).alias("b"))
+        .collect()
+    }
+    for a, b in multi:
+        ham = sum(x != y for x, y in zip(buckets[a], buckets[b]))
+        assert ham <= 1, f"pair ({a},{b}) at Hamming {ham}"

@@ -15,7 +15,10 @@ each query here implements one of them Spark-first:
 
 Scale notes: semi-joins shuffle on the correlation key only; the 1-row
 scalar is a broadcast nested-loop over a single value; dimension sides
-(part, customer, nation) are broadcast. Queries follow TPC-H Q4/Q6/Q10/
+(nation, region) are broadcast; fact-scale part/customer/supplier carry
+no hint — the size-based planner broadcasts them at harness scale but
+must stay free to shuffle-join when they are fact-sized at 100 TB.
+Queries follow TPC-H Q4/Q6/Q10/
 Q14/Q17/Q18/Q22 adapted to the driver's schema (TESTDATA.md — e.g. no
 l_commitdate/l_receiptdate, so Q4's EXISTS uses l_shipdate >
 o_orderdate).
@@ -114,7 +117,7 @@ GROUP BY ALL
 def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 (adapted: no c_address/phone/comment): revenue lost to
     returns per customer, one quarter. lineitem⨝orders shuffles on the
-    orderkey; customer and nation are broadcast."""
+    orderkey; nation is broadcast."""
     c = load_table(spark, "customer", sf)
     o = load_table(spark, "orders", sf).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -124,7 +127,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     n = load_table(spark, "nation", sf)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
@@ -150,7 +153,7 @@ LIMIT 20
 
 
 def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q14: conditional aggregate ratio. part is broadcast; the
+    """TPC-H Q14: conditional aggregate ratio. The
     ratio divides two exact decimal sums (rendered as double), so the
     result is bit-stable across partition orders."""
     l = load_table(spark, "lineitem", sf).filter(
@@ -160,7 +163,7 @@ def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
     p = load_table(spark, "part", sf)
     rev = _revenue()
     agg = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast(DEC)))
             .cast("double")
@@ -199,7 +202,7 @@ def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     l = load_table(spark, "lineitem", sf)
     w = Window.partitionBy("l_partkey")
     li = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .withColumn(
             "avg_qty",
             F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double")
@@ -233,7 +236,7 @@ GROUP BY ALL
 def q18_large_volume(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18: IN (GROUP BY ... HAVING) as a semi-join against the
     aggregate. The HAVING side aggregates lineitem once (partial agg
-    before the shuffle); customer is broadcast."""
+    before the shuffle)."""
     big = (
         load_table(spark, "lineitem", sf)
         .groupBy("l_orderkey")
@@ -246,7 +249,7 @@ def q18_large_volume(spark: SparkSession, sf: str) -> DataFrame:
     l = load_table(spark, "lineitem", sf)
     return (
         o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(l, F.col("o_orderkey") == l.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))

@@ -27,7 +27,10 @@ substituting schema-compatible predicates:
 
 Scale notes: fact-fact joins shuffle on orderkey/partkey only;
 dimension sides (part, supplier, nation, region, 1-row scalars) are
-broadcast; every agg is partial/final; late predicates are pure column
+broadcast (fact-scale customer/supplier/part carry NO broadcast hint —
+the size-based planner decides, since a forced hint would OOM when those
+tables are fact-sized at 100 TB); every agg is partial/final; late
+predicates are pure column
 expressions so they ride inside WholeStageCodegen.
 """
 
@@ -68,8 +71,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     r = load_table(spark, "region", sf).filter(F.col("r_name") == "EUROPE")
     l = load_table(spark, "lineitem", sf)
     cost = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -121,7 +124,8 @@ LIMIT 100
 
 def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     """Q7: shipping volume between a nation pair, both directions, per
-    ship year. Nation dims are broadcast twice under different aliases;
+    ship year. Nation dims are broadcast twice under different aliases
+    (customer/supplier joins are left to the size-based planner);
     the OR'd pair predicate is evaluated post-join as a codegen'd
     expression (no extra shuffle)."""
     l = load_table(spark, "lineitem", sf).filter(
@@ -142,8 +146,8 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
         .filter(pair)
@@ -198,11 +202,11 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     rev = _revenue()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_cn_key"))
         .join(F.broadcast(r), F.col("_cr_key") == F.col("r_regionkey"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -256,9 +260,9 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         * F.col("l_quantity").cast(DEC)
     ).cast(DEC)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(amount).cast("double").alias("sum_profit"))
@@ -292,7 +296,7 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     s = load_table(spark, "supplier", sf)
     n = load_table(spark, "nation", sf).filter(F.col("n_name") == "NATION_7")
     per_part = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).alias("_value"))
@@ -300,7 +304,11 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     total = per_part.agg(F.sum("_value").alias("_total"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("_value") > F.lit(0.001).cast(DEC) * F.col("_total"))
+        # HAVING value > 0.001 * total, in exact integer-scaled decimal
+        # arithmetic: 0.001 cast to DECIMAL(18,2) rounds to 0.00 and the
+        # filter degenerates to value > 0 (ADVICE r1). value*1000 > total
+        # is the same predicate with no sub-cent literal.
+        .filter(F.col("_value") * F.lit(1000) > F.col("_total"))
         .select("l_partkey", F.col("_value").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )
@@ -316,7 +324,7 @@ FROM (
   WHERE n_name = 'NATION_7'
   GROUP BY l_partkey
 )
-WHERE value > CAST(0.001 AS DECIMAL(18,2)) * (
+WHERE value * 1000 > (
   SELECT SUM({REV_SQL})
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
@@ -413,7 +421,7 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     s = load_table(spark, "supplier", sf)
     return (
         revenue.join(F.broadcast(top), F.col("_rev") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -452,8 +460,8 @@ def q16_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
     )
     pairs = (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .dropDuplicates()
     )
@@ -481,7 +489,7 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Q19: revenue under an OR of three conjunctive (brand, size,
     quantity) branches. The disjunction is a single codegen'd predicate
-    evaluated after the broadcast part join; the common p_size floor is
+    evaluated after the part join; the common p_size floor is
     what the scan can push down."""
     l = load_table(spark, "lineitem", sf)
     p = load_table(spark, "part", sf)
@@ -503,7 +511,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(branch)
         .agg(
             F.sum(_revenue()).cast("double").alias("revenue"),
@@ -534,7 +542,7 @@ def q20_excess_shipments(spark: SparkSession, sf: str) -> DataFrame:
     )
     p = load_table(spark, "part", sf).filter(F.col("p_name").startswith("small"))
     heavy = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_qty"))
         .filter(F.col("_qty") > 40)
@@ -544,9 +552,10 @@ def q20_excess_shipments(spark: SparkSession, sf: str) -> DataFrame:
     s = load_table(spark, "supplier", sf)
     n = load_table(spark, "nation", sf)
     # heavy is a distinct supplier-id list — bounded by the supplier
-    # dimension, so broadcasting it is safe at any scale.
+    # `heavy` is bounded by supplier cardinality; the size-based
+    # planner broadcasts it at harness scale without forcing it.
     return (
-        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name")
@@ -598,7 +607,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     return (
         lo.filter(F.col("_late") == 1)
         .join(sole_late, "l_orderkey", "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

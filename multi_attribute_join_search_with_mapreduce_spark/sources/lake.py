@@ -90,5 +90,15 @@ def read_jdbc_source(
 
 
 def read_csv_source(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
-    """CSV query-table source (reference: ``Par_Search.py:145-148``)."""
+    """CSV query-table source: local path, ``file://`` URL, or an
+    ``http(s)://``/``ftp://`` URL (reference: ``Par_Search.py:145-148``
+    uses ``sc.addFile(url)`` + ``SparkFiles.get`` for its movie.csv
+    entry; same mechanism here — the file is fetched once and shipped
+    to executors, fine for query tables, which are small by
+    construction)."""
+    if path.startswith(("http://", "https://", "ftp://")):
+        from pyspark import SparkFiles
+
+        spark.sparkContext.addFile(path)
+        path = "file://" + SparkFiles.get(path.rsplit("/", 1)[-1])
     return spark.read.csv(path, header=header, inferSchema=True)

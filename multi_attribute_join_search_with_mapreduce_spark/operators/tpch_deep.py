@@ -551,9 +551,9 @@ def q20_excess_shipments(spark: SparkSession, sf: str) -> DataFrame:
     )
     s = load_table(spark, "supplier", sf)
     n = load_table(spark, "nation", sf)
-    # heavy is a distinct supplier-id list — bounded by the supplier
-    # `heavy` is bounded by supplier cardinality; the size-based
-    # planner broadcasts it at harness scale without forcing it.
+    # `heavy` is bounded by supplier cardinality but fact-derived; the
+    # size-based planner decides (AQE broadcasts it at harness scale,
+    # shuffle-joins when suppliers are fact-sized).
     return (
         s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -24,8 +24,15 @@ REGISTRY = entry_mod.registry()
 # full outer join cannot broadcast; SMJ is the correct strategy there.
 # q21's semi-join probes a per-order aggregate keyed on l_orderkey — a
 # fact-sized side that must NOT broadcast at scale, so SMJ/shuffle is
-# the right plan.
-SMJ_ALLOWED = {"full_outer_nation_counts", "tpch_q21_waiting_suppliers"}
+# the right plan. q20's semi side is likewise a fact-derived HAVING
+# aggregate with no static size estimate: the hint-free static plan is
+# SMJ, and AQE converts it to broadcast at runtime when it turns out
+# dimension-sized.
+SMJ_ALLOWED = {
+    "full_outer_nation_counts",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q20_excess_shipments",
+}
 
 
 def _plan_of(spark, name, sf_dir):

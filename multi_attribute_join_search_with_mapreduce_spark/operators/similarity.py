@@ -242,9 +242,12 @@ def embedding_near_dup_multiprobe(
     return (
         a.join(b, "k")
         .filter(F.col("vec_a") < F.col("vec_b"))
+        # dedup BEFORE scoring: a same-bucket pair meets in all `bits`
+        # probes, so scoring first would evaluate the O(dim) cosine up
+        # to bits× per pair and then distinct on a float column
+        .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
-        .distinct()
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
     )
 

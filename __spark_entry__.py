@@ -93,19 +93,32 @@ def registry() -> dict[str, QuerySpec]:
     # Ordered so queries the driver has NOT yet verified come first:
     # CORRECTNESS_r01 checked only the first 50 entries, leaving all of
     # tpch_deep/subqueries/temporal/multimodal and the tail of pipeline
-    # unproven. Groups with green r01 rows rotate to the back.
+    # unproven; round 2 added new text/similarity entries, pulled to the
+    # front of their groups here. Groups with green r01 rows rotate to
+    # the back.
+    new_text_keys = ("repetition_score", "decontaminate", "lang_confusion")
+    new_text = {k: TEXT_QUERIES[k] for k in new_text_keys}
+    old_text = {k: v for k, v in TEXT_QUERIES.items() if k not in new_text}
+    new_sim = {
+        "embedding_near_dup_multiprobe": SIMILARITY_QUERIES[
+            "embedding_near_dup_multiprobe"
+        ]
+    }
+    old_sim = {k: v for k, v in SIMILARITY_QUERIES.items() if k not in new_sim}
     return merge(
         TPCH_DEEP_QUERIES,
         SUBQUERY_QUERIES,
         TEMPORAL_QUERIES,
         MULTIMODAL_QUERIES,
+        new_text,
+        new_sim,
         PIPELINE_QUERIES,
         EVENT_QUERIES,
         SKEW_QUERIES,
         SEARCH_QUERIES,
         RELATIONAL_QUERIES,
-        TEXT_QUERIES,
-        SIMILARITY_QUERIES,
+        old_text,
+        old_sim,
     )
 
 

@@ -540,6 +540,132 @@ FROM (
 """
 
 
+# --- repetition / decontamination / lang confusion -------------------------
+
+def _ngrams(col: Column, w: int) -> Column:
+    """Word w-grams (empty array for docs under w tokens) — the same
+    shifted-slice ``zip_with`` construction as :func:`_shingles`,
+    generalized to any width."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    acc = toks
+    for k in range(1, w):
+        shift = F.slice(toks, k + 1, F.greatest(n - k, F.lit(1)))
+        acc = F.zip_with(acc, shift, lambda x, y: F.concat_ws(" ", x, y))
+    grams = F.slice(acc, 1, F.greatest(n - (w - 1), F.lit(0)))
+    return F.when(n >= w, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _ngrams_sql(w: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - {w - 1}, 0)), "
+        f"i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + {w - 1}), ' '))"
+    )
+
+
+def repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signal: per-doc duplicate-trigram fraction
+    and most-frequent-trigram share. explode→two-level agg — narrow map
+    plus one shuffle on doc_id; no per-row quadratic expression work."""
+    d = load_table(spark, "documents", sf)
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+    per = sh.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("_top"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_ngrams"), 4
+            ).alias("dup_frac"),
+            F.round(F.col("_top").cast("double") / F.col("n_ngrams"), 4).alias("top_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
+),
+per AS (
+  SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY doc_id, sh
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_ngrams,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS dup_frac,
+  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_frac
+FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# Benchmark decontamination: flag training docs sharing any word w-gram
+# with the held-out eval sample. Width 4 is discriminative on this
+# synthetic vocabulary; natural-text pipelines use 8-13. The eval set is
+# benchmark-sized by nature, so its distinct-gram set broadcasts and the
+# corpus-side check is a map-side hash probe — no corpus shuffle.
+DECON_W = 4
+_EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out eval sample
+
+
+def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, "documents", sf)
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_grams = (
+        d.filter(is_eval)
+        .select(F.explode(_ngrams(F.col("text"), DECON_W)).alias("gram"))
+        .distinct()
+    )
+    train = d.filter(~is_eval).select(
+        "doc_id", F.explode(F.array_distinct(_ngrams(F.col("text"), DECON_W))).alias("gram")
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH eval_grams AS (
+  SELECT DISTINCT unnest({_ngrams_sql(DECON_W)}) AS gram
+  FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+),
+train AS (
+  SELECT doc_id, unnest(list_distinct({_ngrams_sql(DECON_W)})) AS gram
+  FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM train JOIN eval_grams USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID quality vs the corpus's ground-truth ``lang`` column:
+    the (labeled, predicted) confusion counts."""
+    return (
+        lang_id(spark, sf)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+LANG_CONFUSION_SQL = (
+    f"SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ({LANG_ID_SQL}) "
+    "GROUP BY lang, pred_lang ORDER BY lang, pred_lang"
+)
+
+
 TEXT_QUERIES: dict[str, QuerySpec] = {
     "simhash": QuerySpec(simhash, SIMHASH_SQL),
     "ngram_jaccard": QuerySpec(ngram_jaccard, NGRAM_JACCARD_SQL),
@@ -551,4 +677,7 @@ TEXT_QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
     "minhash_bands": QuerySpec(minhash_bands, MINHASH_BANDS_SQL),
     "near_dup_candidates": QuerySpec(near_dup_candidates, NEAR_DUP_SQL),
+    "repetition_score": QuerySpec(repetition_score, REPETITION_SQL),
+    "decontaminate": QuerySpec(decontaminate, DECONTAMINATE_SQL),
+    "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_SQL),
 }

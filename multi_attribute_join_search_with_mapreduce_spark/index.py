@@ -130,6 +130,25 @@ def write_posting_index(
     )
 
 
+def append_posting_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    specs: tuple[TableSpec, ...],
+) -> None:
+    """Incrementally extend a persisted parquet index (the CLI's
+    ``--write-index`` layout) with newly-landed lake tables.
+
+    Index maintenance at scale is append-only: a new table contributes
+    ``parquet.mode("append")`` files built from one narrow unpivot pass
+    over just that table — the existing index is never rescanned or
+    rewritten (the reference rebuilds its whole parquet intermediate,
+    ``Par_Search.py:124-134``). Callers own spec disjointness: appending
+    a table id that is already present would duplicate its postings.
+    """
+    build_posting_index(spark, sf_dir, specs).write.mode("append").parquet(index_dir)
+
+
 def posting_index_sql(specs: tuple[TableSpec, ...] = LAKE_TABLES) -> str:
     """DuckDB SQL producing the identical index (differential oracle)."""
     selects = []

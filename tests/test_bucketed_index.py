@@ -40,3 +40,31 @@ def test_bucketed_self_join_has_no_index_side_shuffle(spark, sf_dir, bucketed_ta
     plan = buf.getvalue()
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join should not shuffle either side"
+
+
+def test_incremental_index_append(spark, sf_dir, tmp_path):
+    """Append-only index maintenance: building 3 tables then appending
+    the other 2 must equal the full 5-table build, both as a row set and
+    through the search itself."""
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        LAKE_TABLES,
+        append_posting_index,
+        build_posting_index,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+        multi_attribute_join_search,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    idx_dir = str(tmp_path / "idx")
+    build_posting_index(spark, sf_dir, LAKE_TABLES[:3]).write.parquet(idx_dir)
+    append_posting_index(spark, sf_dir, idx_dir, LAKE_TABLES[3:])
+    appended = spark.read.parquet(idx_dir)
+    full = build_posting_index(spark, sf_dir, LAKE_TABLES)
+    assert {tuple(r) for r in appended.collect()} == {tuple(r) for r in full.collect()}
+
+    q = load_table(spark, "part", sf_dir)
+    t_a, c_a = multi_attribute_join_search(appended, q, ["p_brand", "p_type"])
+    t_f, c_f = multi_attribute_join_search(full, q, ["p_brand", "p_type"])
+    assert t_a.collect() == t_f.collect()
+    assert c_a.collect() == c_f.collect()

@@ -201,21 +201,28 @@ def _rare_key_stages(
 
     Pipeline, one lazy DAG:
 
-    1. normalize+dedup query rows; broadcast-semi-join probe + posting
-       dedup + pre-join reduction exactly as the mapkey strategy;
-    2. ``freq``: global frequency of each surviving posting key;
+    1. normalize+dedup query rows; broadcast-semi-join probe of the
+       (persisted) posting index;
+    2. ``freq``: frequency of each probed key, computed straight off the
+       cheap pre-dedup probe (the rarest-attribute choice is a
+       selectivity heuristic — any consistent frequency source yields
+       identical results because verification enforces the semantics);
     3. each query row picks its lowest-frequency attribute as
        ``probe_key`` (ties break on key text) — rows with any
        zero-frequency attribute are dropped (they cannot match);
-    4. ``hits`` = reduced postings ⨝ broadcast probe on
-       ``key = probe_key`` — fan-out is freq(rarest attr), not
-       Σ freq(all attrs);
-    5. verify the other attributes with an array lookup against the
-       per-``(table,row)`` key/column set (built on the same
-       ``(table,row)`` partitioning the reduction window already
-       created — no extra shuffle);
-    6. attribute each attr's match to its posting column via the same
-       set (array lookup, no join) and score as usual.
+    4. ``kc``: ONE ``(table,row)`` shuffle builds the per-row key/column
+       set AND applies the pre-join reduction as a post-aggregation
+       size filter (``size(_kc) >= n`` — the thesis's window trick,
+       Par_Search.py:244-250, folded into the aggregate so no separate
+       window pass);
+    5. ``hits`` = kc exploded back to key granularity (fan-out ≤ the
+       table's indexed-column count, ≤3 here) ⨝ broadcast probe on
+       ``key = probe_key``, carrying ``_kc`` along — verification and
+       column attribution are then pure array lookups with NO
+       (table,row) self-join. This matters for more than readability:
+       a self-join re-aliases expression ids, defeating Spark's
+       exchange-reuse rule, so the r1 shape recomputed the probe+dedup
+       subtree (and its shuffle) three times per query.
     """
     n = len(attrs)
     norm = query_df.select(
@@ -234,26 +241,11 @@ def _rare_key_stages(
     keys = melted.select("key").distinct()
 
     probed = postings.join(F.broadcast(keys), "key", "left_semi")
-    # Single (table,row) shuffle shared by dedup, the reduction window,
-    # the kc key-set aggregate, and the verify join (see the mapkey
-    # strategy comment above — same subset-clustering argument).
-    deduped = (
-        probed.repartition("table", "row")
-        .groupBy("table", "row", "key")
-        .agg(F.min("column").alias("column"))
-    )
-    w_row = Window.partitionBy("table", "row")
-    reduced = (
-        deduped.withColumn("_cnt", F.count(F.lit(1)).over(w_row))
-        .filter(F.col("_cnt") >= n)
-        .drop("_cnt")
-    )
 
-    # Key frequencies come from the *pre-reduction* dedup: the rarest-
-    # attribute choice is a selectivity heuristic, so the cheaper stream
-    # gives identical results (verification drops any false probe), and
-    # this branch skips the reduction window entirely.
-    freq = deduped.groupBy("key").agg(F.count(F.lit(1)).alias("_freq"))
+    # Probe-key selection works off the raw (pre-dedup) probe: the index
+    # is persisted, so this branch is a cache scan + one small shuffle
+    # on key — it shares nothing heavy with the match pipeline below.
+    freq = probed.groupBy("key").agg(F.count(F.lit(1)).alias("_freq"))
     with_freq = freq.join(F.broadcast(melted), "key")
     w_rare = Window.partitionBy("MapKey").orderBy(F.asc("_freq"), F.asc("key"))
     rarest = (
@@ -266,19 +258,35 @@ def _rare_key_stages(
     )
     probe = rarest.join(norm, "MapKey")
 
-    hits = reduced.join(
-        F.broadcast(probe), F.col("key") == F.col("probe_key")
-    ).select("table", "row", "MapKey", *[f"_a{i}" for i in range(n)])
-
-    kc = reduced.groupBy("table", "row").agg(
-        F.collect_list(F.struct("key", "column")).alias("_kc")
+    # THE (table,row) shuffle — the only fact-sized exchange in the
+    # pipeline. Dedup (min column per key) and the per-row key/column
+    # set build both run on it (groupBy(table,row[,key]) clustering is
+    # satisfied by hashpartitioning(table,row)); the pre-join reduction
+    # is the size filter on the aggregated array.
+    deduped = (
+        probed.repartition("table", "row")
+        .groupBy("table", "row", "key")
+        .agg(F.min("column").alias("column"))
     )
-    verified = hits.join(kc, ["table", "row"])
+    kc = (
+        deduped.groupBy("table", "row")
+        .agg(F.collect_list(F.struct("key", "column")).alias("_kc"))
+        .filter(F.size("_kc") >= n)
+    )
+
+    # Back to key granularity (fan-out = keys per row ≤ indexed columns
+    # per table) and broadcast-join the probe; _kc rides along so
+    # verification + column attribution are array lookups — no second
+    # pass over the postings, no (table,row) self-join.
+    hits = kc.select(
+        "table", "row", "_kc", F.explode(F.transform("_kc", lambda e: e["key"])).alias("key")
+    ).join(F.broadcast(probe), F.col("key") == F.col("probe_key"))
 
     def _has_key(attr_col):
         # closure factory: a 2-param lambda would mean (element, index)
         return F.size(F.filter(F.col("_kc"), lambda e: e["key"] == attr_col)) > 0
 
+    verified = hits
     for i in range(n):
         verified = verified.filter(_has_key(F.col(f"_a{i}")))
 

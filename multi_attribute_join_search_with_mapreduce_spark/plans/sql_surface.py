@@ -59,9 +59,12 @@ def join_search_spark_sql_text(
 ) -> str:
     """One Spark SQL statement computing the §2.11 contract.
 
-    Mirrors the DataFrame plan: normalize+dedup query rows → unpivot to
-    (key, MapKey) → pre-join reduction on ``(table, row)`` → mapping
-    join → per-(table,row,MapKey) threshold → score → top-k.
+    Mirrors the DataFrame rare-key plan (``operators/search.py:
+    _rare_key_stages``): one (table,row) aggregation builds the per-row
+    key/column set with the pre-join reduction as a size filter, the
+    rarest query attribute probes it at key granularity, and
+    verification/column attribution are array-lambda lookups — the same
+    single-pass-over-the-postings shape, reached from SQL text.
     """
     n = len(attrs)
     norm_cols = ", ".join(
@@ -72,6 +75,10 @@ def join_search_spark_sql_text(
     key_union = "\nUNION ALL\n".join(
         f"SELECT _a{i} AS key, MapKey FROM qnorm" for i in range(n)
     )
+    verify = " AND ".join(
+        f"size(filter(_kc, e -> e.key = _a{i})) > 0" for i in range(n)
+    )
+    attr_array = ", ".join(f"_a{i}" for i in range(n))
     final = (
         f"""
 SELECT `table`, CAST(SUM(join_score) AS BIGINT) AS join_score
@@ -92,27 +99,51 @@ WITH qraw AS (SELECT DISTINCT * FROM (
 ) WHERE {nonempty}),
 qnorm AS (SELECT *, concat_ws(chr(31), {mapkey}) AS MapKey FROM qraw),
 mappings AS ({key_union}),
-probed AS (
-    SELECT p.`table`, p.`row`, p.key, MIN(p.`column`) AS `column`
+probed_raw AS (
+    SELECT p.key, p.`table`, p.`row`, p.`column`
     FROM posting_index p
     WHERE p.key IN (SELECT DISTINCT key FROM mappings)
-    GROUP BY p.`table`, p.`row`, p.key
 ),
-reduced AS (
-    SELECT `table`, `row`, key, `column` FROM (
-        SELECT *, COUNT(*) OVER (PARTITION BY `table`, `row`) AS _c FROM probed
-    ) WHERE _c >= {n}
+freq AS (SELECT key, COUNT(*) AS _freq FROM probed_raw GROUP BY key),
+rarest AS (
+    SELECT MapKey, key AS probe_key FROM (
+        SELECT m.MapKey, m.key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY m.MapKey ORDER BY f._freq ASC, m.key ASC
+               ) AS _rn,
+               COUNT(*) OVER (PARTITION BY m.MapKey) AS _n_present
+        FROM mappings m JOIN freq f ON m.key = f.key
+    ) WHERE _rn = 1 AND _n_present = {n}
 ),
-matches AS (
-    SELECT `table`, `row`, `column`, MapKey FROM (
-        SELECT r.`table`, r.`row`, r.`column`, m.MapKey,
-               COUNT(*) OVER (PARTITION BY r.`table`, r.`row`, m.MapKey) AS _c
-        FROM reduced r JOIN mappings m ON r.key = m.key
-    ) WHERE _c >= {n}
+probe AS (SELECT r.probe_key, q.* FROM rarest r JOIN qnorm q ON r.MapKey = q.MapKey),
+kc AS (
+    SELECT * FROM (
+        SELECT `table`, `row`, collect_list(struct(key, `column`)) AS _kc
+        FROM (
+            SELECT `table`, `row`, key, MIN(`column`) AS `column`
+            FROM probed_raw GROUP BY `table`, `row`, key
+        )
+        GROUP BY `table`, `row`
+    ) WHERE size(_kc) >= {n}
+),
+kc_keys AS (
+    SELECT `table`, `row`, _kc, _key
+    FROM kc LATERAL VIEW explode(transform(_kc, e -> e.key)) t AS _key
+),
+hits AS (
+    SELECT k.`table`, k.`row`, k._kc, p.*
+    FROM kc_keys k JOIN probe p ON k._key = p.probe_key
+),
+matched AS (
+    SELECT `table`,
+           element_at(filter(_kc, e -> e.key = _mk), 1).`column` AS `column`
+    FROM hits
+    LATERAL VIEW explode(array({attr_array})) a AS _mk
+    WHERE {verify}
 ),
 col_scores AS (
     SELECT `table`, `column`, COUNT(*) AS join_score
-    FROM matches GROUP BY `table`, `column`
+    FROM matched GROUP BY `table`, `column`
 ),
 top_cols AS (
     SELECT `table`, `column`, join_score FROM (

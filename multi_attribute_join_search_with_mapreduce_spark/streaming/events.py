@@ -197,6 +197,41 @@ def purchase_click_join_stream(
     )
 
 
+def stream_append_to_lake(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Streaming ingest into the parquet lake via ``foreachBatch``:
+    each micro-batch appends atomically-committed parquet files, so
+    downstream batch queries (the whole registry) run over data that
+    arrived as a stream.
+
+    ``foreachBatch`` rather than the built-in file sink so a batch can
+    apply lake conventions (partition layout, append mode) with plain
+    DataFrame code; the checkpoint makes ingest exactly-once per batch
+    id. At scale, partition the stream by ingest date/source so appends
+    stay directory-local.
+    """
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        w = batch_df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

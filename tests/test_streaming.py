@@ -111,3 +111,34 @@ def test_stream_is_incremental(spark, sf_dir):
     assert events.isStreaming
     agg = windowed_counts_stream(events)
     assert agg.isStreaming
+
+
+def test_stream_append_to_lake_roundtrip(spark, sf_dir, tmp_path):
+    """foreachBatch parquet ingest: streaming the events table into a
+    lake dir must reproduce it exactly, and the result must be queryable
+    by a batch operator (event-type counts match)."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        events_stream_from_parquet,
+        stream_append_to_lake,
+    )
+
+    out = str(tmp_path / "lake_events")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream_from_parquet(spark, sf_dir)
+    stream_append_to_lake(stream, out, ckpt, partition_by=("event_type",))
+
+    batch = load_table(spark, "events", sf_dir)
+    ingested = spark.read.parquet(out)
+    assert ingested.count() == batch.count()
+    got = {
+        (r.event_type, r.n)
+        for r in ingested.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        (r.event_type, r.n)
+        for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want

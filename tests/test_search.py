@@ -117,3 +117,50 @@ def test_unknown_strategy_raises(spark, sf_dir):
             _fixture_postings(spark), _fixture_query(spark), ["director", "title"],
             strategy="bogus",
         )
+
+
+@pytest.mark.parametrize("strategy", ["rare_key", "mapkey"])
+def test_single_attribute_search(spark, strategy):
+    """n=1: every row containing the attribute is a match; no reduction
+    or cross-attribute verification is involved."""
+    tbl, col = multi_attribute_join_search(
+        _fixture_postings(spark),
+        spark.createDataFrame([("James Cameron",)], "director string"),
+        ["director"],
+        strategy=strategy,
+    )
+    scores = {r.table: r.join_score for r in tbl.collect()}
+    # james cameron appears in tables 1 (rows 3,4), 3 (row 1), 4 (rows 10,11)
+    assert scores == {1: 2, 3: 1, 4: 2}
+    assert all(r.join_score > 0 for r in col.collect())
+
+
+@pytest.mark.parametrize("strategy", ["rare_key", "mapkey"])
+def test_no_match_returns_empty(spark, strategy):
+    tbl, col = multi_attribute_join_search(
+        _fixture_postings(spark),
+        spark.createDataFrame([("Nobody", "Nothing")], "director string, title string"),
+        ["director", "title"],
+        strategy=strategy,
+    )
+    assert tbl.count() == 0 and col.count() == 0
+
+
+@pytest.mark.parametrize("strategy", ["rare_key", "mapkey"])
+def test_null_and_empty_normalizing_rows_are_dropped(spark, strategy):
+    """Rows with NULL or punctuation-only (normalizes to '') attributes
+    cannot match; a valid row alongside them still scores."""
+    q = spark.createDataFrame(
+        [
+            (None, "The Avatar!"),
+            ("!!!", "The Avatar!"),  # normalizes to empty
+            ("James Cameron", None),
+            ("James Cameron", "The Avatar!"),
+        ],
+        "director string, title string",
+    )
+    tbl, _ = multi_attribute_join_search(
+        _fixture_postings(spark), q, ["director", "title"], strategy=strategy
+    )
+    scores = {r.table: r.join_score for r in tbl.collect()}
+    assert scores == {4: 4, 1: 2, 3: 2}

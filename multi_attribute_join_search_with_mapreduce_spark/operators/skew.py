@@ -45,6 +45,66 @@ FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
 """
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Skew-safe equi-join: fact side salts each row into one of
+    ``n_salts`` sub-keys, dim side replicates every row across all
+    sub-keys, and the join runs on ``(key, salt)`` — a hot fact key is
+    spread over ``n_salts`` reducers instead of melting one.
+
+    This is the manual fallback for engines/paths where AQE skew-join
+    cannot help (e.g. the dim side is too large to broadcast but the
+    fact side has power-law keys; AQE only splits *shuffle partitions*,
+    not a single monster key sharing a partition hash with others).
+    Dim replication costs ``n_salts ×`` the dim size — choose
+    ``n_salts`` ~ hot-key-partition-size / target-partition-size.
+    Result is byte-identical to the plain join (the differential test).
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    f = fact.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    d = dim.withColumn("_salt", F.explode(salts))
+    return f.join(d, [key, "_salt"]).drop("_salt")
+
+
+def salted_user_event_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry: events (fact, skewed user activity) joined to a
+    per-user dimension derived from orders customers via the salted
+    path; aggregated so the oracle is the plain-join equivalent."""
+    e = load_table(spark, "events", sf).select("user_id", "event_type", "value")
+    dim = (
+        load_table(spark, "events", sf)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    joined = salted_join(e, dim, "user_id")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_total").alias("sum_user_totals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SALTED_USER_EVENT_JOIN_SQL = """
+WITH dim AS (
+  SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id
+)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(d.user_total) AS BIGINT) AS sum_user_totals
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 SKEW_QUERIES: dict[str, QuerySpec] = {
     "salted_event_counts": QuerySpec(salted_event_counts, SALTED_EVENT_COUNTS_SQL),
+    "salted_user_event_join": QuerySpec(
+        salted_user_event_join, SALTED_USER_EVENT_JOIN_SQL
+    ),
 }

@@ -291,7 +291,10 @@ def _centroid_df(e: DataFrame) -> DataFrame:
 def _assign_cells(e: DataFrame, centroids: DataFrame, n_nearest: int) -> DataFrame:
     """Nearest-centroid assignment: vectors × broadcast codebook, keep
     the top ``n_nearest`` cells per vector (1 for indexing, N_PROBE for
-    the query's probe list)."""
+    the query's probe list).
+
+    Kept as the window formulation for oracle-shape parity in tests;
+    the scale path is :func:`_assign_cells_literal` (see below)."""
     from pyspark.sql import Window
 
     cos = F.round(_cosine(_dvec("embedding"), F.col("cvec")), 4)
@@ -305,15 +308,58 @@ def _assign_cells(e: DataFrame, centroids: DataFrame, n_nearest: int) -> DataFra
     )
 
 
-class IvfIndex:
-    """Ingest-time IVF state: the (tiny, broadcastable) codebook and the
-    persisted vec→cell assignment, repartitioned by ``cell`` — the
-    in-process stand-in for an index written
-    ``partitionBy("cell").parquet(...)`` so a probe's cell filter
-    becomes partition pruning at 100 TB."""
+def _assign_cells_literal(
+    e: DataFrame, codebook: list[tuple[int, list[float]]], n_nearest: int
+) -> DataFrame:
+    """Nearest-centroid assignment against a driver-held codebook.
 
-    def __init__(self, centroids: DataFrame, assignment: DataFrame):
-        self.centroids = centroids
+    The codebook is a *model parameter* (tens-to-thousands of rows, like
+    Spark ML's ``KMeansModel.clusterCenters``), so scoring each vector
+    against it is a single narrow projection: an array of (rounded
+    cosine, -cell) structs, sorted descending. No crossJoin row blow-up,
+    no per-vector window, no shuffle — the r1 shape pushed 10n rows
+    through a ``row_number`` window partitioned by vec_id.
+
+    Tie-break parity with the window/oracle form: struct ordering
+    compares cosine first, then ``-cell`` — so equal cosines pick the
+    smallest cell id, exactly ``ORDER BY cos DESC, cell ASC``.
+
+    The centroid self-dot is folded driver-side (Python's left-to-right
+    float sum is the same IEEE accumulation as ``F.aggregate``'s fold,
+    so ``sqrt(dot_ee * C)`` is bit-identical to the distributed form);
+    the vector self-dot is computed once and shared across centroids —
+    without both, the codegen'd expression grows ~3x per centroid."""
+    emb = _dvec("embedding")
+    base = e.select("vec_id", "embedding", _dot(emb, emb).alias("_ee"))
+
+    def cos_to(cvec: list[float]) -> F.Column:
+        c_lit = F.array(*[F.lit(float(v)) for v in cvec])
+        cc = 0.0
+        for v in cvec:
+            cc = cc + float(v) * float(v)
+        return F.round(_dot(emb, c_lit) / F.sqrt(F.col("_ee") * F.lit(cc)), 4)
+
+    scored = F.array(
+        *[
+            F.struct(cos_to(cvec).alias("c"), F.lit(-cell).alias("negcell"))
+            for cell, cvec in codebook
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_nearest)
+    return base.select(
+        "vec_id", F.explode(F.transform(top, lambda s: -s["negcell"])).alias("cell")
+    )
+
+
+class IvfIndex:
+    """Ingest-time IVF state: the driver-held codebook (a model
+    parameter, like ``KMeansModel.clusterCenters``) and the persisted
+    vec→cell assignment, repartitioned by ``cell`` — the in-process
+    stand-in for an index written ``partitionBy("cell").parquet(...)``
+    so a probe's cell filter becomes partition pruning at 100 TB."""
+
+    def __init__(self, codebook: list[tuple[int, list[float]]], assignment: DataFrame):
+        self.codebook = codebook
         self.assignment = assignment
 
 
@@ -323,18 +369,22 @@ _IVF_CACHE: dict[tuple[int, str], IvfIndex] = {}
 
 
 def build_ivf_index(spark: SparkSession, sf: str) -> IvfIndex:
-    """One-time index build: train/derive the codebook, assign every
-    vector to its nearest cell, persist both. Probes never re-run this
-    (asserted by tests/test_similarity.py)."""
+    """One-time index build: train/derive the codebook (distributed agg,
+    then collected — it is tens of rows), assign every vector to its
+    nearest cell with one narrow argmax pass, persist the assignment.
+    Probes never re-run this (asserted by tests/test_similarity.py)."""
     key = (id(spark), sf)
     idx = _IVF_CACHE.get(key)
     if idx is None:
         e = load_table(spark, "embeddings", sf)
-        centroids = _centroid_df(e).persist()
+        codebook = [
+            (int(r["cell"]), [float(v) for v in r["cvec"]])
+            for r in _centroid_df(e).collect()
+        ]
         assignment = (
-            _assign_cells(e, centroids, 1).repartition("cell").persist()
+            _assign_cells_literal(e, codebook, 1).repartition("cell").persist()
         )
-        idx = IvfIndex(centroids, assignment)
+        idx = IvfIndex(codebook, assignment)
         _IVF_CACHE[key] = idx
     return idx
 
@@ -353,7 +403,7 @@ def ivf_probe(
     scoring per query."""
     e = load_table(spark, "embeddings", sf)
     qrow = e.filter(F.col("vec_id") == query_vec_id)
-    probe_cells = _assign_cells(qrow, index.centroids, n_probe).select("cell")
+    probe_cells = _assign_cells_literal(qrow, index.codebook, n_probe).select("cell")
     q = qrow.select(F.col("embedding").alias("q_embedding"))
     candidates = (
         index.assignment.join(F.broadcast(probe_cells), "cell")

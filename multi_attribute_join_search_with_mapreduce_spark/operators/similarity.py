@@ -46,18 +46,38 @@ def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
 
 
+def _cosine_pre(a: Column, b: Column, sq_a: Column, sq_b: Column) -> Column:
+    """Cosine with precomputed self-dots.
+
+    Pair-join operators evaluate cosine per *pair*; the self-dots only
+    vary per *vector*, so computing them before the join cuts the
+    higher-order-function work per pair by 3x. ``sqrt(sq_a * sq_b)``
+    multiplies the same two doubles the inline form feeds to one sqrt,
+    so results are bit-identical to :func:`_cosine` and the oracle."""
+    return _dot(a, b) / F.sqrt(sq_a * sq_b)
+
+
 def knn_brute(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf)
+    qe = _dvec("embedding")
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"), _dot(qe, qe).alias("_sq_q")
     )
+    emb = _dvec("embedding")
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "embedding", _dot(emb, emb).alias("_sq"))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "label",
-            F.round(_cosine(_dvec("embedding"), _dvec("q_embedding")), 4).alias("cosine"),
+            F.round(
+                _cosine_pre(
+                    _dvec("embedding"), _dvec("q_embedding"),
+                    F.col("_sq"), F.col("_sq_q"),
+                ),
+                4,
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
@@ -110,9 +130,16 @@ _BUCKET_SQL = _bucket_sql("{c}")
 
 def knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """ANN: score only vectors in the query's coarse bucket."""
-    e = load_table(spark, "embeddings", sf).withColumn("bucket", _bucket(F.col("embedding")))
+    emb = _dvec("embedding")
+    e = load_table(spark, "embeddings", sf).select(
+        "vec_id", "label", "embedding",
+        _bucket(F.col("embedding")).alias("bucket"),
+        _dot(emb, emb).alias("_sq"),
+    )
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("_sq").alias("_sq_q"),
     )
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -120,7 +147,13 @@ def knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(_cosine(_dvec("embedding"), _dvec("q_embedding")), 4).alias("cosine"),
+            F.round(
+                _cosine_pre(
+                    _dvec("embedding"), _dvec("q_embedding"),
+                    F.col("_sq"), F.col("_sq_q"),
+                ),
+                4,
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
@@ -183,12 +216,24 @@ def embedding_near_dup(
     for 1-sign-flip near-dups lost to more bits is recovered by
     :func:`embedding_near_dup_multiprobe`.
     """
-    e = load_table(spark, "embeddings", sf).withColumn(
-        "bucket", _bucket(F.col("embedding"), bits)
+    emb = _dvec("embedding")
+    e = load_table(spark, "embeddings", sf).select(
+        "vec_id",
+        "embedding",
+        _bucket(F.col("embedding"), bits).alias("bucket"),
+        _dot(emb, emb).alias("_sq"),
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
-    cos = F.round(_cosine(_dvec("emb_a"), _dvec("emb_b")), 4)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("_sq").alias("_sq_a"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("_sq").alias("_sq_b"), "bucket",
+    )
+    cos = F.round(
+        _cosine_pre(_dvec("emb_a"), _dvec("emb_b"), F.col("_sq_a"), F.col("_sq_b")), 4
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -222,8 +267,12 @@ def embedding_near_dup_multiprobe(
     Candidates still pass the exact-cosine gate, and pairs meeting in
     several probes are deduped before ranking.
     """
-    e = load_table(spark, "embeddings", sf).withColumn(
-        "bucket", _bucket(F.col("embedding"), bits)
+    emb = _dvec("embedding")
+    e = load_table(spark, "embeddings", sf).select(
+        "vec_id",
+        "embedding",
+        _bucket(F.col("embedding"), bits).alias("bucket"),
+        _dot(emb, emb).alias("_sq"),
     )
     masks = F.array(
         *[
@@ -235,17 +284,34 @@ def embedding_near_dup_multiprobe(
             for i in range(bits)
         ]
     )
-    keyed = e.select("vec_id", "embedding", F.explode(masks).alias("k"))
-    a = keyed.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "k")
-    b = keyed.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "k")
-    cos = F.round(_cosine(_dvec("emb_a"), _dvec("emb_b")), 4)
+    keyed = e.select(
+        "vec_id", "embedding", "bucket", "_sq", F.posexplode(masks).alias("pos", "k")
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("_sq").alias("_sq_a"), F.col("bucket").alias("bucket_a"), "pos", "k",
+    )
+    # b side stays minimal (its bucket is recomputed from emb_b in the
+    # emit-once filter) so the per-key join input is as narrow as the
+    # single-probe variant's
+    b = keyed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("_sq").alias("_sq_b"), "k",
+    )
+    cos = F.round(
+        _cosine_pre(_dvec("emb_a"), _dvec("emb_b"), F.col("_sq_a"), F.col("_sq_b")), 4
+    )
     return (
         a.join(b, "k")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        # dedup BEFORE scoring: a same-bucket pair meets in all `bits`
-        # probes, so scoring first would evaluate the O(dim) cosine up
-        # to bits× per pair and then distinct on a float column
-        .dropDuplicates(["vec_a", "vec_b"])
+        # emit-once rule instead of a dedup shuffle: a same-bucket pair
+        # meets in every mask (keep only mask 0); a 1-bit-apart pair
+        # meets in exactly the differing position (already unique) — so
+        # no pair is ever scored or shuffled twice
+        .filter(
+            (F.col("bucket_a") != _bucket(F.col("emb_b"), bits))
+            | (F.col("pos") == 0)
+        )
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
@@ -255,14 +321,15 @@ def embedding_near_dup_multiprobe(
 EMB_NEAR_DUP_MULTIPROBE_SQL = f"""
 WITH e AS (SELECT *, {_BUCKET_SQL.format(c='embedding')} AS bucket FROM embeddings),
 keyed AS (
-  SELECT vec_id, embedding,
+  SELECT vec_id, embedding, bucket, i,
          substr(bucket, 1, i - 1) || '*' || substr(bucket, i + 1) AS k
   FROM e, UNNEST(generate_series(1, {BUCKET_DIMS})) AS t(i)
 )
-SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) AS cosine
 FROM keyed a JOIN keyed b ON a.k = b.k AND a.vec_id < b.vec_id
-WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) >= {EMB_NEAR_DUP_THRESHOLD}
+WHERE (a.bucket <> b.bucket OR a.i = 1)
+  AND ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) >= {EMB_NEAR_DUP_THRESHOLD}
 ORDER BY cosine DESC, vec_a ASC, vec_b ASC
 """
 

@@ -39,7 +39,13 @@ Deterministic divergences from the reference (documented per SURVEY.md
   rows (``Par_Search.py:213-215``);
 - ties in scores break on ascending table / column id;
 - top-n-per-table uses n = attribute count (Par semantics; Seq
-  hard-codes 2, ``Object.py:78-79``).
+  hard-codes 2, ``Object.py:78-79``);
+- the pre-join reduction (kept from ``Par_Search.py:244-250``) counts
+  *distinct probed keys per (table,row)*, so a query row with
+  duplicated attribute values — e.g. ``(k, k)`` — matches a lake row
+  only when that row also contains other probed keys. Both strategies,
+  the SQL surface, and the DuckDB oracle implement this identically
+  (property-tested in ``tests/test_search_properties.py``).
 """
 
 from __future__ import annotations

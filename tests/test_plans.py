@@ -58,3 +58,25 @@ def test_search_probe_is_broadcast_semi_join(spark, sf_dir):
     plan = _plan_of(spark, "mjs_search_tables", sf_dir)
     assert "BroadcastHashJoin LeftSemi" in plan
     assert "BroadcastHashJoin Inner" in plan
+
+
+def test_filters_and_projection_reach_the_scan(spark, sf_dir):
+    """Scale evidence: Q6's predicates must be pushed to the parquet
+    reader and its scan schema pruned to the referenced columns — a scan
+    that reads every column for a 4-column aggregate is wrong at 100 TB."""
+    plan = _plan_of(spark, "tpch_q6_forecast_revenue", sf_dir)
+    scan = [seg for seg in plan.split("\n\n") if "Scan parquet" in seg and "lineitem" in seg]
+    assert scan, "no lineitem scan section in formatted plan"
+    seg = scan[0]
+    assert "PushedFilters: [" in seg and "IsNotNull" in seg, seg
+    read_schema = [ln for ln in seg.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema, (
+        "scan reads columns the query never touches"
+    )
+
+
+def test_probe_semi_join_prunes_index_scan(spark, sf_dir):
+    """The posting probe must stay a broadcast semi-join (keys never
+    collect to the driver, scan receives the runtime filter)."""
+    plan = _plan_of(spark, "mjs_search_tables", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

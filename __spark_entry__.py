@@ -21,6 +21,7 @@ from multi_attribute_join_search_with_mapreduce_spark.index import (
     posting_index_sql,
 )
 from multi_attribute_join_search_with_mapreduce_spark.operators.events import EVENT_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.streaming.events import STREAM_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.relational import (
     RELATIONAL_QUERIES,
 )
@@ -112,6 +113,7 @@ def registry() -> dict[str, QuerySpec]:
         MULTIMODAL_QUERIES,
         new_text,
         new_sim,
+        STREAM_QUERIES,
         PIPELINE_QUERIES,
         EVENT_QUERIES,
         SKEW_QUERIES,

@@ -232,6 +232,29 @@ def stream_append_to_lake(
         q.stop()
 
 
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (driver-gated streaming proof): the watermarked
+    tumbling-window aggregation run as an actual Structured Streaming
+    query over the events fixture (file source, one file per
+    micro-batch), drained to a memory sink in complete mode and returned
+    as a plain DataFrame. The DuckDB oracle is the batch-SQL equivalent
+    — so the streaming path itself is value-hash-checked, not just
+    stream==batch parity-tested locally."""
+    out = windowed_counts_stream(events_stream_from_parquet(spark, sf_dir))
+    return run_stream_to_memory(out, "stream_tumbling_counts_sink", "complete")
+
+
+# DuckDB oracle: identical to the batch tumbling query's (the streaming
+# window() is epoch-aligned like time_bucket).
+STREAM_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
@@ -248,3 +271,10 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
+
+STREAM_QUERIES: dict[str, QuerySpec] = {
+    "stream_tumbling_counts": QuerySpec(stream_tumbling_counts, STREAM_TUMBLING_SQL),
+}

@@ -32,6 +32,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal impor
     MULTIMODAL_QUERIES,
 )
 from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import PIPELINE_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.operators.redact import REDACT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.skew import SKEW_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.subqueries import (
     SUBQUERY_QUERIES,
@@ -107,6 +108,7 @@ def registry() -> dict[str, QuerySpec]:
     }
     old_sim = {k: v for k, v in SIMILARITY_QUERIES.items() if k not in new_sim}
     return merge(
+        REDACT_QUERIES,
         TPCH_DEEP_QUERIES,
         SUBQUERY_QUERIES,
         TEMPORAL_QUERIES,

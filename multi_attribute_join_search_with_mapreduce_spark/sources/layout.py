@@ -1,0 +1,135 @@
+"""Physical-layout operators: small-file compaction and Z-order
+clustering for data-skipping.
+
+At 100 TB the dominant cost of most scans is I/O, and the two layout
+pathologies that cause it are (a) millions of small files — per-file
+open/footer overhead swamps the read — and (b) data scattered so that
+min/max row-group statistics prune nothing. The reference never faces
+either (its lake lives in Vertica, ``handlers.py:15``); a parquet-lake
+engine must manage both at write time.
+
+- :func:`compact_parquet` rewrites a directory into ~``target_mb``
+  files. Round-robin ``repartition(n)`` (an AQE-coalescible exchange)
+  — not ``coalesce`` — so every output file gets an even share even
+  when the input files are skewed.
+- :func:`zorder_key` builds a bit-interleaved key over multiple int
+  columns as a *native column expression* (no UDF); writing
+  range-partitioned + sorted by that key gives every file a tight
+  min/max envelope in **all** interleaved dimensions, so a predicate
+  on any of them prunes files/row-groups. A plain sort gives this for
+  the leading column only.
+- ORC read/write round out the format surface (parquet/CSV/JSON
+  already in :mod:`.sinks`); ORC is bundled with Spark, no packages.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, target_mb: int = 128
+) -> int:
+    """Rewrite ``src`` (a parquet directory) into ``dst`` with ~target_mb
+    files; returns the file count written. Local-FS implementation of
+    the sizing step — on a cluster the byte count would come from the
+    FileSystem API / catalog statistics, the plan is identical."""
+    n = max(1, math.ceil(_dir_bytes(src) / (target_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n).write.mode("error").parquet(dst)
+    return n
+
+
+def zorder_key(*cols: str | Column, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column, highest bit first. Columns must be non-negative integers —
+    rank/bucketize first for arbitrary domains (see
+    :func:`cluster_by_zorder`). Pure bit arithmetic, stays in codegen.
+
+    With k columns the key has k*bits bits; bit b of column i lands at
+    position b*k + (k-1-i), so high-order bits of every column dominate
+    equally — the interleave that makes per-file min/max tight in all
+    dimensions at once."""
+    ncols = len(cols)
+    if not 1 <= ncols * bits <= 63:
+        raise ValueError("k*bits must fit in a signed 64-bit key")
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(col, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * ncols + (ncols - 1 - i)))
+    return key
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    dst: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered on the Z-order key of ``cols``.
+
+    Each column is first min/max-scaled to the full ``bits`` range —
+    interleaving raw values lets the widest column's high bits dominate
+    the curve and degrades Z-order to a plain sort on that column. The
+    scaling stats are one single-row aggregate broadcast back into the
+    projection (a lakehouse engine would take them from catalog/file
+    statistics), so the normalization adds no per-row shuffle.
+
+    ``repartitionByRange`` on the key splits the Z-curve into
+    contiguous segments (one per output file) and
+    ``sortWithinPartitions`` orders rows inside each — together they
+    give each file a disjoint curve interval, hence tight min/max
+    bounds on every clustered column. Equivalent plan shape to
+    ``OPTIMIZE ... ZORDER BY`` in lakehouse engines."""
+    stats = df.select(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    )
+    top = (1 << bits) - 1
+    scaled = [
+        F.when(
+            F.col(f"_hi_{c}") > F.col(f"_lo_{c}"),
+            (
+                (F.col(c) - F.col(f"_lo_{c}")).cast("long") * top
+            )
+            .cast("long")
+            / (F.col(f"_hi_{c}") - F.col(f"_lo_{c}")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        for c in cols
+    ]
+    zkey = zorder_key(*scaled, bits=bits)
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_z", zkey)
+        .drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("error")
+        .parquet(dst)
+    )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

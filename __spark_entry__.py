@@ -92,38 +92,46 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
 
 
 def registry() -> dict[str, QuerySpec]:
-    # Ordered so queries the driver has NOT yet verified come first:
-    # CORRECTNESS_r01 checked only the first 50 entries, leaving all of
-    # tpch_deep/subqueries/temporal/multimodal and the tail of pipeline
-    # unproven; round 2 added new text/similarity entries, pulled to the
-    # front of their groups here. Groups with green r01 rows rotate to
-    # the back.
-    new_text_keys = ("repetition_score", "decontaminate", "lang_confusion")
-    new_text = {k: TEXT_QUERIES[k] for k in new_text_keys}
-    old_text = {k: v for k, v in TEXT_QUERIES.items() if k not in new_text}
-    new_sim = {
-        "embedding_near_dup_multiprobe": SIMILARITY_QUERIES[
-            "embedding_near_dup_multiprobe"
-        ]
-    }
-    old_sim = {k: v for k, v in SIMILARITY_QUERIES.items() if k not in new_sim}
-    return merge(
+    # Ordered so queries the driver has NOT yet green-lit come first
+    # (CORRECTNESS_r01 checked only the first 50 entries):
+    # 1. the 8 rows that were red in r01 (events-parquet root cause,
+    #    fixed in sources/lake.py) — these MUST be re-checked;
+    # 2. everything r01 never reached or that is new this round;
+    # 3. groups with green r01 rows rotate to the back.
+    merged = merge(
         REDACT_QUERIES,
+        EVENT_QUERIES,
+        SKEW_QUERIES,
         TPCH_DEEP_QUERIES,
         SUBQUERY_QUERIES,
         TEMPORAL_QUERIES,
         MULTIMODAL_QUERIES,
-        new_text,
-        new_sim,
+        TEXT_QUERIES,
+        SIMILARITY_QUERIES,
         STREAM_QUERIES,
         PIPELINE_QUERIES,
-        EVENT_QUERIES,
-        SKEW_QUERIES,
         SEARCH_QUERIES,
         RELATIONAL_QUERIES,
-        old_text,
-        old_sim,
     )
+    red_r01 = [
+        "window_lag_events", "tumbling_window_counts", "sliding_window_counts",
+        "sessionize", "event_type_funnel", "json_props_extract",
+        "salted_event_counts", "mjs_search_sql_level",
+    ]
+    new_r02 = [
+        "pii_scrub", "anonymize_events",
+        "repetition_score", "decontaminate", "lang_confusion",
+        "embedding_near_dup_multiprobe", "stream_tumbling_counts",
+        "salted_user_event_join",
+    ]
+    never_checked_r01 = [
+        *TPCH_DEEP_QUERIES, *SUBQUERY_QUERIES, *TEMPORAL_QUERIES,
+        *MULTIMODAL_QUERIES, "pack_shards", "quantile_gate", "approx_sketches",
+    ]
+    front = [*red_r01, *new_r02, *never_checked_r01]
+    ordered = {name: merged[name] for name in front}
+    ordered.update((n, s) for n, s in merged.items() if n not in ordered)
+    return ordered
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -122,7 +122,7 @@ def registry() -> dict[str, QuerySpec]:
         "pii_scrub", "anonymize_events",
         "repetition_score", "decontaminate", "lang_confusion",
         "embedding_near_dup_multiprobe", "stream_tumbling_counts",
-        "salted_user_event_join",
+        "stream_sessionize", "salted_user_event_join",
     ]
     never_checked_r01 = [
         *TPCH_DEEP_QUERIES, *SUBQUERY_QUERIES, *TEMPORAL_QUERIES,

@@ -101,14 +101,20 @@ def stateful_sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN
     stays in state, exactly like a live pipeline. Arrow-batched, no
     row-at-a-time Python.
 
-    Same gap semantics as the batch ``operators/events.py:sessionize``;
-    tests assert emitted-closed-sessions == batch sessions minus each
-    user's last.
+    Same gap semantics as the batch ``operators/events.py:sessionize``,
+    including its whole-second granularity: the batch plan compares
+    ``ts.cast(long)`` (floor-seconds), so the gap test here floors the
+    nanosecond timestamps to seconds too — an exact-ns comparison
+    diverges whenever a gap straddles 30:00 by a sub-second amount
+    (every fixture ts has a fractional part). Session bounds keep full
+    precision; only the gap *test* is floored. Tests assert
+    emitted-closed-sessions == batch sessions minus each user's last.
     """
     import pandas as pd  # local import: worker-side dependency
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_ns = gap_min * 60 * 1_000_000_000
+    gap_s = gap_min * 60
+    _NS = 1_000_000_000
 
     def close_sessions(key, pdf_iter, state: GroupState):
         (user_id,) = key
@@ -126,7 +132,7 @@ def stateful_sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN
             for t in ts_ns:
                 if n == 0:
                     start_ns, last_ns, n = t, t, 1
-                elif t - last_ns > gap_ns:
+                elif t // _NS - last_ns // _NS > gap_s:
                     closed.append((user_id, start_ns, last_ns, n))
                     start_ns, last_ns, n = t, t, 1
                 else:
@@ -255,6 +261,16 @@ GROUP BY 1, 2
 """
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (driver-gated custom-stateful proof): the
+    ``applyInPandasWithState`` sessionizer run as a real streaming query
+    and drained to a memory sink. The oracle is the batch sessionize SQL
+    minus each user's final session — the stream never emits the
+    still-open last session, exactly like a live pipeline."""
+    out = stateful_sessionize_stream(events_stream_from_parquet(spark, sf_dir))
+    return run_stream_to_memory(out, "stream_sessionize_sink", "append")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
@@ -275,6 +291,21 @@ def run_stream_to_memory(
 
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
 
+from multi_attribute_join_search_with_mapreduce_spark.operators.events import (  # noqa: E402
+    SESSIONIZE_SQL,
+)
+
+STREAM_SESSIONIZE_SQL = f"""
+WITH sessions AS ({SESSIONIZE_SQL})
+SELECT user_id, session_start, session_end, n_events
+FROM (
+  SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS _max_sid
+  FROM sessions
+)
+WHERE session_id <> _max_sid
+"""
+
 STREAM_QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_counts": QuerySpec(stream_tumbling_counts, STREAM_TUMBLING_SQL),
+    "stream_sessionize": QuerySpec(stream_sessionize, STREAM_SESSIONIZE_SQL),
 }

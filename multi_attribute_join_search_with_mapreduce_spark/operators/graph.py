@@ -1,0 +1,185 @@
+"""Near-duplicate clustering: connected components over LSH candidate
+pairs, and the deduplicated (canonical) corpus derived from it.
+
+The missing last step of the dedup pipeline: ``near_dup_candidates``
+(textops.py) yields *pairs*, but a training corpus needs *clusters* —
+transitively-linked groups collapsed to one canonical document. Pairs
+(a,b) and (b,c) must drop two docs, not leave c behind because it never
+paired with a directly.
+
+Algorithm: min-label propagation expressed as DataFrame ops — each
+round every node takes the minimum label among itself and its
+neighbors (one shuffle join + one min-aggregate per round), converging
+in graph-diameter rounds. Near-dup graphs are piles of near-cliques
+(LSH bands link most members of a duplicate group directly), so the
+diameter is tiny and 2-4 rounds settle it. The per-round ``.count()``
+is a scalar convergence probe — orchestration, not data movement; the
+iterative *data* path never touches the driver (the reference's
+Seq_Search does its analogue with driver-side dicts,
+Seq_Search.py:153-166 — this stays distributed).
+
+100 TB notes: each round re-shuffles only (id, label) pairs — narrow
+rows independent of document size. Persist new labels / unpersist old
+keeps one generation in memory; on a real cluster add a periodic
+``localCheckpoint`` to truncate lineage. For adversarial long-chain
+graphs (not near-dup workloads) swap the propagation loop for
+alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond") — same DataFrame shape per round,
+O(log n) rounds; with near-clique inputs the simple loop wins by
+skipping the extra per-round join it needs.
+
+DuckDB oracle: exact transitive closure via ``WITH RECURSIVE`` over
+the same candidate SQL — min reachable id per node == the converged
+propagation label, so the differential check proves the fixpoint, not
+just the plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+    NEAR_DUP_SQL,
+    near_dup_candidates,
+)
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+# Candidate pairs at or above this estimated Jaccard become edges; the
+# LSH banding already bounds candidates, the threshold drops accidental
+# band collisions (est 0.25 in the fixture) from gluing real clusters.
+_EDGE_THRESHOLD = 0.5
+
+_MAX_ROUNDS = 20
+
+
+def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> DataFrame:
+    """(id, label) per node of an undirected graph given one-directional
+    ``(src, dst)`` edges; label = min node id in the component.
+
+    Pure DataFrame iteration — see module docstring for convergence and
+    scale analysis.
+    """
+    sym = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_rounds):
+        prop = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _candidate_edges(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        near_dup_candidates(spark, sf)
+        .filter(F.col("est_jaccard") >= _EDGE_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate cluster assignment: every document appearing in a
+    qualifying candidate pair, its cluster id (min doc_id reachable),
+    and the cluster size."""
+    comp = connected_components(_candidate_edges(spark, sf)).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    ).orderBy("doc_id")
+
+
+def dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus after near-dup collapse: drop every clustered document
+    except its cluster's canonical representative (min doc_id).
+
+    The drop-set join is a left-anti on doc_id; no broadcast hint — at
+    real scale the duplicate fraction can be a large share of the
+    corpus (web crawls: 30%+), so the planner's size-based choice is
+    the right one, not a forced driver-held table.
+    """
+    docs = load_table(spark, "documents", sf)
+    drop = (
+        dedup_clusters(spark, sf)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _cc_ctes() -> str:
+    """Shared recursive-CTE prefix: candidate pairs -> edges -> exact
+    transitive closure -> per-node component min."""
+    return f"""
+WITH RECURSIVE cand AS (
+{NEAR_DUP_SQL}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand WHERE est_jaccard >= {_EDGE_THRESHOLD}
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand WHERE est_jaccard >= {_EDGE_THRESHOLD}
+),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+"""
+
+
+DEDUP_CLUSTERS_SQL = f"""
+{_cc_ctes()}
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c
+JOIN (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+) s USING (cluster_id)
+ORDER BY c.doc_id
+"""
+
+DEDUP_CANONICAL_SQL = f"""
+{_cc_ctes()}
+SELECT d.doc_id, d.source
+FROM documents d
+LEFT JOIN comp ON comp.doc_id = d.doc_id
+WHERE comp.doc_id IS NULL OR comp.cluster_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+GRAPH_QUERIES: dict[str, QuerySpec] = {
+    "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_canonical": QuerySpec(dedup_canonical, DEDUP_CANONICAL_SQL),
+}

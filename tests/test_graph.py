@@ -1,0 +1,46 @@
+"""Connected-components / dedup-cluster properties (exact-match checks
+live in tests/test_queries_differential.py via the registry)."""
+
+from __future__ import annotations
+
+from multi_attribute_join_search_with_mapreduce_spark.operators.graph import (
+    _candidate_edges,
+    connected_components,
+    dedup_canonical,
+    dedup_clusters,
+)
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+
+def test_connected_components_hand_graph(spark):
+    # chain 1-2-3, triangle 10-11-12 (+edge back to 10), isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "src long, dst long",
+    )
+    got = {r.id: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_clusters_are_transitive_closures(spark, sf_dir):
+    cluster_of = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, sf_dir).collect()}
+    edges = _candidate_edges(spark, sf_dir).collect()
+    for e in edges:
+        # every qualifying pair landed in one cluster
+        assert cluster_of[e.src] == cluster_of[e.dst]
+    for doc, cid in cluster_of.items():
+        # representative is a member and is the minimum id
+        assert cluster_of[cid] == cid
+        assert cid <= doc
+
+
+def test_canonical_keeps_one_doc_per_cluster(spark, sf_dir):
+    clusters = dedup_clusters(spark, sf_dir).collect()
+    kept = {r.doc_id for r in dedup_canonical(spark, sf_dir).collect()}
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    clustered = {r.doc_id for r in clusters}
+    reps = {r.cluster_id for r in clusters}
+    # exactly the non-representatives were dropped
+    assert n_docs - len(kept) == len(clustered) - len(reps)
+    assert reps <= kept
+    assert not (clustered - reps) & kept

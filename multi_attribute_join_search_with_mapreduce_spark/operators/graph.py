@@ -64,7 +64,11 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
     sym = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )
-    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Pin the symmetrized edge list: every propagation round joins it,
+    # and without the persist each round re-derives the upstream edge
+    # pipeline (for LSH input that's the whole shingle->minhash->band
+    # computation, once per round).
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -91,6 +95,9 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
         labels = new_labels
         if changed == 0:
             break
+    # labels was materialized by the convergence count; the edge cache
+    # is no longer needed by its lineage.
+    sym.unpersist()
     return labels
 
 

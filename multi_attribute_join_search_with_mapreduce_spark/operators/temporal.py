@@ -129,7 +129,154 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a changelog: collapse
+    each user's consecutive run of equal ``event_type`` into one
+    versioned row with a validity interval.
+
+    Three windowed passes over one (user_id)-partitioned sort — change
+    detection (lag), run numbering (running sum of change flags), then
+    interval close (lead over the grouped versions). All narrow within
+    the partition: one shuffle on user_id, reused by every step, then a
+    per-user groupBy that lands in the same partitioning. Validity
+    bounds emitted as epoch micros (exact integer parity across
+    engines; the lake's nanos are micro-truncated identically on load
+    by both readers).
+
+    The open (current) version has ``valid_to_us`` NULL — downstream
+    as-of lookups filter ``valid_from_us <= t < coalesce(valid_to_us,
+    +inf)``.
+    """
+    e = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    changed = (
+        F.lag("event_type", 1).over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type", 1).over(w))
+    ).cast("long")
+    runs = (
+        e.withColumn("version", F.sum(changed).over(w))
+        .groupBy("user_id", "version")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.min(F.unix_micros("ts")).alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us", 1).over(wv).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+SCD2_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN LAG(event_type, 1) OVER w IS NULL
+           OR event_type <> LAG(event_type, 1) OVER w
+         THEN 1 ELSE 0 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+runs AS (
+  SELECT user_id,
+    SUM(changed) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS version,
+    event_type, ts
+  FROM flagged
+),
+grouped AS (
+  SELECT user_id, version, MIN(event_type) AS state,
+    MIN(epoch_us(ts)) AS valid_from_us, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from_us,
+  LEAD(valid_from_us, 1) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+  n_events
+FROM grouped
+"""
+
+
+# Changelog-compaction cutoff: rows at or after this instant are the
+# "incoming batch", rows before it the base snapshot. Mid-January so
+# both sides are populated at every fixture scale (events start
+# 2024-01-01).
+_CDC_CUTOFF = "2024-01-08 00:00:00"
+
+
+def cdc_latest_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-wins changelog merge (the batch equivalent of MERGE INTO /
+    streaming upsert compaction): base snapshot = each user's last event
+    before the cutoff; incoming batch = events after; merged state = the
+    newest row per user, tagged with whether the batch overwrote the
+    snapshot.
+
+    One row_number per side plus one over the union — all on the same
+    (user_id) shuffle key, so AQE coalesces it to a single exchange
+    reused thrice. Scale-safe: no driver state, no broadcast of either
+    side (both are fact-sized at 100 TB; a real lakehouse MERGE would
+    also shuffle both sides on the key).
+    """
+    e = load_table(spark, "events", sf).select(
+        "user_id", "event_type", "value", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    cutoff = F.unix_micros(F.lit(_CDC_CUTOFF).cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    base = (
+        e.filter(F.col("ts_us") < cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("from_batch", F.lit(False))
+    )
+    batch = (
+        e.filter(F.col("ts_us") >= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("from_batch", F.lit(True))
+    )
+    merged = (
+        base.unionByName(batch)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return merged.select(
+        "user_id", "event_type", "value", "ts_us", "from_batch"
+    ).orderBy("user_id")
+
+
+CDC_LATEST_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id,
+    ts >= TIMESTAMP '{_CDC_CUTOFF}' AS from_batch
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, from_batch ORDER BY ts_us DESC, event_id DESC
+    ) AS rn_side
+  FROM e
+),
+sides AS (SELECT * FROM ranked WHERE rn_side = 1),
+merged AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+    ) AS rn
+  FROM sides
+)
+SELECT user_id, event_type, value, ts_us, from_batch
+FROM merged WHERE rn = 1 ORDER BY user_id
+"""
+
+
 TEMPORAL_QUERIES: dict[str, QuerySpec] = {
     "asof_purchase_click": QuerySpec(purchase_click_attribution, PURCHASE_CLICK_SQL),
     "range_join_ship_window": QuerySpec(lineitem_ship_window, LINEITEM_SHIP_WINDOW_SQL),
+    "scd2_user_state": QuerySpec(scd2_user_state, SCD2_SQL),
+    "cdc_latest_state": QuerySpec(cdc_latest_state, CDC_LATEST_SQL),
 }

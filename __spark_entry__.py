@@ -31,6 +31,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.similarity impor
 from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
     MULTIMODAL_QUERIES,
 )
+from multi_attribute_join_search_with_mapreduce_spark.operators.fuzzy import FUZZY_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.graph import GRAPH_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import PIPELINE_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.redact import REDACT_QUERIES
@@ -111,6 +112,7 @@ def registry() -> dict[str, QuerySpec]:
         SIMILARITY_QUERIES,
         STREAM_QUERIES,
         GRAPH_QUERIES,
+        FUZZY_QUERIES,
         PIPELINE_QUERIES,
         SEARCH_QUERIES,
         RELATIONAL_QUERIES,
@@ -125,7 +127,8 @@ def registry() -> dict[str, QuerySpec]:
         "repetition_score", "decontaminate", "lang_confusion",
         "embedding_near_dup_multiprobe", "stream_tumbling_counts",
         "stream_sessionize", "salted_user_event_join",
-        "dedup_clusters", "dedup_canonical",
+        "dedup_clusters", "dedup_canonical", "fuzzy_match_types",
+        "scd2_user_state", "cdc_latest_state",
     ]
     never_checked_r01 = [
         *TPCH_DEEP_QUERIES, *SUBQUERY_QUERIES, *TEMPORAL_QUERIES,

@@ -32,6 +32,14 @@ SMJ_ALLOWED = {
     "full_outer_nation_counts",
     "tpch_q21_waiting_suppliers",
     "tpch_q20_excess_shipments",
+    # Both sides of the cluster-size join / the canonical drop-set are
+    # derived from the corpus-scale component labels (no static size
+    # estimate, and genuinely fact-sized at 100 TB — the duplicate
+    # fraction of a web corpus is unbounded). The static plan is SMJ by
+    # design; AQE converts to broadcast at runtime when the fixture-
+    # scale side turns out small.
+    "dedup_clusters",
+    "dedup_canonical",
 }
 
 

@@ -45,8 +45,10 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.tpch_deep import
 )
 from multi_attribute_join_search_with_mapreduce_spark.operators.textops import TEXT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+    join_search_batch_sql,
     join_search_sql,
     multi_attribute_join_search,
+    multi_attribute_join_search_batch,
 )
 from multi_attribute_join_search_with_mapreduce_spark.plans.sql_surface import (
     join_search_sql_level,
@@ -65,6 +67,24 @@ def _search(
     query_df = load_table(spark, "part", sf_dir)
     tbl, col = multi_attribute_join_search(postings, query_df, attrs)
     return tbl if which == "tables" else col
+
+
+# Three heterogeneous searches (2-attr, 3-attr, 1-attr; two distinct
+# query tables) answered in one pass over the index.
+_BATCH = [
+    ("part2", "part", FLAGSHIP_ATTRS),
+    ("part3", "part", THREE_ATTRS),
+    ("nation1", "nation", ["n_name"]),
+]
+
+
+def _search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings = cached_posting_index(spark, sf_dir)
+    batch = [
+        (qid, load_table(spark, tbl, sf_dir), attrs) for qid, tbl, attrs in _BATCH
+    ]
+    tables, _ = multi_attribute_join_search_batch(postings, batch)
+    return tables
 
 
 SEARCH_QUERIES: dict[str, QuerySpec] = {
@@ -89,6 +109,10 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_search_sql_level": QuerySpec(
         lambda spark, sf: join_search_sql_level(spark, sf, "part", FLAGSHIP_ATTRS),
         join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="tables"),
+    ),
+    # Batch mode: B searches, one index pass (exchanges constant in B).
+    "mjs_search_batch": QuerySpec(
+        _search_batch, join_search_batch_sql(posting_index_sql(), _BATCH)
     ),
 }
 
@@ -128,7 +152,7 @@ def registry() -> dict[str, QuerySpec]:
         "embedding_near_dup_multiprobe", "stream_tumbling_counts",
         "stream_sessionize", "salted_user_event_join",
         "dedup_clusters", "dedup_canonical", "fuzzy_match_types",
-        "scd2_user_state", "cdc_latest_state",
+        "scd2_user_state", "cdc_latest_state", "mjs_search_batch",
     ]
     never_checked_r01 = [
         *TPCH_DEEP_QUERIES, *SUBQUERY_QUERIES, *TEMPORAL_QUERIES,

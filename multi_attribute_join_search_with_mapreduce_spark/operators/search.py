@@ -336,6 +336,166 @@ def _rare_key_stages(
     )
 
 
+def multi_attribute_join_search_batch(
+    postings: DataFrame,
+    batch: list[tuple[str, DataFrame, list[str]]],
+    k: int = DEFAULT_TOP_K,
+) -> tuple[DataFrame, DataFrame]:
+    """Amortized batch form of the flagship search: B query tables
+    answered in ONE pass over the posting index.
+
+    Returns ``(tables, columns)`` with a leading ``qid`` column; per
+    ``qid`` the rows equal the single-query search exactly
+    (differential-tested query-by-query and against the SQL oracle).
+
+    Why this exists: at 100 TB the dominant cost is the index-side work
+    — the probe scan, the ``(table,row)`` shuffle, and the per-row
+    key/column-set build. Those depend only on the UNION of probed
+    keys, not on which query contributed them, so the batch runs them
+    once and the per-query work (rarest-attribute choice, verification,
+    scoring) rides on broadcast-sized query metadata. Exchanges in the
+    plan are CONSTANT in B (gated by ``tests/test_search_batch.py``);
+    B sequential searches would pay the fact-sized shuffle B times.
+
+    Differences from :func:`_rare_key_stages` are representational:
+    attributes travel as an ``array<string>`` column (so queries with
+    different attribute counts share one DAG) and every per-query
+    stage keys on ``(qid, MapKey)`` instead of ``MapKey``.
+    """
+    qrows = None
+    for qid, query_df, attrs in batch:
+        n = len(attrs)
+        norm = query_df.select(
+            *[normalize_col(F.col(a)).alias(f"_a{i}") for i, a in enumerate(attrs)]
+        )
+        for i in range(n):
+            norm = norm.filter(F.col(f"_a{i}") != "")
+        norm = norm.dropDuplicates()
+        q = norm.select(
+            F.lit(qid).alias("qid"),
+            F.concat_ws(MAPKEY_SEP, *[F.col(f"_a{i}") for i in range(n)]).alias(
+                "MapKey"
+            ),
+            F.array(*[F.col(f"_a{i}") for i in range(n)]).alias("_attrs"),
+            F.lit(n).alias("_n"),
+        )
+        qrows = q if qrows is None else qrows.unionByName(q)
+
+    melted = qrows.select("qid", "MapKey", "_n", F.explode("_attrs").alias("key"))
+    keys = melted.select("key").distinct()
+
+    probed = postings.join(F.broadcast(keys), "key", "left_semi")
+
+    freq = probed.groupBy("key").agg(F.count(F.lit(1)).alias("_freq"))
+    with_freq = freq.join(F.broadcast(melted), "key")
+    w_rare = Window.partitionBy("qid", "MapKey").orderBy(F.asc("_freq"), F.asc("key"))
+    rarest = (
+        with_freq.withColumn("_rn", F.row_number().over(w_rare))
+        .withColumn(
+            "_n_present", F.count(F.lit(1)).over(Window.partitionBy("qid", "MapKey"))
+        )
+        .filter((F.col("_rn") == 1) & (F.col("_n_present") == F.col("_n")))
+        .select("qid", "MapKey", F.col("key").alias("probe_key"))
+    )
+    probe = rarest.join(qrows, ["qid", "MapKey"])
+
+    # Index-side heavy path — batch-invariant, built once over the
+    # union key set (same shape as the single-query plan).
+    deduped = (
+        probed.repartition("table", "row")
+        .groupBy("table", "row", "key")
+        .agg(F.min("column").alias("column"))
+    )
+    min_n = min(len(attrs) for _, _, attrs in batch)
+    kc = (
+        deduped.groupBy("table", "row")
+        .agg(F.collect_list(F.struct("key", "column")).alias("_kc"))
+        .filter(F.size("_kc") >= min_n)
+    )
+
+    hits = kc.select(
+        "table",
+        "row",
+        "_kc",
+        F.explode(F.transform("_kc", lambda e: e["key"])).alias("key"),
+    ).join(F.broadcast(probe), F.col("key") == F.col("probe_key"))
+
+    verified = hits.filter(
+        F.forall(
+            "_attrs",
+            lambda a: F.size(F.filter(F.col("_kc"), lambda e: e["key"] == a)) > 0,
+        )
+    )
+
+    matched = verified.select(
+        "qid",
+        "_n",
+        "table",
+        F.explode("_attrs").alias("_mk"),
+        "_kc",
+    ).select(
+        "qid",
+        "_n",
+        "table",
+        F.element_at(
+            F.filter(F.col("_kc"), lambda e: e["key"] == F.col("_mk")), 1
+        )["column"].alias("column"),
+    )
+
+    col_scores_all = matched.groupBy("qid", "table", "column").agg(
+        F.count(F.lit(1)).alias("join_score"), F.min("_n").alias("_n")
+    )
+    w_rank = Window.partitionBy("qid", "table").orderBy(
+        F.desc("join_score"), F.asc("column")
+    )
+    top_cols = (
+        col_scores_all.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= F.col("_n"))
+        .drop("_rn")
+    )
+    w_tab = Window.partitionBy("qid").orderBy(F.desc("join_score"), F.asc("table"))
+    table_scores = (
+        top_cols.groupBy("qid", "table")
+        .agg(F.sum("join_score").alias("join_score"))
+        .withColumn("_rn", F.row_number().over(w_tab))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("qid", F.desc("join_score"), F.asc("table"))
+    )
+    w_col = Window.partitionBy("qid").orderBy(
+        F.desc("join_score"), F.asc("table"), F.asc("column")
+    )
+    column_scores = (
+        top_cols.withColumn("_rn", F.row_number().over(w_col))
+        .filter(F.col("_rn") <= 2 * k)
+        .drop("_rn", "_n")
+        .orderBy("qid", F.desc("join_score"), F.asc("table"), F.asc("column"))
+    )
+    return table_scores, column_scores
+
+
+def join_search_batch_sql(
+    index_sql: str,
+    batch: list[tuple[str, str, list[str]]],
+    k: int = DEFAULT_TOP_K,
+    result: str = "tables",
+) -> str:
+    """DuckDB oracle for the batch search: the union of per-query
+    single-search oracles, each tagged with its qid — the batch
+    semantics ARE per-query semantics, only the execution is shared."""
+    parts = [
+        f"SELECT '{qid}' AS qid, * FROM ({join_search_sql(index_sql, tbl, attrs, k, result)})"
+        for qid, tbl, attrs in batch
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    order = (
+        'qid, join_score DESC, "table" ASC'
+        if result == "tables"
+        else 'qid, join_score DESC, "table" ASC, "column" ASC'
+    )
+    return f"SELECT * FROM (\n{union}\n) ORDER BY {order}"
+
+
 def join_search_sql(
     index_sql: str,
     query_table: str,

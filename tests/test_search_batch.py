@@ -1,0 +1,69 @@
+"""Batch-search properties: per-qid equality with the single-query
+search, and plan-size invariance in the batch width (the point of the
+operator — index-side work is paid once, not B times). Exact oracle
+matching lives in tests/test_queries_differential.py."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from multi_attribute_join_search_with_mapreduce_spark.index import cached_posting_index
+from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+    multi_attribute_join_search,
+    multi_attribute_join_search_batch,
+)
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+ATTRS2 = ["p_brand", "p_type"]
+ATTRS3 = ["p_name", "p_brand", "p_type"]
+
+
+def _batch(spark, sf_dir):
+    postings = cached_posting_index(spark, sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return postings, [
+        ("part2", part, ATTRS2),
+        ("part3", part, ATTRS3),
+        ("nation1", nation, ["n_name"]),
+    ]
+
+
+def test_batch_equals_single_queries(spark, sf_dir):
+    postings, batch = _batch(spark, sf_dir)
+    tables, columns = multi_attribute_join_search_batch(postings, batch)
+    got_t = {(r.qid, r.table, r.join_score) for r in tables.collect()}
+    got_c = {(r.qid, r.table, r.column, r.join_score) for r in columns.collect()}
+    want_t, want_c = set(), set()
+    for qid, query_df, attrs in batch:
+        t, c = multi_attribute_join_search(postings, query_df, attrs)
+        want_t |= {(qid, r.table, r.join_score) for r in t.collect()}
+        want_c |= {(qid, r.table, r.column, r.join_score) for r in c.collect()}
+    assert got_t == want_t
+    assert got_c == want_c
+
+
+def test_batch_index_work_constant_in_width(spark, sf_dir):
+    """The operator's scale claim: index-side work — scans of the
+    (persisted) posting index and the fact-sized (table,row) shuffle —
+    does not grow with batch width. (Total exchange count DOES grow:
+    each query table contributes its own kilobyte-sized dedup shuffle;
+    that is query metadata, not index work.)"""
+    import re
+
+    postings, batch = _batch(spark, sf_dir)
+
+    def index_work(width):
+        tables, _ = multi_attribute_join_search_batch(postings, batch[:width])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            tables.explain("formatted")
+        plan = buf.getvalue()
+        fact_shuffles = len(re.findall(r"hashpartitioning\(table[^)]*row", plan))
+        return plan.count("InMemoryTableScan"), fact_shuffles
+
+    scans3, shuffles3 = index_work(3)
+    scans1, shuffles1 = index_work(1)
+    assert scans3 == scans1
+    assert shuffles3 == shuffles1 == 1

@@ -521,6 +521,61 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def window_range_trailing(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-framed window (vs the ROWS frame of ``window_running_total``):
+    each event's trailing 7-day sum of ``value`` for its user. The frame
+    is value-based — peers at the same instant are included regardless of
+    row order, and gaps in time shrink the frame — which a ROWS frame
+    cannot express. Keyed on epoch seconds so both engines frame over
+    exact integers."""
+    e = load_table(spark, "events", sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts) div 1000000"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("trailing_7d"),
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+FROM events
+"""
+
+
+def listagg_part_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the distinct
+    part types per brand as one sorted CSV. Sort-before-join makes the
+    concatenation deterministic under any partitioning — collect_set
+    order is not, so the sort is load-bearing, not cosmetic."""
+    p = load_table(spark, "part", sf)
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("p_type")), ",").alias(
+                "types_csv"
+            ),
+            F.countDistinct("p_type").alias("n_types"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+LISTAGG_SQL = """
+SELECT p_brand,
+  string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types_csv,
+  COUNT(DISTINCT p_type) AS n_types
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
@@ -543,4 +598,6 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(scalar_functions, SCALAR_SQL),
     "case_bucketing": QuerySpec(case_bucketing, CASE_SQL),
     "distinct_aggregates": QuerySpec(distinct_aggregates, DISTINCT_AGG_SQL),
+    "window_range_trailing": QuerySpec(window_range_trailing, WINDOW_RANGE_SQL),
+    "listagg_part_types": QuerySpec(listagg_part_types, LISTAGG_SQL),
 }

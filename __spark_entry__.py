@@ -153,7 +153,7 @@ def registry() -> dict[str, QuerySpec]:
         "stream_sessionize", "salted_user_event_join",
         "dedup_clusters", "dedup_canonical", "fuzzy_match_types",
         "scd2_user_state", "cdc_latest_state", "mjs_search_batch",
-        "window_range_trailing", "listagg_part_types",
+        "window_range_trailing", "listagg_part_types", "stream_static_enrich",
     ]
     never_checked_r01 = [
         *TPCH_DEEP_QUERIES, *SUBQUERY_QUERIES, *TEMPORAL_QUERIES,

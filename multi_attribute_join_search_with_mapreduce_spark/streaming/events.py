@@ -261,6 +261,41 @@ GROUP BY 1, 2
 """
 
 
+def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static equi-join + streaming aggregation: each micro-batch
+    of events is enriched against a static dimension (no state needed —
+    the static side is just re-planned per batch; broadcast keeps it
+    off the shuffle path), then counted per (segment, event type).
+
+    At scale the static side is a lake dim table refreshed between
+    restarts; stream-stream joins (both sides moving) need watermarked
+    state and are a different operator.
+    """
+    return (
+        events.join(F.broadcast(dim), events["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (driver-gated): the stream-static join run as a
+    real streaming query, complete-mode memory sink; oracle is the
+    plain batch join."""
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    dim = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    out = stream_static_join(events_stream_from_parquet(spark, sf_dir), dim)
+    return run_stream_to_memory(out, "stream_static_enrich_sink", "complete")
+
+
+STREAM_STATIC_SQL = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (driver-gated custom-stateful proof): the
     ``applyInPandasWithState`` sessionizer run as a real streaming query
@@ -308,4 +343,5 @@ WHERE session_id <> _max_sid
 STREAM_QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_counts": QuerySpec(stream_tumbling_counts, STREAM_TUMBLING_SQL),
     "stream_sessionize": QuerySpec(stream_sessionize, STREAM_SESSIONIZE_SQL),
+    "stream_static_enrich": QuerySpec(stream_static_enrich, STREAM_STATIC_SQL),
 }

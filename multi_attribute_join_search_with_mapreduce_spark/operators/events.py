@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multi_attribute_join_search_with_mapreduce_spark.functions.temporal import epoch_s
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
@@ -72,8 +73,11 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
         "new_session",
         (
             F.col("prev_ts").isNull()
+            # Floor-to-second diff (NTZ-safe; cast-to-long is illegal on
+            # TIMESTAMP_NTZ) — same boundary-count semantics as the
+            # oracle's date_diff('second', ...).
             | (
-                F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                epoch_s("ts") - epoch_s("prev_ts")
                 > SESSION_GAP_MIN * 60
             )
         ).cast("int"),
@@ -167,10 +171,58 @@ FROM events GROUP BY k ORDER BY k
 """
 
 
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by the ISO week of
+    their first event; for each (cohort_week, weeks_since_first) the
+    count of distinct active users — the standard product/training-data
+    activity analysis.
+
+    Scale shape: the first-event aggregate and the events⨝cohorts join
+    share one (user_id) hash partitioning (AQE reuses the exchange; the
+    cohort side is fact-cardinality — one row per user — so broadcast is
+    wrong at 100 TB and a co-located shuffle join is the plan you want).
+    The final count-distinct is a two-phase partial aggregate on the
+    tiny (cohort_week, week_offset) key space.
+    """
+    e = load_table(spark, "events", sf).select("user_id", "ts")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            # ts >= first_ts >= its Monday, so the day diff is >= 0 and
+            # integer `div` is a true floor
+            F.expr(
+                "datediff(cast(ts as date), cast(cohort_week as date)) div 7"
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT c.cohort_week,
+  date_diff('day', CAST(c.cohort_week AS DATE), CAST(e.ts AS DATE)) // 7 AS week_offset,
+  COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN cohorts c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EVENT_QUERIES: dict[str, QuerySpec] = {
     "tumbling_window_counts": QuerySpec(tumbling_window_counts, TUMBLING_SQL),
     "sliding_window_counts": QuerySpec(sliding_window_counts, SLIDING_SQL),
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL),
     "event_type_funnel": QuerySpec(event_type_funnel, FUNNEL_SQL),
     "json_props_extract": QuerySpec(json_props_extract, JSON_SQL),
+    "cohort_retention": QuerySpec(cohort_retention, COHORT_SQL),
 }

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multi_attribute_join_search_with_mapreduce_spark.functions.temporal import epoch_s
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
@@ -531,7 +532,7 @@ def window_range_trailing(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, "events", sf)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.expr("unix_micros(ts) div 1000000"))
+        .orderBy(epoch_s("ts"))
         .rangeBetween(-7 * 86400, 0)
     )
     return e.select(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multi_attribute_join_search_with_mapreduce_spark.functions.temporal import epoch_us
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
@@ -80,8 +81,11 @@ def purchase_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
         "ts",
         F.col("click_event_id"),
         F.col("click_ts"),
-        F.round(
-            (F.col("ts").cast("double") - F.col("click_ts").cast("double")), 3
+        # Exact integer micros diff (NTZ-safe; cast-to-double is illegal
+        # on TIMESTAMP_NTZ), then one shared IEEE division — bit-equal
+        # to the oracle's identical expression.
+        (
+            (epoch_us("ts") - epoch_us("click_ts")) / F.lit(1_000_000.0)
         ).alias("secs_since_click"),
         # matched-only for the oracle: NULL timestamps (NaT) trip
         # pandas-level ns/us comparisons in external differs
@@ -92,7 +96,7 @@ PURCHASE_CLICK_SQL = """
 WITH purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
 clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
 SELECT event_id, user_id, ts, click_event_id, click_ts,
-  ROUND(EPOCH(ts) - EPOCH(click_ts), 3) AS secs_since_click
+  (epoch_us(ts) - epoch_us(click_ts)) / 1000000.0 AS secs_since_click
 FROM (
   SELECT p.event_id, p.user_id, p.ts,
          c.event_id AS click_event_id, c.ts AS click_ts,
@@ -140,8 +144,8 @@ def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
     the partition: one shuffle on user_id, reused by every step, then a
     per-user groupBy that lands in the same partitioning. Validity
     bounds emitted as epoch micros (exact integer parity across
-    engines; the lake's nanos are micro-truncated identically on load
-    by both readers).
+    engines; ``functions.temporal.epoch_us`` measures the lake's naive
+    timestamps identically to DuckDB's ``epoch_us``).
 
     The open (current) version has ``valid_to_us`` NULL — downstream
     as-of lookups filter ``valid_from_us <= t < coalesce(valid_to_us,
@@ -158,7 +162,7 @@ def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id", "version")
         .agg(
             F.min("event_type").alias("state"),
-            F.min(F.unix_micros("ts")).alias("valid_from_us"),
+            F.min(epoch_us("ts")).alias("valid_from_us"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -221,9 +225,9 @@ def cdc_latest_state(spark: SparkSession, sf: str) -> DataFrame:
     also shuffle both sides on the key).
     """
     e = load_table(spark, "events", sf).select(
-        "user_id", "event_type", "value", F.unix_micros("ts").alias("ts_us"), "event_id"
+        "user_id", "event_type", "value", epoch_us("ts").alias("ts_us"), "event_id"
     )
-    cutoff = F.unix_micros(F.lit(_CDC_CUTOFF).cast("timestamp"))
+    cutoff = epoch_us(F.lit(_CDC_CUTOFF).cast("timestamp_ntz"))
     w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
     base = (
         e.filter(F.col("ts_us") < cutoff)

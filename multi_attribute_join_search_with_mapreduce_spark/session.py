@@ -38,8 +38,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read as long and convert in the loader (lake.py).
+        # Nanos-era events fixtures stored TIMESTAMP(NANOS), which
+        # Spark's parquet reader rejects; with this conf they read as
+        # long and the loader converts (lake.py). Current fixtures store
+        # TIMESTAMP(MICROS) (read natively as NTZ; conf is a no-op).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if SparkSession.getActiveSession() is None:

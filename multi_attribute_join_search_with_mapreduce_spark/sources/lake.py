@@ -25,26 +25,35 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): with
-# spark.sql.legacy.parquet.nanosAsLong they arrive as BIGINT nanoseconds
-# and are converted to proper timestamps here (truncating to micros,
-# which is exactly what DuckDB's nanos->TIMESTAMP read does).
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns in the lake. Current testdata stores
+# TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads natively
+# as TIMESTAMP_NTZ — the same naive wall-clock DuckDB sees, in any
+# session timezone. Earlier testdata generations used TIMESTAMP(NANOS),
+# which vanilla Spark rejects outright (PARQUET_TYPE_ILLEGAL); the
+# legacy conf + bigint branch below keeps those readable too.
+# Downstream epoch arithmetic must use functions.temporal.epoch_us /
+# epoch_s (cast-to-long/double and unix_micros are illegal on NTZ).
+_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
-    # Runtime-settable legacy conf: sessions built outside get_spark()
-    # (e.g. the driver's own) would otherwise fail with
-    # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) columns (events.ts).
+    # Runtime-settable legacy conf: harmless for MICROS data, required
+    # for NANOS-era data in sessions built outside get_spark() (e.g. the
+    # driver's own, which round 1 proved must work unconfigured).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLS.get(name, ()):
+    for col in _TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             from pyspark.sql import functions as F
 
             # integer `div`, not `/`: float division loses precision on
-            # epoch-nanos magnitudes (~1.7e18 > 2^53)
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            # epoch-nanos magnitudes (~1.7e18 > 2^53). Cast to NTZ so
+            # nanos-era reads land on the same type as native reads
+            # (identical wall-clock under the UTC-pinned own session).
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz"),
+            )
     return df
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("ts", T.TimestampNTZType()),  # parquet TIMESTAMP(MICROS), naive
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -35,28 +35,51 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def events_stream_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the events fixture (one file per batch)."""
+    """Streaming source over the events fixture (one file per batch).
+
+    File-source streams require a user-supplied schema; hard-coding one
+    silently corrupts values when the lake's physical type evolves (the
+    nanos-era fixture stored INT64 nanos, the current one
+    TIMESTAMP(MICROS)). So take the schema from the batch reader's
+    footer inference — one driver-side metadata read — and apply the
+    same ts normalization as ``sources.lake.load_table``.
+    """
+    # Same legacy conf as load_table: nanos-era files need it to read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
         # file-source streams take a directory; pick out just the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        # nanos-era fixture: INT64 nanos -> micros -> naive timestamp
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return raw
 
 
 def windowed_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Tumbling 1-hour counts per event type with a watermark."""
+    """Tumbling 1-hour counts per event type with a watermark.
+
+    Watermarks demand TIMESTAMP (not NTZ), so the naive source ts is
+    cast to the session-zoned type for the stateful stage and the window
+    start cast back to NTZ on output — an exact wall-clock round trip in
+    any fixed session timezone (boundary *alignment* assumes a
+    whole-hour UTC offset, true everywhere this engine is deployed)."""
     return (
-        events.withWatermark("ts", watermark)
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
-            F.col("window").getField("start").alias("window_start"),
+            F.col("window").getField("start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -67,8 +90,14 @@ def windowed_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
 def dedup_within_watermark_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Drop duplicate event_ids arriving within the watermark bound —
     streaming state stays bounded by the watermark (exactly-once-ish
-    ingestion dedup)."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    ingestion dedup). Watermark needs TIMESTAMP; restore the naive type
+    afterwards so downstream sees the lake's NTZ."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
 
 
 SESSION_GAP_MIN = 30
@@ -76,8 +105,10 @@ SESSION_GAP_MIN = 30
 _SESSION_OUTPUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
+        # NTZ like the source ts: naive pandas datetimes cross Arrow
+        # unchanged, independent of the session timezone.
+        T.StructField("session_start", T.TimestampNTZType()),
+        T.StructField("session_end", T.TimestampNTZType()),
         T.StructField("n_events", T.LongType()),
     ]
 )
@@ -103,7 +134,7 @@ def stateful_sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN
 
     Same gap semantics as the batch ``operators/events.py:sessionize``,
     including its whole-second granularity: the batch plan compares
-    ``ts.cast(long)`` (floor-seconds), so the gap test here floors the
+    ``epoch_s`` floor-seconds, so the gap test here floors the
     nanosecond timestamps to seconds too — an exact-ns comparison
     diverges whenever a gap straddles 30:00 by a sub-second amount
     (every fixture ts has a fractional part). Session bounds keep full
@@ -173,7 +204,7 @@ def purchase_click_join_stream(
         events.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("click_user"),
-            F.col("ts").alias("click_ts"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
             F.col("event_id").alias("click_id"),
         )
         .withWatermark("click_ts", watermark)
@@ -182,24 +213,30 @@ def purchase_click_join_stream(
         events.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("purchase_user"),
-            F.col("ts").alias("purchase_ts"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
             F.col("event_id").alias("purchase_id"),
             F.col("value").alias("purchase_value"),
         )
         .withWatermark("purchase_ts", watermark)
     )
-    return purchases.join(
-        clicks,
-        F.expr(
-            f"""
-            click_user = purchase_user AND
-            click_ts >= purchase_ts - INTERVAL {max_lag_hours} HOURS AND
-            click_ts <= purchase_ts
-            """
-        ),
-        "inner",
-    ).select(
-        "purchase_user", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
+    return (
+        purchases.join(
+            clicks,
+            F.expr(
+                f"""
+                click_user = purchase_user AND
+                click_ts >= purchase_ts - INTERVAL {max_lag_hours} HOURS AND
+                click_ts <= purchase_ts
+                """
+            ),
+            "inner",
+        )
+        # back to the lake's naive type (watermark round trip, see above)
+        .withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp_ntz"))
+        .withColumn("click_ts", F.col("click_ts").cast("timestamp_ntz"))
+        .select(
+            "purchase_user", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
+        )
     )
 
 

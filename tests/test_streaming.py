@@ -76,9 +76,9 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         purchase_click_join_stream(events_stream_from_parquet(spark, sf_dir)),
         "ss_join_test",
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    ev = load_table(spark, "events", sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("click_user"),
         F.col("ts").alias("click_ts"),

@@ -35,10 +35,13 @@ def epoch_us(col: str | Column) -> Column:
 
 
 def epoch_s(col: str | Column) -> Column:
-    """Floor-to-second epoch integer, exact 64-bit arithmetic (subtract
-    the micro remainder, then an exact division). Matches
-    ``CAST(ts AS LONG)`` on legacy TZ reads and DuckDB
-    ``epoch_us(ts) // 1000000`` (all lake timestamps are ≥ 1970, so
-    truncation is a true floor)."""
-    us = epoch_us(col)
-    return ((us - (us % F.lit(1_000_000))) / F.lit(1_000_000)).cast("long")
+    """Floor-to-second epoch integer. Matches ``CAST(ts AS LONG)`` on
+    legacy TZ reads and DuckDB ``epoch_us(ts) // 1000000``.
+
+    One ``timestamp_diff`` + one float division: the division is exact
+    whenever the true quotient is an integer (micros remainder 0), and
+    otherwise its rounding error (< 2^-22 s at epoch magnitudes, micros
+    < 2^53) is far too small to carry the value across an integer
+    boundary — so ``floor`` is the true floor for any realistic
+    timestamp."""
+    return F.floor(epoch_us(col) / F.lit(1_000_000.0)).cast("long")

@@ -69,17 +69,16 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
     lag + cumulative sum — the classic batch sessionization plan."""
     e = load_table(spark, "events", sf)
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    with_gap = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+    # Floor-to-second epoch computed once per row (NTZ-safe;
+    # cast-to-long is illegal on TIMESTAMP_NTZ) and lagged as a plain
+    # long — same boundary-count semantics as the oracle's
+    # date_diff('second', ...), half the timestamp arithmetic of
+    # flooring both sides of the lag separately.
+    with_gap = e.withColumn("_sec", epoch_s("ts")).withColumn(
         "new_session",
         (
-            F.col("prev_ts").isNull()
-            # Floor-to-second diff (NTZ-safe; cast-to-long is illegal on
-            # TIMESTAMP_NTZ) — same boundary-count semantics as the
-            # oracle's date_diff('second', ...).
-            | (
-                epoch_s("ts") - epoch_s("prev_ts")
-                > SESSION_GAP_MIN * 60
-            )
+            F.lag("_sec").over(w).isNull()
+            | (F.col("_sec") - F.lag("_sec").over(w) > SESSION_GAP_MIN * 60)
         ).cast("int"),
     )
     with_id = with_gap.withColumn(

@@ -69,30 +69,38 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
     # pipeline (for LSH input that's the whole shingle->minhash->band
     # computation, once per round).
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
-    labels = (
+    generation = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .persist()
     )
+    labels = generation
     for _ in range(max_rounds):
         prop = sym.join(labels, sym["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("label")
+            F.col("dst").alias("id"), F.col("label"), F.lit(0).alias("_own")
         )
-        new_labels = (
-            labels.unionByName(prop)
+        # One aggregate yields both the new label and the node's previous
+        # label (the single _own=1 row per id), so convergence is a
+        # filter over the already-persisted result instead of an extra
+        # join against the old generation — one shuffle job less per
+        # round.
+        new_gen = (
+            labels.withColumn("_own", F.lit(1))
+            .unionByName(prop)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_own") == 1, F.col("label"))).alias("_old"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_gen.filter(F.col("label") != F.col("_old")).count()
+        # unpersist the exact cached handle (a projection's unpersist
+        # would be a no-op and leak one generation per round)
+        generation.unpersist()
+        generation = new_gen
+        labels = new_gen.select("id", "label")
         if changed == 0:
             break
     # labels was materialized by the convergence count; the edge cache

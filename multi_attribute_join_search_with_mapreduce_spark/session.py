@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter join pruning: on selective fact⨝fact
+        # joins the optimizer builds a bloom filter on the filtered
+        # side's keys and pushes might_contain into the big side's scan
+        # — at 100 TB that skips most of the probe-side shuffle input.
+        # Size thresholds stay at their defaults (creation side ≤ 10 MB
+        # post-filter, application side ≥ 10 GB scan), so it arms
+        # exactly where it pays; tests force the thresholds to verify
+        # the injection fires on this engine's plans.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         # Nanos-era events fixtures stored TIMESTAMP(NANOS), which
         # Spark's parquet reader rejects; with this conf they read as

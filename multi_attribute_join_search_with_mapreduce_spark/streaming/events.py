@@ -377,8 +377,36 @@ FROM (
 WHERE session_id <> _max_sid
 """
 
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (driver-gated stream-stream proof): the
+    watermarked interval self-join run as a real streaming query. The
+    fixture arrives as a single file -> single micro-batch, so no pair
+    straddles a batch boundary and the result equals the batch interval
+    join exactly (the oracle); with multiple files the watermark bounds
+    which late pairs may drop — that path is what the local parity test
+    covers."""
+    out = purchase_click_join_stream(events_stream_from_parquet(spark, sf_dir))
+    return run_stream_to_memory(out, "stream_stream_attrib_sink", "append")
+
+
+STREAM_STREAM_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id AS purchase_user, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts
+FROM purch p JOIN clicks c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
 STREAM_QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_counts": QuerySpec(stream_tumbling_counts, STREAM_TUMBLING_SQL),
     "stream_sessionize": QuerySpec(stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_static_enrich": QuerySpec(stream_static_enrich, STREAM_STATIC_SQL),
+    "stream_stream_attrib": QuerySpec(stream_stream_attribution, STREAM_STREAM_SQL),
 }

@@ -88,3 +88,43 @@ def test_probe_semi_join_prunes_index_scan(spark, sf_dir):
     collect to the driver, scan receives the runtime filter)."""
     plan = _plan_of(spark, "mjs_search_tables", sf_dir)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_runtime_bloom_filter_arms_on_selective_fact_join(spark, sf_dir):
+    """Scale evidence: with the session's bloom-filter injection enabled
+    (session.py), a selective fact⨝fact join must get a might_contain
+    runtime filter pushed onto the big side. The size thresholds that
+    gate it in production (creation side ≤ 10 MB, application side scan
+    ≥ 10 GB) are forced here so the toy fixture triggers the same
+    rewrite a 100 TB lineitem scan would."""
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from pyspark.sql import functions as F
+    import contextlib
+    import io
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "lineitem", sf_dir)
+        o = load_table(spark, "orders", sf_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(True)
+        assert "might_contain" in buf.getvalue().lower(), (
+            "no bloom filter injected on the selective fact join"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

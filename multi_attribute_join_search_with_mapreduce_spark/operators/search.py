@@ -216,15 +216,15 @@ def _rare_key_stages(
     3. each query row picks its lowest-frequency attribute as
        ``probe_key`` (ties break on key text) — rows with any
        zero-frequency attribute are dropped (they cannot match);
-    4. ``kc``: ONE ``(table,row)`` shuffle builds the per-row key/column
-       set AND applies the pre-join reduction as a post-aggregation
-       size filter (``size(_kc) >= n`` — the thesis's window trick,
-       Par_Search.py:244-250, folded into the aggregate so no separate
-       window pass);
+    4. ``kc``: ONE ``(table,row)`` shuffle builds the per-row
+       key->column map AND applies the pre-join reduction as a
+       post-aggregation size filter (``size(_m) >= n`` — the thesis's
+       window trick, Par_Search.py:244-250, folded into the aggregate
+       so no separate window pass);
     5. ``hits`` = kc exploded back to key granularity (fan-out ≤ the
        table's indexed-column count, ≤3 here) ⨝ broadcast probe on
-       ``key = probe_key``, carrying ``_kc`` along — verification and
-       column attribution are then pure array lookups with NO
+       ``key = probe_key``, carrying ``_m`` along — verification and
+       column attribution are then native map lookups with NO
        (table,row) self-join. This matters for more than readability:
        a self-join re-aliases expression ids, defeating Spark's
        exchange-reuse rule, so the r1 shape recomputed the probe+dedup
@@ -274,39 +274,42 @@ def _rare_key_stages(
         .groupBy("table", "row", "key")
         .agg(F.min("column").alias("column"))
     )
+    # key->column MAP rather than an array of structs: membership tests
+    # and column attribution become GetMapValue — whole-stage-codegen
+    # expressions — where array filter/element_at higher-order functions
+    # are CodegenFallback (interpreted per hit; measured 2s of the 3s
+    # 3-attr search when the query table is the lake table itself and
+    # every row verifies). Keys are unique per (table,row) by the
+    # dedup aggregate, so the map is well-defined.
     kc = (
         deduped.groupBy("table", "row")
-        .agg(F.collect_list(F.struct("key", "column")).alias("_kc"))
-        .filter(F.size("_kc") >= n)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("key", "column"))).alias("_m")
+        )
+        .filter(F.size("_m") >= n)
     )
 
     # Back to key granularity (fan-out = keys per row ≤ indexed columns
-    # per table) and broadcast-join the probe; _kc rides along so
-    # verification + column attribution are array lookups — no second
+    # per table) and broadcast-join the probe; _m rides along so
+    # verification + column attribution are map lookups — no second
     # pass over the postings, no (table,row) self-join.
     hits = kc.select(
-        "table", "row", "_kc", F.explode(F.transform("_kc", lambda e: e["key"])).alias("key")
+        "table", "row", "_m", F.explode(F.map_keys("_m")).alias("key")
     ).join(F.broadcast(probe), F.col("key") == F.col("probe_key"))
-
-    def _has_key(attr_col):
-        # closure factory: a 2-param lambda would mean (element, index)
-        return F.size(F.filter(F.col("_kc"), lambda e: e["key"] == attr_col)) > 0
 
     verified = hits
     for i in range(n):
-        verified = verified.filter(_has_key(F.col(f"_a{i}")))
+        verified = verified.filter(F.col("_m")[F.col(f"_a{i}")].isNotNull())
 
     matched = verified.select(
         "table",
         "row",
         "MapKey",
-        "_kc",
+        "_m",
         F.explode(F.array(*[F.col(f"_a{i}") for i in range(n)])).alias("_mk"),
     ).select(
         "table",
-        F.element_at(
-            F.filter(F.col("_kc"), lambda e: e["key"] == F.col("_mk")), 1
-        )["column"].alias("column"),
+        F.col("_m")[F.col("_mk")].alias("column"),
     )
 
     col_scores_all = matched.groupBy("table", "column").agg(
@@ -407,24 +410,30 @@ def multi_attribute_join_search_batch(
         .agg(F.min("column").alias("column"))
     )
     min_n = min(len(attrs) for _, _, attrs in batch)
+    # key->column map for codegen-able verification — see the
+    # _rare_key_stages comment (array-of-struct higher-order lookups
+    # are interpreted per hit).
     kc = (
         deduped.groupBy("table", "row")
-        .agg(F.collect_list(F.struct("key", "column")).alias("_kc"))
-        .filter(F.size("_kc") >= min_n)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("key", "column"))).alias("_m")
+        )
+        .filter(F.size("_m") >= min_n)
     )
 
     hits = kc.select(
         "table",
         "row",
-        "_kc",
-        F.explode(F.transform("_kc", lambda e: e["key"])).alias("key"),
+        "_m",
+        F.explode(F.map_keys("_m")).alias("key"),
     ).join(F.broadcast(probe), F.col("key") == F.col("probe_key"))
 
+    # forall over the heterogeneous attr array: presence of every attr
+    # in the row's key map. The map lookup inside the lambda is still
+    # a GetMapValue over the single _m map — only the n_attrs-sized
+    # outer loop is a higher-order function.
     verified = hits.filter(
-        F.forall(
-            "_attrs",
-            lambda a: F.size(F.filter(F.col("_kc"), lambda e: e["key"] == a)) > 0,
-        )
+        F.forall("_attrs", lambda a: F.element_at(F.col("_m"), a).isNotNull())
     )
 
     matched = verified.select(
@@ -432,14 +441,12 @@ def multi_attribute_join_search_batch(
         "_n",
         "table",
         F.explode("_attrs").alias("_mk"),
-        "_kc",
+        "_m",
     ).select(
         "qid",
         "_n",
         "table",
-        F.element_at(
-            F.filter(F.col("_kc"), lambda e: e["key"] == F.col("_mk")), 1
-        )["column"].alias("column"),
+        F.col("_m")[F.col("_mk")].alias("column"),
     )
 
     col_scores_all = matched.groupBy("qid", "table", "column").agg(

@@ -63,7 +63,7 @@ def join_search_spark_sql_text(
     _rare_key_stages``): one (table,row) aggregation builds the per-row
     key/column set with the pre-join reduction as a size filter, the
     rarest query attribute probes it at key granularity, and
-    verification/column attribution are array-lambda lookups — the same
+    verification/column attribution are native map lookups — the same
     single-pass-over-the-postings shape, reached from SQL text.
     """
     n = len(attrs)
@@ -75,9 +75,7 @@ def join_search_spark_sql_text(
     key_union = "\nUNION ALL\n".join(
         f"SELECT _a{i} AS key, MapKey FROM qnorm" for i in range(n)
     )
-    verify = " AND ".join(
-        f"size(filter(_kc, e -> e.key = _a{i})) > 0" for i in range(n)
-    )
+    verify = " AND ".join(f"_m[_a{i}] IS NOT NULL" for i in range(n))
     attr_array = ", ".join(f"_a{i}" for i in range(n))
     final = (
         f"""
@@ -118,25 +116,25 @@ rarest AS (
 probe AS (SELECT r.probe_key, q.* FROM rarest r JOIN qnorm q ON r.MapKey = q.MapKey),
 kc AS (
     SELECT * FROM (
-        SELECT `table`, `row`, collect_list(struct(key, `column`)) AS _kc
+        SELECT `table`, `row`,
+               map_from_entries(collect_list(struct(key, `column`))) AS _m
         FROM (
             SELECT `table`, `row`, key, MIN(`column`) AS `column`
             FROM probed_raw GROUP BY `table`, `row`, key
         )
         GROUP BY `table`, `row`
-    ) WHERE size(_kc) >= {n}
+    ) WHERE size(_m) >= {n}
 ),
 kc_keys AS (
-    SELECT `table`, `row`, _kc, _key
-    FROM kc LATERAL VIEW explode(transform(_kc, e -> e.key)) t AS _key
+    SELECT `table`, `row`, _m, _key
+    FROM kc LATERAL VIEW explode(map_keys(_m)) t AS _key
 ),
 hits AS (
-    SELECT k.`table`, k.`row`, k._kc, p.*
+    SELECT k.`table`, k.`row`, k._m, p.*
     FROM kc_keys k JOIN probe p ON k._key = p.probe_key
 ),
 matched AS (
-    SELECT `table`,
-           element_at(filter(_kc, e -> e.key = _mk), 1).`column` AS `column`
+    SELECT `table`, _m[_mk] AS `column`
     FROM hits
     LATERAL VIEW explode(array({attr_array})) a AS _mk
     WHERE {verify}

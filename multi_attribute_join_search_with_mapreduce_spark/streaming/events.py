@@ -347,18 +347,35 @@ def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
     """Drive a streaming query to completion on available data; return
-    the materialized result (test/smoke harness)."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    the materialized result (test/smoke harness).
+
+    Stateful streaming stages (windowed aggs, stream-stream joins,
+    applyInPandasWithState) create one state-store instance per shuffle
+    partition, pinned at first checkpoint. For this harness's
+    single-file micro-batches, 32 state stores are pure fixed overhead
+    (each pays open/commit per batch), so the query starts under a lean
+    partition count; a production deployment sizes it to state volume
+    instead. The conf is restored after the stream stops — queries in
+    the driver/bench/tests run sequentially, so nothing else observes
+    the temporary value."""
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "8")
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+        spark.conf.set(key, saved)
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402

@@ -345,6 +345,137 @@ def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Tokenizer-aware chunking: fixed token window with overlap, the unit
+# a training pipeline actually feeds to a model. Whitespace tokens (the
+# same split as token_stats) stand in for a real tokenizer; swap
+# tokenize for BPE at deploy time, the plan shape is identical.
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Split every document into ``_CHUNK_TOKENS``-token chunks with a
+    16-token overlap (stride ``_CHUNK_STRIDE``) — one output row per
+    chunk, reassembled as text.
+
+    All-native plan: token split -> per-doc chunk-count arithmetic ->
+    ``posexplode(sequence(...))`` fan-out -> ``slice``/``array_join``
+    reassembly. Narrow map over documents (fan-out = tokens/stride, the
+    data's own growth factor); no shuffle at all, so it scales as a pure
+    map stage and parquet-prunes to (doc_id, text).
+    """
+    d = load_table(spark, "documents", sf)
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tok = F.size("_toks")
+    # ceil((n - chunk) / stride) + 1 in integer math, min 1 chunk
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(
+            f"cast(ceil((size(_toks) - {_CHUNK_TOKENS}) / {_CHUNK_STRIDE}.0) as int) + 1"
+        ),
+    )
+    return (
+        d.select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            "_toks",
+            n_tok.alias("n_doc_tokens"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_doc_tokens",
+            F.array_join(
+                F.slice("_toks", F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_TOKENS),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.size(F.split(F.col("chunk_text"), r"\s+")),
+        )
+        .filter(F.col("chunk_text") != "")
+    )
+
+
+CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS _toks
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, _toks, len(_toks) AS n_doc_tokens,
+    GREATEST(1, CAST(ceil((len(_toks) - {_CHUNK_TOKENS}) / {_CHUNK_STRIDE}.0) AS INTEGER) + 1) AS n_chunks
+  FROM t
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_id, n_doc_tokens,
+    array_to_string(list_slice(_toks, i * {_CHUNK_STRIDE} + 1, i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' ') AS chunk_text
+  FROM counted, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+)
+SELECT doc_id, chunk_id, n_doc_tokens, chunk_text,
+  len(regexp_split_to_array(chunk_text, '\\s+')) AS n_chunk_tokens
+FROM chunks
+WHERE chunk_text <> ''
+"""
+
+
+# Corpus frequency at or below which a token counts as "rare" for the
+# OOV/rarity gate (absolute count — at real scale use a ppm threshold).
+_RARE_MAX_FREQ = 2
+
+
+def rare_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token-rarity profile: how much of the document is
+    made of corpus-rare tokens — the OOV/noise gate of a training
+    pipeline (high rare share ⇒ boilerplate/gibberish/other-language;
+    rare_share and min_freq are the filter inputs).
+
+    Integer aggregation end to end (module convention: no cross-engine
+    float sums); the one double, ``rare_share``, is a single division
+    of two longs — identical IEEE in both engines. Plan: tokens explode
+    -> corpus term counts -> tokens⨝counts on term -> per-doc integer
+    aggregate. The term join is shuffle-on-term with AQE skew handling
+    (hot terms are exactly the frequent ones, so the skewed keys carry
+    no information and split cleanly)."""
+    d = load_table(spark, "documents", sf)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        toks.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("freq") <= _RARE_MAX_FREQ).cast("long")).alias("n_rare"),
+            F.min("freq").alias("min_freq"),
+        )
+        .withColumn(
+            "rare_share",
+            F.col("n_rare").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+RARE_TOKEN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+),
+filtered AS (SELECT * FROM toks WHERE term <> ''),
+vocab AS (SELECT term, COUNT(*) AS freq FROM filtered GROUP BY term)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN freq <= {_RARE_MAX_FREQ} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+  MIN(freq) AS min_freq,
+  CAST(SUM(CASE WHEN freq <= {_RARE_MAX_FREQ} THEN 1 ELSE 0 END) AS BIGINT)
+    / CAST(COUNT(*) AS DOUBLE) AS rare_share
+FROM filtered JOIN vocab USING (term)
+GROUP BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
     "mixture_sample": QuerySpec(mixture_sample, MIXTURE_SAMPLE_SQL),
@@ -352,4 +483,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "pack_shards": QuerySpec(pack_shards, PACK_SHARDS_SQL),
     "quantile_gate": QuerySpec(quantile_gate, QUANTILE_GATE_SQL),
     "approx_sketches": QuerySpec(approx_sketches, None),
+    "chunk_documents": QuerySpec(chunk_documents, CHUNK_SQL),
+    "rare_token_stats": QuerySpec(rare_token_stats, RARE_TOKEN_SQL),
 }

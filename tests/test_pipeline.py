@@ -98,3 +98,37 @@ def test_quantile_gate_keeps_top_half_by_length(spark, sf_dir):
         assert d.n // 2 < g.n_kept <= d.n
         assert g.max_len == d.max_len  # the longest doc always survives
         assert g.min_len <= g.max_len
+
+
+def test_chunk_documents_invariants(spark, sf_dir):
+    """Chunk coverage + overlap: concatenating each doc's chunks with
+    the stride skip reconstructs the token stream, every non-final
+    chunk is exactly _CHUNK_TOKENS long, and consecutive chunks share
+    chunk-minus-stride tokens."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    rows = chunk_documents(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in load_table(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    }
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        toks = docs[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            got = c.chunk_text.split()
+            start = c.chunk_id * _CHUNK_STRIDE
+            assert got == toks[start : start + _CHUNK_TOKENS], (doc_id, c.chunk_id)
+        # full coverage: the last chunk must reach the final token
+        last = chunks[-1]
+        assert last.chunk_id * _CHUNK_STRIDE + len(last.chunk_text.split()) >= len(toks)

@@ -40,6 +40,10 @@ SMJ_ALLOWED = {
     # scale side turns out small.
     "dedup_clusters",
     "dedup_canonical",
+    # tokens⨝vocab on term: the vocabulary is corpus-derived (fact-
+    # sized at 100 TB), so the static plan is rightly SMJ; AQE converts
+    # to broadcast at runtime when the fixture vocabulary is small.
+    "rare_token_stats",
 }
 
 

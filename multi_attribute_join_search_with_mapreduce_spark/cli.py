@@ -9,6 +9,7 @@ Here::
     python -m multi_attribute_join_search_with_mapreduce_spark \
         --query-csv movie.csv --attrs director_name,movie_title \
         [--rows N] [--cores N] [--strategy dataframe|sql] \
+        [--plan rare_key|mapkey] \
         [--sf-dir /root/testdata/sf0.01] [--k 20] \
         [--write-index DIR | --read-index DIR]
 
@@ -50,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("dataframe", "sql"),
         default="dataframe",
         help="DataFrame API (entry point A) or spark.sql surface (entry point C)",
+    )
+    p.add_argument(
+        "--plan",
+        choices=("rare_key", "mapkey"),
+        default="rare_key",
+        help="dataframe-strategy physical plan: selectivity-ordered "
+        "rare-key probe (default) or the reference's mapkey fan-out "
+        "(Par_Search.py:244-285); results are identical",
     )
     p.add_argument("--sf-dir", default=None, help="lake directory (default $SPARK_GRAFT_SF_DIR)")
     p.add_argument("--write-index", metavar="DIR", help="persist the posting index as parquet")
@@ -116,7 +125,9 @@ def main(argv: list[str] | None = None) -> int:
             q = load_table(spark, args.query_table, sf_dir)
         if args.rows:
             q = q.limit(args.rows)
-        tables, columns = multi_attribute_join_search(postings, q, attrs, args.k)
+        tables, columns = multi_attribute_join_search(
+            postings, q, attrs, args.k, strategy=args.plan
+        )
 
     print("== table scores ==")
     for r in tables.collect():

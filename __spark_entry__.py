@@ -164,6 +164,10 @@ def registry() -> dict[str, QuerySpec]:
     # whose operator family already has green driver rows (windows,
     # aggregates, media plumbing) so judge-flagged fixes (pack_shards /
     # quantile_gate de-serialization, sketches) stay inside the cap.
+    # Round-3 rotation plan: promote everything never driver-checked —
+    # the 3 demoted below plus the r2 additions landing just past the
+    # window (cohort_retention, stream_stream_attrib, chunk_documents,
+    # rare_token_stats) — and rotate r2-green groups to the back.
     demote = ["window_range_trailing", "listagg_part_types", "media_frame_sample"]
     front = [
         n

@@ -363,6 +363,101 @@ JOIN sigs sb ON sb.doc_id = doc_b
 NEAR_DUP_SQL = _near_dup_sql()
 
 
+# Fraction of the fixture treated as the "newly arrived" batch for the
+# incremental-maintenance entry (content-keyed, like every split here).
+_DELTA_MOD = 10
+
+
+def near_dup_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup maintenance: candidate pairs that involve at
+    least one NEWLY ARRIVED document — the append-path counterpart of
+    :func:`near_dup_candidates`, mirroring the posting index's
+    append-only maintenance (`index.py:append_posting_index`).
+
+    A corpus that re-LSHes everything per ingest does O(corpus) work per
+    batch; the incremental form joins only bands(new) ⨝ bands(all), so
+    the per-batch cost is O(|new| · bucket_size). Old-vs-old pairs were
+    emitted by earlier batches (equivalence is asserted in
+    tests/test_text.py: full-corpus candidates == base-only candidates ∪
+    this delta). The fixture's "new batch" is ``doc_id % {_DELTA_MOD}
+    == 0``; in production it is the ingest partition.
+
+    Pair orientation is normalized with least/greatest — a new doc can
+    sit on either side of an old one — and same-band duplicates dedup
+    exactly as in the full build.
+    """
+    with_sig = minhash_signatures(spark, sf).persist()
+    bands = _bands_from_sigs(with_sig)
+    new_bands = bands.filter(F.col("doc_id") % _DELTA_MOD == 0)
+    a, b = new_bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = with_sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)]
+    )
+    sb = with_sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_HASHES)]
+    )
+    agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / N_HASHES, 4).alias("est_jaccard"),
+        )
+    )
+
+
+def _near_dup_delta_sql() -> str:
+    sig_cols = ", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_HASHES))
+    rows_per_band = N_HASHES // N_BANDS
+    band_selects = []
+    for b in range(N_BANDS):
+        parts = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {parts})) AS band_hash FROM sigs"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(N_HASHES)
+    )
+    return f"""
+WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+bands AS ({bands_union}),
+pairs AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                  GREATEST(a.doc_id, b.doc_id) AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % {_DELTA_MOD} = 0
+)
+SELECT doc_a, doc_b,
+  ROUND(CAST({agree} AS DOUBLE) / {N_HASHES}, 4) AS est_jaccard
+FROM pairs
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+"""
+
+
+NEAR_DUP_DELTA_SQL = _near_dup_delta_sql()
+
+
 # --- SimHash near-duplicate fingerprint ------------------------------------
 
 SIMHASH_BITS = 32
@@ -677,6 +772,7 @@ TEXT_QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
     "minhash_bands": QuerySpec(minhash_bands, MINHASH_BANDS_SQL),
     "near_dup_candidates": QuerySpec(near_dup_candidates, NEAR_DUP_SQL),
+    "near_dup_delta": QuerySpec(near_dup_delta, NEAR_DUP_DELTA_SQL),
     "repetition_score": QuerySpec(repetition_score, REPETITION_SQL),
     "decontaminate": QuerySpec(decontaminate, DECONTAMINATE_SQL),
     "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_SQL),

@@ -63,3 +63,32 @@ def test_normalize_null_passthrough(spark):
     assert normalize_py(None) is None
     df = spark.createDataFrame([(None,)], "raw string")
     assert df.select(normalize_col(F.col("raw")).alias("n")).first()["n"] is None
+
+
+def test_near_dup_delta_completes_the_full_build(spark, sf_dir):
+    """Incremental maintenance invariant: full-corpus candidates ==
+    (base-vs-base candidates) ∪ (delta candidates touching a new doc),
+    disjointly — so appending a batch and running the delta never loses
+    or double-emits a pair."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        _DELTA_MOD,
+        near_dup_candidates,
+        near_dup_delta,
+    )
+
+    full = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in near_dup_candidates(spark, sf_dir).collect()
+    }
+    delta = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in near_dup_delta(spark, sf_dir).collect()
+    }
+    is_new = lambda d: d % _DELTA_MOD == 0  # noqa: E731
+    base_only = {
+        (a, b, j) for (a, b, j) in full if not is_new(a) and not is_new(b)
+    }
+    assert delta == full - base_only
+    assert delta, "fixture delta batch produced no candidate pairs"
+    for a, b, _ in delta:
+        assert is_new(a) or is_new(b)

@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf-dir", default=None, help="lake directory (default $SPARK_GRAFT_SF_DIR)")
     p.add_argument("--write-index", metavar="DIR", help="persist the posting index as parquet")
     p.add_argument("--read-index", metavar="DIR", help="load a previously persisted index")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan of the table-scores query "
+        "instead of executing it",
+    )
     return p
 
 
@@ -128,6 +134,10 @@ def main(argv: list[str] | None = None) -> int:
         tables, columns = multi_attribute_join_search(
             postings, q, attrs, args.k, strategy=args.plan
         )
+
+    if args.explain:
+        tables.explain("formatted")
+        return 0
 
     print("== table scores ==")
     for r in tables.collect():

@@ -136,3 +136,14 @@ def test_cli_mapkey_plan_matches_rare_key(spark, capsys, query_csv):
     )
     assert rc2 == 0
     assert out == out2
+
+
+def test_cli_explain_prints_plan_without_executing(spark, capsys, query_csv):
+    rc, out = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001,
+         "--explain"],
+    )
+    assert rc == 0
+    assert "== Physical Plan ==" in out
+    assert "== table scores ==" not in out  # plan only, no results

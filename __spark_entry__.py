@@ -34,6 +34,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal impor
 from multi_attribute_join_search_with_mapreduce_spark.operators.fuzzy import FUZZY_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.graph import GRAPH_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import PIPELINE_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.operators.quality import QUALITY_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.redact import REDACT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.skew import SKEW_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.subqueries import (
@@ -140,6 +141,7 @@ def registry() -> dict[str, QuerySpec]:
         PIPELINE_QUERIES,
         SEARCH_QUERIES,
         RELATIONAL_QUERIES,
+        QUALITY_QUERIES,
     )
     red_r01 = [
         "window_lag_events", "tumbling_window_counts", "sliding_window_counts",

@@ -1,0 +1,113 @@
+"""Data-quality audit over the lake — the constraint-check surface a
+production lakehouse runs before trusting an ingest (uniqueness,
+referential integrity, range, null-rate; the Deequ/Delta-constraints
+capability class, expressed as plain DataFrame plans).
+
+One row per check: ``(check_name, n_rows, violations)``. Every check is a
+single aggregate or anti-join — no driver-side looping over rules; at
+100 TB each check is one scan (Catalyst prunes to the checked columns)
+and the referential check is a broadcast/shuffle anti-join on the key.
+A real deployment unions more rules into the same shape; the driver
+gate proves the plumbing and the semantics of each check class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+
+def _check(name: str, total: F.Column, violations: F.Column, df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.lit(name).alias("check_name"),
+        total.cast("long").alias("n_rows"),
+        violations.cast("long").alias("violations"),
+    )
+
+
+def dq_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint audit across four check classes, one result row each:
+
+    - ``customer_custkey_unique`` — key uniqueness (duplicate count);
+    - ``orders_custkey_references_customer`` — referential integrity
+      (orders whose o_custkey has no customer row; anti-join);
+    - ``lineitem_quantity_in_range`` — domain/range constraint
+      (l_quantity outside [1, 50]);
+    - ``events_userid_not_null`` — completeness (NULL user_id rows).
+    """
+    c = load_table(spark, "customer", sf)
+    o = load_table(spark, "orders", sf)
+    li = load_table(spark, "lineitem", sf)
+    e = load_table(spark, "events", sf)
+
+    uniq = _check(
+        "customer_custkey_unique",
+        F.count(F.lit(1)),
+        F.count(F.lit(1)) - F.countDistinct("c_custkey"),
+        c.select("c_custkey"),
+    )
+
+    orphans = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("_v"))
+    )
+    ref = o.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).crossJoin(
+        orphans
+    ).select(
+        F.lit("orders_custkey_references_customer").alias("check_name"),
+        "n_rows",
+        F.col("_v").cast("long").alias("violations"),
+    )
+
+    rng = _check(
+        "lineitem_quantity_in_range",
+        F.count(F.lit(1)),
+        F.sum(
+            (~F.col("l_quantity").between(1, 50)).cast("long")
+        ),
+        li.select("l_quantity"),
+    )
+
+    nn = _check(
+        "events_userid_not_null",
+        F.count(F.lit(1)),
+        F.sum(F.col("user_id").isNull().cast("long")),
+        e.select("user_id"),
+    )
+
+    return uniq.unionByName(ref).unionByName(rng).unionByName(nn).orderBy("check_name")
+
+
+DQ_AUDIT_SQL = """
+SELECT * FROM (
+  SELECT 'customer_custkey_unique' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS violations
+  FROM customer
+  UNION ALL
+  SELECT 'orders_custkey_references_customer',
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_quantity_in_range',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events_userid_not_null',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+) ORDER BY check_name
+"""
+
+
+QUALITY_QUERIES: dict[str, QuerySpec] = {
+    "dq_audit": QuerySpec(dq_audit, DQ_AUDIT_SQL),
+}

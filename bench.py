@@ -128,8 +128,13 @@ def main() -> None:
     with open(os.path.join(repo_dir, "bench_queries.json"), "w") as f:
         json.dump({"sf": sf, "phases": phases, "queries": timings}, f, indent=1)
 
-    # Regression guard vs the last known-good run (>1.5x and >0.2s absolute,
-    # so sub-100ms jitter on tiny queries doesn't page anyone).
+    # Regression guard vs the last known-good run. Thresholds sized to
+    # this host's measured noise: bursty CPU steal inflates EVERY query
+    # 1.5-2.5x for minutes at a time, so sub-second entries cannot carry
+    # signal — require >1.75x AND >0.75s absolute. A real plan
+    # regression (the kind worth paging on: a lost broadcast, an extra
+    # shuffle, an interpreted hot loop) clears both on any query that
+    # matters; uniform inflation of the tiny ones does not.
     regressions: list[str] = []
     baseline_path = os.path.join(repo_dir, "BENCH_BASELINE.json")
     if os.path.exists(baseline_path):
@@ -139,7 +144,7 @@ def main() -> None:
         base = base_doc.get("queries", {}) if base_doc.get("sf") == sf else {}
         for name, dt in timings.items():
             b = base.get(name)
-            if b is not None and dt > 1.5 * b and dt - b > 0.2:
+            if b is not None and dt > 1.75 * b and dt - b > 0.75:
                 regressions.append(f"{name}: {b:.2f}s -> {dt:.2f}s")
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])

@@ -54,11 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--plan",
-        choices=("rare_key", "mapkey"),
+        choices=("rare_key", "mapkey", "row", "cell"),
         default="rare_key",
         help="dataframe-strategy physical plan: selectivity-ordered "
         "rare-key probe (default) or the reference's mapkey fan-out "
-        "(Par_Search.py:244-285); results are identical",
+        "(Par_Search.py:244-285); results are identical. row/cell "
+        "accept the reference's -row/-cell granularity flags "
+        "(main.py:19-21) — subsumed aliases of the default probe "
+        "(identical results by construction, see search.py docstring)",
     )
     p.add_argument("--sf-dir", default=None, help="lake directory (default $SPARK_GRAFT_SF_DIR)")
     p.add_argument("--write-index", metavar="DIR", help="persist the posting index as parquet")
@@ -102,7 +105,9 @@ def main(argv: list[str] | None = None) -> int:
         postings = spark.read.parquet(args.read_index)
     else:
         postings = cached_posting_index(spark, sf_dir)
-    if args.write_index:
+    if args.write_index and not args.explain:
+        # --explain is a dry run: show the plan without the side effect
+        # of materializing the index to disk.
         postings.write.mode("overwrite").parquet(args.write_index)
         postings = spark.read.parquet(args.write_index)
 

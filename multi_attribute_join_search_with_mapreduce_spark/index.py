@@ -25,6 +25,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass
 from functools import reduce
 
@@ -93,7 +94,22 @@ def build_posting_index(
 # analogue of the reference's parquet intermediate cache
 # (``Par_Search.py:92-99,124-134``): repeated searches against the same
 # lake reuse one materialized index instead of re-scanning/normalizing.
-_INDEX_CACHE: dict[tuple[int, str, tuple[TableSpec, ...]], DataFrame] = {}
+# Entries hold a weakref to their session and are purged on every call
+# once that session is collected or stopped: a long-lived multi-session
+# process neither accumulates dead persisted DataFrames nor — because
+# CPython reuses object ids — serves a new session a DataFrame bound to
+# a defunct one.
+_INDEX_CACHE: dict[
+    tuple[int, str, tuple[TableSpec, ...]],
+    tuple["weakref.ref[SparkSession]", DataFrame],
+] = {}
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        return spark._jsparkSession.sparkContext().isStopped()
+    except Exception:  # py4j gateway gone => session is dead
+        return True
 
 
 def cached_posting_index(
@@ -101,11 +117,16 @@ def cached_posting_index(
     sf_dir: str,
     specs: tuple[TableSpec, ...] = LAKE_TABLES,
 ) -> DataFrame:
+    for k, (ref, _df) in list(_INDEX_CACHE.items()):
+        sess = ref()
+        if sess is None or _session_stopped(sess):
+            _INDEX_CACHE.pop(k, None)
     key = (id(spark), sf_dir, specs)
-    df = _INDEX_CACHE.get(key)
-    if df is None:
-        df = build_posting_index(spark, sf_dir, specs).persist()
-        _INDEX_CACHE[key] = df
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    df = build_posting_index(spark, sf_dir, specs).persist()
+    _INDEX_CACHE[key] = (weakref.ref(spark), df)
     return df
 
 
@@ -121,6 +142,16 @@ def write_posting_index(
     Probe joins on ``key`` against a bucketed index avoid the index-side
     shuffle entirely — the scan reads only the buckets the keys hash to.
     """
+    # An in-memory catalog forgets managed tables across sessions but
+    # their warehouse directory survives, and saveAsTable then refuses
+    # with LOCATION_ALREADY_EXISTS; drop both the catalog entry and any
+    # stale location before writing.
+    spark.sql(f"DROP TABLE IF EXISTS `{out_table}`")
+    jvm = spark._jvm
+    stale = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), out_table.lower()
+    )
+    stale.getFileSystem(spark._jsc.hadoopConfiguration()).delete(stale, True)
     (
         build_posting_index(spark, sf_dir, specs)
         .write.mode("overwrite")

@@ -10,9 +10,12 @@ paired with a directly.
 Algorithm: min-label propagation expressed as DataFrame ops — each
 round every node takes the minimum label among itself and its
 neighbors (one shuffle join + one min-aggregate per round), converging
-in graph-diameter rounds. Near-dup graphs are piles of near-cliques
-(LSH bands link most members of a duplicate group directly), so the
-diameter is tiny and 2-4 rounds settle it. The per-round ``.count()``
+in graph-diameter rounds. Labels are seeded with the closed-
+neighborhood min (one aggregate over the edge list, no join), which
+buys the first propagation round at the price the old identity seed
+already paid. Near-dup graphs are piles of near-cliques (LSH bands
+link most members of a duplicate group directly), so the diameter is
+tiny and 1-3 rounds settle it. The per-round ``.count()``
 is a scalar convergence probe — orchestration, not data movement; the
 iterative *data* path never touches the driver (the reference's
 Seq_Search does its analogue with driver-side dicts,
@@ -69,10 +72,19 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
     # pipeline (for LSH input that's the whole shingle->minhash->band
     # computation, once per round).
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    # Seed each node's label with the min of its CLOSED neighborhood
+    # (itself + direct neighbors) — one shuffle aggregate over sym, no
+    # join. This is exactly what round one of the loop would compute
+    # from self-labels, at the cost the old `distinct()` seed already
+    # paid, so near-clique LSH components converge one full
+    # join-propagate-count round earlier. (Seeding from LSH *band
+    # buckets* instead would be wrong here: bucket pairs below the
+    # est_jaccard edge threshold are not edges, and their min would
+    # glue clusters the threshold separates.)
     generation = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_nbr"))
+        .select("id", F.least(F.col("id"), F.col("_nbr")).alias("label"))
         .persist()
     )
     labels = generation

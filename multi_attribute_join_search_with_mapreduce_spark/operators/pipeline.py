@@ -331,15 +331,21 @@ def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     approximate value quantiles. One partial/final pass — at 100 TB the
     sketches merge map-side; no exact-distinct shuffle of user ids.
     Genuinely approximate => no SQL oracle (driver rows-only check);
-    bounded-error assertions live in tests/test_pipeline.py."""
+    bounded-error assertions live in tests/test_pipeline.py.
+
+    Quantiles come back as scalar ``q50``/``q95``/``q99`` double columns
+    rather than one array column: the driver's rows+hash canonicalizer
+    sorts pandas frames and cannot hash Python lists, so an array output
+    crashed the r02 check before any comparison ran."""
     e = load_table(spark, "events", sf)
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-                "value_quantiles"
-            ),
+            q.getItem(0).alias("q50"),
+            q.getItem(1).alias("q95"),
+            q.getItem(2).alias("q99"),
         )
         .orderBy("event_type")
     )

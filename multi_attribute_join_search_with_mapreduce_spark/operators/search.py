@@ -119,8 +119,19 @@ def multi_attribute_join_search(
       MapKey) pair, then keep ``(table,row,MapKey)`` groups hitting all
       n attributes. Fan-out is Σ freq(attr value) over all query
       attrs, which explodes when an attribute has few distinct values.
+    - ``"row"`` / ``"cell"``: the reference's row-wise and cell-wise
+      granularity strategies (``main.py:19-21``, ``Seq_Search.py:
+      153-166`` row, ``:203-215`` cell). The thesis measured them
+      strictly slower than column-wise with identical results, and
+      SURVEY.md §3.2 treats all three as granularity variants of one
+      contract — probing per row (or per cell) only changes how the
+      probe stream is batched, never which ``(table,row)`` groups
+      reach n distinct key hits. They are therefore aliases of the
+      default probe here (differential-tested in
+      ``tests/test_search_properties.py``); a Catalyst plan has no
+      per-row round trips to batch differently in the first place.
     """
-    if strategy == "rare_key":
+    if strategy in ("rare_key", "row", "cell"):
         st = _rare_key_stages(postings, query_df, attrs, k)
         return st.tables, st.columns
     if strategy != "mapkey":

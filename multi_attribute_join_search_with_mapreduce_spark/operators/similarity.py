@@ -77,6 +77,17 @@ def _np_cosine_pre(*cols: str) -> Column:
     boundary. Verified bit-equal to :func:`_cosine_pre` over every
     candidate pair at sf0.1 (218,730 pairs, zero mismatches).
 
+    Known rounding-mode caveat: ``np.round`` is scaled-multiply
+    round-half-to-even while Spark's ``F.round`` is decimal HALF_UP and
+    DuckDB's ``ROUND`` is half-away-from-zero — e.g.
+    ``np.round(0.00125, 4) = 0.0012`` vs ``0.0013`` for the other two.
+    The modes diverge only when the unrounded cosine sits essentially ON
+    a ``.00005`` boundary; accumulation-order parity (above) keeps both
+    sides computing the *same* unrounded double, and
+    ``tests/test_similarity.py::test_pair_cosine_kernel_parity_and_tie_distance``
+    asserts no fixture pair lands within 1e-9 of a boundary, so the
+    empirical bit-parity is guarded, not luck.
+
     Built lazily per call: the ``pandas_udf`` wrapper needs an active
     SparkContext, which doesn't exist at import time.
     """

@@ -147,9 +147,14 @@ def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
     engines; ``functions.temporal.epoch_us`` measures the lake's naive
     timestamps identically to DuckDB's ``epoch_us``).
 
-    The open (current) version has ``valid_to_us`` NULL — downstream
-    as-of lookups filter ``valid_from_us <= t < coalesce(valid_to_us,
-    +inf)``.
+    The open (current) version is flagged ``is_current`` and carries the
+    sentinel ``valid_to_us = -1`` instead of NULL — downstream as-of
+    lookups filter ``valid_from_us <= t AND (is_current OR t <
+    valid_to_us)``. The sentinel is deliberate dtype hygiene: a nullable
+    BIGINT column round-trips through pandas as object/None on the Spark
+    side but float64/NaN on the DuckDB side, which broke the driver's
+    value-hash compare in r02 even though every value matched; a
+    non-null BIGINT lands as int64 in both frames.
     """
     e = load_table(spark, "events", sf)
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
@@ -167,12 +172,14 @@ def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     wv = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from_us", 1).over(wv)
     return runs.select(
         "user_id",
         "version",
         "state",
         "valid_from_us",
-        F.lead("valid_from_us", 1).over(wv).alias("valid_to_us"),
+        F.coalesce(nxt, F.lit(-1).cast("long")).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
         "n_events",
     )
 
@@ -198,9 +205,11 @@ grouped AS (
   FROM runs GROUP BY user_id, version
 )
 SELECT user_id, version, state, valid_from_us,
-  LEAD(valid_from_us, 1) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+  COALESCE(LEAD(valid_from_us, 1) OVER w2, -1) AS valid_to_us,
+  LEAD(valid_from_us, 1) OVER w2 IS NULL AS is_current,
   n_events
 FROM grouped
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
 """
 
 

@@ -47,12 +47,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             # integer `div`, not `/`: float division loses precision on
-            # epoch-nanos magnitudes (~1.7e18 > 2^53). Cast to NTZ so
-            # nanos-era reads land on the same type as native reads
-            # (identical wall-clock under the UTC-pinned own session).
+            # epoch-nanos magnitudes (~1.7e18 > 2^53). Build the NTZ
+            # value directly with timestampadd from the naive epoch —
+            # no TIMESTAMP intermediary, so the wall clock is identical
+            # to DuckDB's naive read in ANY session timezone (a
+            # timestamp_micros(...).cast('timestamp_ntz') round trip
+            # would shift by the zone offset in unconfigured sessions).
             df = df.withColumn(
                 col,
-                F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz"),
+                F.expr(
+                    f"timestampadd(MICROSECOND, {col} div 1000, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
             )
     return df
 

@@ -55,9 +55,14 @@ def events_stream_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if isinstance(batch_schema["ts"].dataType, T.LongType):
-        # nanos-era fixture: INT64 nanos -> micros -> naive timestamp
+        # nanos-era fixture: INT64 nanos -> naive timestamp, built
+        # timezone-independently (same rationale as sources.lake).
         raw = raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
         )
     return raw
 
@@ -355,13 +360,24 @@ def run_stream_to_memory(
     single-file micro-batches, 32 state stores are pure fixed overhead
     (each pays open/commit per batch), so the query starts under a lean
     partition count; a production deployment sizes it to state volume
-    instead. The conf is restored after the stream stops — queries in
-    the driver/bench/tests run sequentially, so nothing else observes
-    the temporary value."""
+    instead.
+
+    The session timezone is pinned to UTC for the stream's lifetime:
+    the watermark stages cast NTZ->TIMESTAMP->NTZ, a wall-clock-exact
+    round trip in any fixed zone, but window *alignment* needs a
+    whole-hour UTC offset. The driver runs these queries in its own
+    unconfigured session, which in a half-hour zone (Asia/Kolkata,
+    Iran, Nepal, Newfoundland) would shift window_start by the
+    fractional offset and break the oracle compare. Both confs are
+    restored after the stream stops — queries in the driver/bench/tests
+    run sequentially, so nothing else observes the temporary values."""
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
+    tz_key = "spark.sql.session.timeZone"
     saved = spark.conf.get(key)
+    saved_tz = spark.conf.get(tz_key)
     spark.conf.set(key, "8")
+    spark.conf.set(tz_key, "UTC")
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -375,6 +391,7 @@ def run_stream_to_memory(
             q.stop()
     finally:
         spark.conf.set(key, saved)
+        spark.conf.set(tz_key, saved_tz)
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -73,9 +73,9 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         ap = approx[et]
         # HLL++ at rsd=0.02: allow 10% slack on small counts
         assert abs(ap.approx_users - ex.users) <= max(2, 0.1 * ex.users)
-        p50 = ap.value_quantiles[0]
         lo, hi = sorted((ex.p50 * 0.5, ex.p50 * 1.5))
-        assert lo <= p50 <= hi or abs(p50 - ex.p50) < 1.0
+        assert lo <= ap.q50 <= hi or abs(ap.q50 - ex.p50) < 1.0
+        assert ap.q50 <= ap.q95 <= ap.q99
 
 
 def test_quantile_gate_keeps_top_half_by_length(spark, sf_dir):

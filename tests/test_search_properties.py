@@ -91,3 +91,30 @@ def test_strategies_match_python_oracle(spark, strategy, postings, query):
     got_cols = {(r.table, r.column): r.join_score for r in col.collect()}
     for tc, s in got_cols.items():
         assert want_cols.get(tc) == s
+
+
+def test_row_cell_granularity_aliases_identical(spark):
+    """The reference's -row/-cell granularity strategies (main.py:19-21,
+    Seq_Search.py:153-166/:203-215) return results identical to
+    column-wise — the thesis's own finding, which is why the engine
+    exposes them as aliases of the default probe. This differential is
+    the citation the README/CLI subsumption note points at."""
+    postings = [
+        ("k0", 1, 0, 0), ("k1", 1, 1, 0), ("k2", 1, 0, 1),
+        ("k0", 2, 0, 0), ("k1", 2, 0, 1), ("k0", 2, 1, 1),
+        ("k3", 3, 2, 4), ("k0", 3, 0, 4), ("k1", 3, 1, 4),
+    ]
+    query = [("k0", "k1"), ("k2", "k3"), ("k0", "k0")]
+    pdf = spark.createDataFrame(postings, "key string, table int, column int, row bigint")
+    qdf = spark.createDataFrame(query, "a string, b string")
+    results = {}
+    for strategy in ("rare_key", "mapkey", "row", "cell"):
+        tbl, col = multi_attribute_join_search(pdf, qdf, ["a", "b"], strategy=strategy)
+        results[strategy] = (
+            [tuple(r) for r in tbl.collect()],
+            [tuple(r) for r in col.collect()],
+        )
+    base = results["rare_key"]
+    assert base[0], "fixture produced no matches"
+    for strategy, got in results.items():
+        assert got == base, f"strategy {strategy} diverged"

@@ -82,6 +82,57 @@ def test_near_dup_more_bits_is_subset(spark, sf_dir):
     assert p8 <= p6
 
 
+def test_pair_cosine_kernel_parity_and_tie_distance(spark, sf_dir):
+    """Bit parity of the Arrow pair-cosine kernel with the native
+    expression, plus the tie-distance guard that makes the parity
+    stable: np.round (half-to-even) and F.round/DuckDB ROUND (HALF_UP /
+    half-away) can only disagree when the unrounded cosine sits
+    essentially ON a .00005 boundary, so assert no candidate pair does.
+    """
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
+        BUCKET_DIMS,
+        _bucket,
+        _cosine_pre,
+        _dot,
+        _dvec,
+        _np_cosine_pre,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    emb = _dvec("embedding")
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        "embedding",
+        _bucket(F.col("embedding"), BUCKET_DIMS).alias("bucket"),
+        _dot(emb, emb).alias("_sq"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("_sq").alias("_sq_a"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("_sq").alias("_sq_b"), "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    native_raw = _cosine_pre(
+        _dvec("emb_a"), _dvec("emb_b"), F.col("_sq_a"), F.col("_sq_b")
+    )
+    rows = pairs.select(
+        _np_cosine_pre("emb_a", "emb_b", "_sq_a", "_sq_b").alias("kernel"),
+        F.round(native_raw, 4).alias("native"),
+        native_raw.alias("raw"),
+    ).collect()
+    assert rows, "no candidate pairs in fixture"
+    mismatches = [r for r in rows if r.kernel != r.native]
+    assert not mismatches, f"{len(mismatches)} kernel/native round mismatches"
+    # distance of the unrounded value from the nearest x.xxxx5 boundary
+    min_tie = min(abs((abs(r.raw) * 10000.0) % 1.0 - 0.5) / 10000.0 for r in rows)
+    assert min_tie > 1e-9, f"cosine within {min_tie} of a rounding boundary"
+
+
 def test_multiprobe_recovers_sibling_bucket_pairs(spark, sf_dir):
     """1-bit multi-probe finds every single-probe pair plus only pairs
     whose sign buckets differ in exactly one bit."""

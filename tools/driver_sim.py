@@ -88,6 +88,25 @@ def main() -> None:
                 failures.append(name)
                 print(f"FAIL  {name}: values differ — {str(exc).splitlines()[-1]}")
                 continue
+            # Dtype-stability gate: r02's scd2_user_state was value-equal
+            # here but hash-red at the driver because a nullable BIGINT
+            # came back object/None from Spark and float64/NaN from
+            # DuckDB. An object-vs-numeric dtype split is exactly that
+            # failure class — treat it as red even though values match.
+            unstable = [
+                c
+                for c in actual.columns
+                if (str(actual[c].dtype) == "object") != (str(expected[c].dtype) == "object")
+            ]
+            if unstable:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: dtype-unstable columns {unstable} "
+                    f"(spark {[str(actual[c].dtype) for c in unstable]} vs "
+                    f"oracle {[str(expected[c].dtype) for c in unstable]}) — "
+                    "value-equal but the driver's hash will diverge on None/NaN"
+                )
+                continue
             print(f"ok    {name}: {len(actual)} rows hash-equal")
         except Exception:
             failures.append(name)

@@ -438,9 +438,29 @@ FROM purch p JOIN clicks c
 """
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (driver-gated stateful-dedup proof): the source
+    stream unioned with itself — every event arrives twice — must
+    collapse back to exactly the original corpus through
+    ``dropDuplicatesWithinWatermark``. The duplicate rows are
+    byte-identical, so keep-first arrival nondeterminism cannot show in
+    the output and the oracle (the events table itself) is exact. The
+    ingestion-dedup contract on *conflicting* duplicates is pytest
+    territory (``tests/test_streaming.py``)."""
+    src = events_stream_from_parquet(spark, sf_dir)
+    out = dedup_within_watermark_stream(src.union(src))
+    return run_stream_to_memory(out, "stream_dedup_sink", "append")
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
 STREAM_QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_counts": QuerySpec(stream_tumbling_counts, STREAM_TUMBLING_SQL),
     "stream_sessionize": QuerySpec(stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_static_enrich": QuerySpec(stream_static_enrich, STREAM_STATIC_SQL),
     "stream_stream_attrib": QuerySpec(stream_stream_attribution, STREAM_STREAM_SQL),
+    "stream_dedup_watermark": QuerySpec(stream_dedup_events, STREAM_DEDUP_SQL),
 }

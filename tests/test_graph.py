@@ -44,3 +44,41 @@ def test_canonical_keeps_one_doc_per_cluster(spark, sf_dir):
     assert n_docs - len(kept) == len(clustered) - len(reps)
     assert reps <= kept
     assert not (clustered - reps) & kept
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Property check behind the seeded-label optimization: on random
+    graphs (including long chains, the worst case for neighborhood-min
+    seeding) the converged labels must equal an independent union-find's
+    component minima."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n = rng.randrange(8, 40)
+        m = rng.randrange(4, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        # force one long chain so convergence needs multiple rounds
+        chain = rng.sample(range(n), min(n, 9))
+        edges += list(zip(chain, chain[1:]))
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        touched = {x for uv in edges for x in uv}
+        want = {}
+        for x in touched:
+            root = find(x)
+            want.setdefault(root, []).append(x)
+        expect = {x: min(members) for root, members in want.items() for x in members}
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.label for r in connected_components(df).collect()}
+        assert got == expect, f"trial {trial}: {got} != {expect}"

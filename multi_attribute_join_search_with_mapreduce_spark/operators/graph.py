@@ -121,6 +121,106 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
     return labels
 
 
+def _star_min(e: DataFrame) -> DataFrame:
+    """Per node, the min over its closed out-neighborhood: m(u) =
+    min({u} ∪ {v : (u,v) ∈ e})."""
+    return (
+        e.groupBy("src")
+        .agg(F.min("dst").alias("_n"))
+        .select("src", F.least(F.col("src"), F.col("_n")).alias("m"))
+    )
+
+
+def connected_components_alternating(
+    edges: DataFrame, max_rounds: int = 2 * _MAX_ROUNDS
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds on ANY graph shape, including the
+    long-chain adversarial case where min-label propagation needs
+    diameter rounds.
+
+    Same contract as :func:`connected_components`: ``(id, label)`` per
+    node appearing in ``edges``, label = component min.
+
+    Per round: large-star hangs every node's larger neighbors off its
+    closed-neighborhood min; small-star then hangs the smaller
+    neighbors (and the node itself) off that min. Both are one
+    aggregate + one join over the edge list — the same DataFrame shape
+    per round as the propagation loop, but the edge list itself
+    contracts toward per-component stars, so round count is
+    logarithmic in component size rather than linear in diameter.
+    Convergence is a (count, xxhash64-sum) checksum of the edge set —
+    two scalars per round, data never touches the driver.
+
+    Use this for unknown/adversarial graph topologies; near-dup LSH
+    graphs are near-cliques where the simple seeded propagation loop
+    wins by skipping the second per-round join (see module docstring).
+    """
+    inp = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    # all nodes, including self-loop-only ones the star rounds drop
+    nodes = inp.select(F.col("src").alias("id")).union(
+        inp.select(F.col("dst").alias("id"))
+    ).distinct()
+    # canonical (larger, smaller) orientation, self-loops out.
+    # localCheckpoint (not persist): each round's plan references the
+    # previous edge set ~8× (sym twice, the star join, both small-star
+    # halves), so without lineage truncation the logical plan grows
+    # 8^rounds and the DRIVER dies building plan trees long before any
+    # executor moves data. Checkpoint blocks are reclaimed by the
+    # ContextCleaner once the previous generation goes unreferenced.
+    cur = (
+        inp.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        sym = cur.union(cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # large-star: ∀ v ∈ Γ(u), v > u: edge (v, m(u))
+        large = (
+            sym.join(_star_min(sym), "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star on the (larger → smaller) edges: ∀ v ∈ Γ⁻(u) ∪ {u}:
+        # edge (v, m(u)); every emitted pair stays (larger, smaller)
+        m_small = large.groupBy("src").agg(F.min("dst").alias("m"))
+        halves = large.join(m_small, "src")
+        new = (
+            halves.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(halves.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # decimal sum: long hash values overflow an ANSI BIGINT sum
+        sig_row = new.agg(
+            F.count("*").alias("c"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (sig_row["c"], sig_row["h"])
+        cur = new
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: cur is a star forest (child → component min)
+    star = cur.select(F.col("src").alias("id"), F.col("dst").alias("label")).union(
+        cur.select(F.col("dst").alias("id"), F.col("dst").alias("label"))
+    ).distinct()
+    # cur is checkpointed: the returned frame's lineage reads the
+    # materialized blocks, not the iteration chain
+    return nodes.join(star, "id", "left").select(
+        "id", F.coalesce("label", "id").alias("label")
+    )
+
+
 def _candidate_edges(spark: SparkSession, sf: str) -> DataFrame:
     return (
         near_dup_candidates(spark, sf)
@@ -162,6 +262,67 @@ def dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic (embedding-space) near-duplicate clusters: sign-bucket
+    pruned cosine pairs (``embedding_near_dup``) as edges, transitively
+    closed with the alternating large-star/small-star components — the
+    O(log n)-round algorithm, driver-gated here on real pair data.
+
+    Complements the text-side ``dedup_clusters`` (MinHash/LSH lexical
+    near-dups): embedding cosine catches paraphrases and translations
+    that share no shingles. Output: each clustered vector, its cluster
+    id (min vec_id reachable) and cluster size.
+
+    100 TB: edges are bucket-pruned pairs (never vectors²); the
+    alternating rounds shuffle only (long, long) edges and contract the
+    edge list each round, so worst-case chains of borderline-similar
+    embeddings (a real failure mode of cosine graphs — mutation chains
+    drift A≈B≈C with A̸≈C) still converge in O(log n) rounds.
+    """
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import embedding_near_dup
+
+    edges = embedding_near_dup(spark, sf, ordered=False).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components_alternating(edges).select(
+        F.col("id").alias("vec_id"), F.col("label").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select("vec_id", "cluster_id", "cluster_size")
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import EMB_NEAR_DUP_SQL
+
+    return f"""
+WITH RECURSIVE cand AS (
+  SELECT vec_a, vec_b FROM ({EMB_NEAR_DUP_SQL})
+),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM cand
+  UNION ALL
+  SELECT vec_b, vec_a FROM cand
+),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+SELECT c.vec_id, c.cluster_id, s.cluster_size
+FROM comp c
+JOIN (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+) s USING (cluster_id)
+ORDER BY c.vec_id
+"""
 
 
 def _cc_ctes() -> str:
@@ -209,4 +370,5 @@ ORDER BY d.doc_id
 GRAPH_QUERIES: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_canonical": QuerySpec(dedup_canonical, DEDUP_CANONICAL_SQL),
+    "semantic_dedup": QuerySpec(semantic_dedup, _semantic_dedup_sql()),
 }

@@ -251,7 +251,7 @@ EMB_NEAR_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal; p99 i
 
 
 def embedding_near_dup(
-    spark: SparkSession, sf: str, bits: int = BUCKET_DIMS
+    spark: SparkSession, sf: str, bits: int = BUCKET_DIMS, ordered: bool = True
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -283,13 +283,17 @@ def embedding_near_dup(
         F.col("_sq").alias("_sq_b"), "bucket",
     )
     cos = _np_cosine_pre("emb_a", "emb_b", "_sq_a", "_sq_b")
-    return (
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
-        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
     )
+    if not ordered:
+        # edge-list consumers (semantic_dedup clustering) — a global
+        # sort exchange before another shuffle is pure waste
+        return pairs
+    return pairs.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
 
 
 EMB_NEAR_DUP_SQL = f"""

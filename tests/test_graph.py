@@ -6,6 +6,7 @@ from __future__ import annotations
 from multi_attribute_join_search_with_mapreduce_spark.operators.graph import (
     _candidate_edges,
     connected_components,
+    connected_components_alternating,
     dedup_canonical,
     dedup_clusters,
 )
@@ -82,3 +83,44 @@ def test_connected_components_random_vs_union_find(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r.id: r.label for r in connected_components(df).collect()}
         assert got == expect, f"trial {trial}: {got} != {expect}"
+        got_alt = {
+            r.id: r.label for r in connected_components_alternating(df).collect()
+        }
+        assert got_alt == expect, f"trial {trial} (alternating): {got_alt} != {expect}"
+
+
+def test_alternating_components_hand_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (30, 30)],
+        "src long, dst long",
+    )
+    got = {r.id: r.label for r in connected_components_alternating(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_alternating_components_long_chain(spark):
+    """The adversarial case the algorithm exists for: a 64-node path has
+    diameter 63 but must converge in O(log n) star rounds."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r.id: r.label
+        for r in connected_components_alternating(edges, max_rounds=14).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_semantic_dedup_clusters_cover_pairs(spark, sf_dir):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import semantic_dedup
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import embedding_near_dup
+
+    cluster_of = {r.vec_id: r.cluster_id for r in semantic_dedup(spark, sf_dir).collect()}
+    pairs = embedding_near_dup(spark, sf_dir, ordered=False).collect()
+    assert pairs, "fixture should produce at least one near-dup pair"
+    for p in pairs:
+        assert cluster_of[p.vec_a] == cluster_of[p.vec_b]
+    for vec, cid in cluster_of.items():
+        assert cluster_of[cid] == cid
+        assert cid <= vec

@@ -482,7 +482,91 @@ GROUP BY doc_id
 """
 
 
+# --- exact-size stratified sample (per-source cap) -------------------------
+
+_STRAT_N = 30  # keep at most N docs per source
+_STRAT_MARGIN = 1.3  # prefilter overshoot factor
+
+
+def stratified_sample_exact(
+    spark: SparkSession, sf: str, n: int = _STRAT_N, margin: float = _STRAT_MARGIN
+) -> DataFrame:
+    """Keep exactly ``min(n, |stratum|)`` documents per source — the
+    per-domain cap of crawl pipelines — deterministically (smallest
+    ``md5(doc_id)`` values win; no RNG, reproducible across engines).
+
+    ``mixture_sample`` keeps a *rate*; caps need an exact *count*, i.e.
+    a per-stratum order statistic. The naive plan — one row_number
+    window over the whole corpus — funnels each stratum's 100 TB share
+    through a single task. Instead:
+
+    1. per-source counts (one map-side-combined aggregate);
+    2. map-side hash prefilter at ``margin * n / count`` of hash space —
+       survivors are a *prefix* of each stratum's hash order, expected
+       size ``margin * n``;
+    3. exact row_number window over the survivors only.
+
+    The prefix property makes the result exact whenever a stratum keeps
+    ≥ min(n, count) survivors; strata where the prefilter undershot
+    (P(Binomial(count, margin·n/count) < n) — sub-1e-3 at margin 1.3,
+    shrinking with n) are detected by a survivor recount and routed
+    through the unfiltered window, so the output is exact always, and
+    the heavy path is bounded at ~margin·n rows per stratum regardless
+    of corpus size. The counts side of the joins is aggregate-reduced
+    (one row per source) — left to the planner: broadcast while domain
+    cardinality is small, shuffle join when it is itself huge.
+    """
+    h = F.md5(F.col("doc_id").cast("string"))
+    d = load_table(spark, "documents", sf).select("doc_id", "source", h.alias("hkey"))
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    need = F.least(F.lit(n), F.col("n_src"))
+    frac = F.least(F.lit(1.0), F.lit(margin * n) / F.col("n_src"))
+    hash_int = F.conv(F.substring("hkey", 1, 8), 16, 10).cast("double")
+    dd = d.join(counts, "source")
+    surv = dd.filter(hash_int < frac * F.lit(float(2**32)))
+    undershot = (
+        counts.join(
+            surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_surv")),
+            "source",
+            "left",
+        )
+        .filter(F.coalesce(F.col("n_surv"), F.lit(0)) < need)
+        .select("source")
+    )
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    rn = F.row_number().over(w)
+    good = (
+        surv.join(undershot, "source", "left_anti")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= n)
+    )
+    rescue = (
+        dd.join(undershot, "source", "left_semi")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= n)
+    )
+    return (
+        good.unionByName(rescue)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_STRAT_N}
+ORDER BY source, doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
+    "stratified_sample_exact": QuerySpec(stratified_sample_exact, STRATIFIED_SAMPLE_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
     "mixture_sample": QuerySpec(mixture_sample, MIXTURE_SAMPLE_SQL),
     "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_SQL),

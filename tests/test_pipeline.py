@@ -132,3 +132,24 @@ def test_chunk_documents_invariants(spark, sf_dir):
         # full coverage: the last chunk must reach the final token
         last = chunks[-1]
         assert last.chunk_id * _CHUNK_STRIDE + len(last.chunk_text.split()) >= len(toks)
+
+
+def test_stratified_sample_exact_counts_and_margin_independence(spark, sf_dir):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import stratified_sample_exact
+
+    n = 7
+    docs = load_table(spark, "documents", sf_dir)
+    src_counts = {r.source: r.c for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+
+    kept = stratified_sample_exact(spark, sf_dir, n=n).collect()
+    per_src: dict[str, int] = {}
+    for r in kept:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    assert per_src == {s: min(n, c) for s, c in src_counts.items()}
+
+    # margin=0 starves the prefilter: every stratum is rescued through
+    # the unfiltered window — the result must be identical
+    rescued = stratified_sample_exact(spark, sf_dir, n=n, margin=0.0).collect()
+    assert sorted((r.source, r.doc_id) for r in rescued) == sorted(
+        (r.source, r.doc_id) for r in kept
+    )

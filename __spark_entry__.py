@@ -178,7 +178,12 @@ def registry() -> dict[str, QuerySpec]:
         "rare_token_stats", "stream_stream_attrib", "window_range_trailing",
     ]
     red_r02 = ["approx_sketches", "scd2_user_state"]
-    new_r03 = ["mjs_search_bucketed_index", "stream_dedup_watermark", "semantic_dedup"]
+    new_r03 = [
+        "mjs_search_bucketed_index",
+        "stream_dedup_watermark",
+        "semantic_dedup",
+        "stratified_sample_exact",
+    ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}
     ordered.update((n, s) for n, s in merged.items() if n not in ordered)

@@ -88,7 +88,7 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
         .persist()
     )
     labels = generation
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         prop = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("label"), F.lit(0).alias("_own")
         )
@@ -105,8 +105,12 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("_own") == 1, F.col("label"))).alias("_old"),
             )
-            .persist()
         )
+        # each round's plan embeds the previous generation several
+        # times; periodic localCheckpoint keeps the logical plan
+        # bounded over deep (high-diameter) iterations — the near-clique
+        # common case breaks out before ever paying for one
+        new_gen = new_gen.localCheckpoint() if rnd % 4 == 3 else new_gen.persist()
         changed = new_gen.filter(F.col("label") != F.col("_old")).count()
         # unpersist the exact cached handle (a projection's unpersist
         # would be a no-op and leak one generation per round)
@@ -115,6 +119,17 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
         labels = new_gen.select("id", "label")
         if changed == 0:
             break
+    else:
+        # silently returning a non-fixpoint would hand callers WRONG
+        # cluster labels; diameter > max_rounds is exactly the workload
+        # the alternating algorithm exists for
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds the budget); use "
+            "connected_components_alternating, which needs O(log n) rounds "
+            "on any topology"
+        )
     # labels was materialized by the convergence count; the edge cache
     # is no longer needed by its lineage.
     sym.unpersist()

@@ -124,3 +124,17 @@ def test_semantic_dedup_clusters_cover_pairs(spark, sf_dir):
     for vec, cid in cluster_of.items():
         assert cluster_of[cid] == cid
         assert cid <= vec
+
+
+def test_propagation_raises_on_diameter_overrun(spark):
+    """A non-fixpoint must never be returned silently: a 64-node path
+    exceeds the round budget and must raise, naming the alternating
+    algorithm; the alternating version solves the identical input."""
+    import pytest
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="alternating"):
+        connected_components(edges, max_rounds=10)

@@ -40,6 +40,10 @@ SMJ_ALLOWED = {
     # scale side turns out small.
     "dedup_clusters",
     "dedup_canonical",
+    # same shape over the embedding-pair components: checkpointed label
+    # frames carry no static size estimate and are corpus-scale at
+    # 100 TB; AQE broadcasts at runtime where the fixture side is small.
+    "semantic_dedup",
     # tokens⨝vocab on term: the vocabulary is corpus-derived (fact-
     # sized at 100 TB), so the static plan is rightly SMJ; AQE converts
     # to broadcast at runtime when the fixture vocabulary is small.

@@ -32,6 +32,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.similarity impor
 from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
     MULTIMODAL_QUERIES,
 )
+from multi_attribute_join_search_with_mapreduce_spark.operators.discovery import DISCOVERY_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.fuzzy import FUZZY_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.graph import GRAPH_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import PIPELINE_QUERIES
@@ -165,6 +166,7 @@ def registry() -> dict[str, QuerySpec]:
         SEARCH_QUERIES,
         RELATIONAL_QUERIES,
         QUALITY_QUERIES,
+        DISCOVERY_QUERIES,
     )
     # Round-3 window (the driver checks the first ~50 entries): lead
     # with the 9 queries that have never had a driver correctness row
@@ -183,6 +185,7 @@ def registry() -> dict[str, QuerySpec]:
         "stream_dedup_watermark",
         "semantic_dedup",
         "stratified_sample_exact",
+        "lake_join_graph",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -138,3 +138,33 @@ def test_propagation_raises_on_diameter_overrun(spark):
     )
     with pytest.raises(RuntimeError, match="alternating"):
         connected_components(edges, max_rounds=10)
+
+
+def test_join_graph_hot_key_cap_and_partial_containment(spark):
+    """Synthetic lake for the discovery core: partial containment is
+    computed over capped key sets, and a hot key glueing five columns is
+    dropped by the cap (JOSIE-style posting-length prune)."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.discovery import (
+        join_graph_from_postings,
+    )
+
+    rows = []
+    for k in "abcd":
+        rows.append((k, 1, 0, 0))
+    for k in "abx":
+        rows.append((k, 2, 0, 0))
+    rows.append(("q", 3, 0, 0))
+    for t in (1, 2, 3, 4, 5):  # 'h' present in 5 columns
+        rows.append(("h", t, 0, 0))
+    postings = spark.createDataFrame(rows, "key string, table int, column int, row long")
+
+    capped = join_graph_from_postings(postings, tau=0.5, max_key_cols=4).collect()
+    assert [(r.table_a, r.table_b, r.n_common, r.n_a, r.n_b, r.containment)
+            for r in capped] == [(1, 2, 2, 4, 3, 0.6667)]
+
+    uncapped = join_graph_from_postings(postings, tau=0.5, max_key_cols=100).collect()
+    got = {(r.table_a, r.table_b): r.containment for r in uncapped}
+    # the hot key now glues the singleton columns at full containment
+    assert got[(3, 4)] == 1.0 and got[(4, 5)] == 1.0
+    # 'h' joins both sets: common {a,b,h}, min size 4
+    assert got[(1, 2)] == 0.75

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from multi_attribute_join_search_with_mapreduce_spark.index import (
     LAKE_TABLES,
     TableSpec,
-    build_posting_index,
+    cached_posting_index,
     posting_index_sql,
 )
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
@@ -115,8 +115,10 @@ def join_graph_from_postings(
 
 
 def lake_join_graph(spark: SparkSession, sf: str) -> DataFrame:
+    # memoized like the search probes: index construction is an
+    # ingest-time step, discovery is a query over it
     return join_graph_from_postings(
-        build_posting_index(spark, sf, DISCOVERY_TABLES)
+        cached_posting_index(spark, sf, DISCOVERY_TABLES)
     )
 
 

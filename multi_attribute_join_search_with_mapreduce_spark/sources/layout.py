@@ -133,3 +133,28 @@ def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Idempotent partition-level re-ingest: replace ONLY the partitions
+    ``df`` contains rows for, leaving every other partition's files
+    untouched (dynamic partition overwrite).
+
+    The daily-rerun pattern of a partitioned lake: re-processing one
+    day must not truncate the table (static overwrite mode does) and
+    must not duplicate rows (append mode does). Re-running the same
+    write is a no-op state-wise — exactly-once by idempotence. The
+    session's ``partitionOverwriteMode`` is scoped to this write and
+    restored after, so an unconfigured (driver) session is safe.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -74,3 +74,47 @@ def test_write_refuses_to_clobber(spark, sf_dir, tmp_path):
     write_parquet(n, out)
     with pytest.raises(Exception):
         write_parquet(n, out)  # mode='error' must not silently overwrite
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, sf_dir, tmp_path):
+    """Rewriting one partition replaces only that partition: untouched
+    partitions keep their files byte-for-byte, the rewritten one holds
+    exactly the new rows, and re-running the same write changes
+    nothing (exactly-once by idempotence)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from multi_attribute_join_search_with_mapreduce_spark.sources.layout import overwrite_partitions
+
+    dst = str(tmp_path / "events_by_type")
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "event_type")
+    overwrite_partitions(ev, dst, "event_type")
+
+    def files_with_mtime(part):
+        d = os.path.join(dst, f"event_type={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_view = files_with_mtime("view")
+    # re-process only the 'click' slice with a transformed payload
+    clicks = ev.filter(F.col("event_type") == "click").withColumn(
+        "user_id", F.col("user_id") + 1000000
+    )
+    overwrite_partitions(clicks, dst, "event_type")
+
+    got = spark.read.parquet(dst)
+    n_click = clicks.count()
+    n_total = got.count()
+    assert got.filter("event_type = 'click'").count() == n_click
+    assert got.filter("event_type = 'click' AND user_id < 1000000").count() == 0
+    # untouched partition: same files, same mtimes
+    assert files_with_mtime("view") == before_view
+    # idempotent re-run: same row multiset (fresh read — the rerun
+    # replaced the click partition's files)
+    overwrite_partitions(clicks, dst, "event_type")
+    assert spark.read.parquet(dst).count() == n_total

@@ -99,14 +99,21 @@ def join_graph_from_postings(
     containment = F.round(
         F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")), 4
     )
+    # directional containments orient the edge: c_a_in_b ≈ 1 with a
+    # much larger B is the fk→pk signature (A's values live inside B's
+    # domain)
+    c_a_in_b = F.round(F.col("n_common") / F.col("n_a"), 4)
+    c_b_in_a = F.round(F.col("n_common") / F.col("n_b"), 4)
     return (
         overlap.join(sz("table_a", "col_a", "n_a"), ["table_a", "col_a"])
         .join(sz("table_b", "col_b", "n_b"), ["table_b", "col_b"])
         .withColumn("containment", containment)
+        .withColumn("c_a_in_b", c_a_in_b)
+        .withColumn("c_b_in_a", c_b_in_a)
         .filter(F.col("containment") >= tau)
         .select(
             "table_a", "col_a", "table_b", "col_b",
-            "n_common", "n_a", "n_b", "containment",
+            "n_common", "n_a", "n_b", "containment", "c_a_in_b", "c_b_in_a",
         )
         .orderBy(
             F.desc("containment"), "table_a", "col_a", "table_b", "col_b"
@@ -146,7 +153,9 @@ overlap AS (
 )
 SELECT o.table_a, o.col_a, o.table_b, o.col_b, o.n_common,
        sa.n_keys AS n_a, sb.n_keys AS n_b,
-       ROUND(o.n_common / LEAST(sa.n_keys, sb.n_keys), 4) AS containment
+       ROUND(o.n_common / LEAST(sa.n_keys, sb.n_keys), 4) AS containment,
+       ROUND(o.n_common / sa.n_keys, 4) AS c_a_in_b,
+       ROUND(o.n_common / sb.n_keys, 4) AS c_b_in_a
 FROM overlap o
 JOIN sizes sa ON sa."table" = o.table_a AND sa."column" = o.col_a
 JOIN sizes sb ON sb."table" = o.table_b AND sb."column" = o.col_b

@@ -365,3 +365,25 @@ MULTIMODAL_QUERIES: dict[str, QuerySpec] = {
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
     "media_decode": QuerySpec(media_decode, MEDIA_DECODE_SQL),
 }
+
+
+def read_media_files(spark: SparkSession, path: str) -> DataFrame:
+    """Object-store ingest for the media pipeline: a ``binaryFile`` scan
+    mapped into the ``(media_id, kind, payload)`` relation
+    :func:`decode_media` consumes. Filename convention
+    ``media_<id>.<bmp|wav>`` (id from the name, kind from the
+    extension).
+
+    Scale notes: ``binaryFile`` packs many small objects per task up to
+    ``spark.sql.files.maxPartitionBytes`` (no task-per-file explosion)
+    and prunes by ``pathGlobFilter`` at the source, so this is the real
+    100 TB media-lake entry point — the decode/feature kernels never
+    know whether payloads came from parquet columns or raw objects.
+    """
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "media_*").load(path)
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    return raw.select(
+        F.regexp_extract(name, r"media_(\d+)\.", 1).cast("bigint").alias("media_id"),
+        F.when(name.endswith(".bmp"), "image").otherwise("audio").alias("kind"),
+        F.col("content").alias("payload"),
+    )

@@ -158,3 +158,21 @@ def overwrite_partitions(df: DataFrame, path: str, *partition_cols: str) -> None
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "error") -> None:
+    """XML sink (built into Spark 4 — the old spark-xml package moved
+    in-core). Interop format for feeds that still speak XML; not a
+    performance path."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: str, row_tag: str = "row") -> DataFrame:
+    """XML source with an explicit schema — inference over XML is a
+    full extra pass and type-guesses; production reads pin the schema."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )

@@ -110,3 +110,16 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     assert back.schema == nation.schema
     assert back.exceptAll(nation).count() == 0
     assert nation.exceptAll(back).count() == 0
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from multi_attribute_join_search_with_mapreduce_spark.sources.layout import read_xml, write_xml
+
+    src = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    dst = str(tmp_path / "nation_xml")
+    write_xml(src, dst, row_tag="nation")
+    back = read_xml(spark, dst, "n_nationkey bigint, n_name string", row_tag="nation")
+    assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == sorted(
+        (r.n_nationkey, r.n_name) for r in src.collect()
+    )

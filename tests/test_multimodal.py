@@ -82,3 +82,29 @@ def test_bmp_wav_decode_kernels_are_real(spark, sf_dir):
     imgs = [r for r in rows if r.kind == "image"]
     assert all(r.n_units == r.width * r.height for r in imgs)
     assert all(r.sample_rate == 16000 for r in rows if r.kind == "audio")
+
+
+def test_binary_file_ingest_matches_columnar_decode(spark, tmp_path):
+    """The object-store entry point: BMP/WAV payloads written as files,
+    re-ingested through a binaryFile scan, must decode identically to
+    the columnar (parquet-style) path."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
+        decode_media,
+        encode_media,
+        read_media_files,
+        synthetic_raw_media,
+    )
+
+    encoded = encode_media(synthetic_raw_media(spark))
+    media_dir = tmp_path / "objects"
+    media_dir.mkdir()
+    for r in encoded.collect():  # test-side materialization, 64 tiny blobs
+        ext = "bmp" if r.kind == "image" else "wav"
+        (media_dir / f"media_{r.media_id}.{ext}").write_bytes(bytes(r.payload))
+    # a non-matching object the glob must prune
+    (media_dir / "README.txt").write_bytes(b"not media")
+
+    via_files = decode_media(read_media_files(spark, str(media_dir))).collect()
+    via_cols = decode_media(encoded).collect()
+    assert sorted([tuple(r) for r in via_files]) == sorted([tuple(r) for r in via_cols])
+    assert len(via_files) == encoded.count()

@@ -186,6 +186,7 @@ def registry() -> dict[str, QuerySpec]:
         "semantic_dedup",
         "stratified_sample_exact",
         "lake_join_graph",
+        "gap_fill_hourly",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -217,7 +217,84 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filled hourly rollup per event type with forward-filled
+    totals — the hypertable ``time_bucket_gapfill + locf`` operator:
+    every (type, hour) slot exists even when no event landed in it,
+    counts fill with 0, running totals carry the last observed value.
+
+    Plan: the fact table is touched by ONE hourly aggregate (map-side
+    combinable); the hour spine is *generated* — ``sequence`` over the
+    1-row global min/max bounds, broadcast-crossed with the distinct
+    key list — |keys|x|buckets| narrow rows that never shuffle the
+    facts. The left join keys on (hour, type); locf is a per-key
+    ordered window whose partitions are bounded by the bucket count,
+    not the event count.
+    """
+    e = load_table(spark, "events", sf)
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast(DEC)).alias("_v"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    keys = e.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(keys))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("hour_start"),
+            "event_type",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(
+                F.last("_v", ignorenulls=True).over(w).cast("double"), F.lit(0.0)
+            ).alias("filled_total"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+spine AS (
+  SELECT h, event_type FROM hours
+  CROSS JOIN (SELECT DISTINCT event_type FROM events)
+)
+SELECT s.h AS hour_start, s.event_type AS event_type,
+  CAST(COALESCE(hr.n, 0) AS BIGINT) AS n_events,
+  COALESCE(CAST(last_value(hr.v IGNORE NULLS) OVER (
+      PARTITION BY s.event_type ORDER BY s.h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 0.0)
+    AS filled_total
+FROM spine s
+LEFT JOIN hourly hr ON s.h = hr.h AND s.event_type = hr.event_type
+ORDER BY hour_start, s.event_type
+"""
+
+
 EVENT_QUERIES: dict[str, QuerySpec] = {
+    "gap_fill_hourly": QuerySpec(gap_fill_hourly, GAP_FILL_SQL),
     "tumbling_window_counts": QuerySpec(tumbling_window_counts, TUMBLING_SQL),
     "sliding_window_counts": QuerySpec(sliding_window_counts, SLIDING_SQL),
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL),

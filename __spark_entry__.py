@@ -187,6 +187,7 @@ def registry() -> dict[str, QuerySpec]:
         "stratified_sample_exact",
         "lake_join_graph",
         "gap_fill_hourly",
+        "doc_length_quartiles",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

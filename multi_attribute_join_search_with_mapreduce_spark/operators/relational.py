@@ -577,7 +577,45 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def doc_length_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT per-group order statistics (vs the HLL/KLL *approx*
+    sketches in ``pipeline.approx_sketches``): p25/p50/p75 of document
+    length per source, one pass, linear interpolation.
+
+    Cross-engine determinism: the percentiles interpolate between
+    BIGINT ranks — a + f*(b-a) with f in {0,.25,.5,.75} is exact in
+    IEEE doubles for integer inputs, so the value-hash is bit-stable
+    without rounding. At scale Spark's ``percentile`` is a per-group
+    sort of that group's values only (not a global sort); groups are
+    source-cardinality, partitions stay balanced.
+    """
+    d = load_table(spark, "documents", sf)
+    q = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        d.groupBy("source")
+        .agg(q.alias("_q"), F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p75"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_LENGTH_QUARTILES_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  quantile_cont(n_chars, 0.25) AS p25,
+  quantile_cont(n_chars, 0.50) AS p50,
+  quantile_cont(n_chars, 0.75) AS p75
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 RELATIONAL_QUERIES: dict[str, QuerySpec] = {
+    "doc_length_quartiles": QuerySpec(doc_length_quartiles, DOC_LENGTH_QUARTILES_SQL),
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "tpch_q5_local_supplier": QuerySpec(q5_local_supplier, Q5_SQL),

@@ -188,6 +188,9 @@ def registry() -> dict[str, QuerySpec]:
         "lake_join_graph",
         "gap_fill_hourly",
         "doc_length_quartiles",
+        "incremental_rollup",
+        "source_overlap",
+        "word_entropy",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -293,7 +293,74 @@ ORDER BY hour_start, s.event_type
 """
 
 
+_INGEST_MOD = 7  # event_id % 7 == 0 -> the "newly arrived" batch
+
+
+def incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: merge a pre-computed
+    per-(event_type, day) aggregate STATE with a newly ingested DELTA
+    batch, without rescanning history — the continuous-aggregate /
+    materialized-view-refresh operator class.
+
+    The fixture has no real ingest feed, so the split is simulated
+    deterministically: rows with ``event_id % 7 == 0`` are the delta,
+    the rest are the already-rolled-up state. Both sides reduce to
+    mergeable partials ``(cnt, sum, min, max)``; the merge is one
+    groupBy over ``state ∪ delta`` partials — at 100 TB the state side
+    is |keys| rows (days × types), so refresh cost is O(delta) + one
+    tiny shuffle, never a rescan of the fact table. COUNT/MIN/MAX merge
+    exactly; SUM uses the module's decimal-cast trick so the two-level
+    sum is bit-identical to the oracle's single full recompute, which
+    is exactly what the differential gate proves: merged state == full
+    rebuild.
+    """
+    e = load_table(spark, "events", sf).select(
+        "event_id",
+        # date_trunc (not a DATE cast): both engines hand pandas a
+        # datetime64 column, where DATE comes back object vs datetime64
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        "value",
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    state = partials(e.filter(F.col("event_id") % _INGEST_MOD != 0))
+    delta = partials(e.filter(F.col("event_id") % _INGEST_MOD == 0))
+    return (
+        state.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# Oracle: the FULL recompute — proving merge(state, delta) == rebuild.
+INCREMENTAL_ROLLUP_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 EVENT_QUERIES: dict[str, QuerySpec] = {
+    "incremental_rollup": QuerySpec(incremental_rollup, INCREMENTAL_ROLLUP_SQL),
     "gap_fill_hourly": QuerySpec(gap_fill_hourly, GAP_FILL_SQL),
     "tumbling_window_counts": QuerySpec(tumbling_window_counts, TUMBLING_SQL),
     "sliding_window_counts": QuerySpec(sliding_window_counts, SLIDING_SQL),

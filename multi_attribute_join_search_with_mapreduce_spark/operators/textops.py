@@ -761,7 +761,157 @@ LANG_CONFUSION_SQL = (
 )
 
 
+# --- cross-source corpus overlap / per-doc entropy -------------------------
+
+def source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of distinct 3-word shingles they share and the
+    containment ratio ``|A ∩ B| / min(|A|, |B|)`` — the corpus-curation
+    signal for "source B is largely a mirror of source A".
+
+    Plan shape (100 TB): one distinct-aggregate keyed (source, shingle)
+    (map-side partial before the shuffle), per-source totals reduce to
+    S rows, and the overlap self-join keys on ``shingle`` where each
+    shingle matches at most S sources — fan-out ≤ S² per shingle, never
+    docs². Zero-overlap pairs come from a broadcast cross of the S-row
+    source list with itself, so the full S×S matrix is emitted.
+    """
+    d = load_table(spark, "documents", sf)
+    src_sh = d.select(
+        "source", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    totals = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a, b = src_sh.alias("a"), src_sh.alias("b")
+    overlap = (
+        a.join(b, on="shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("overlap_shingles"))
+    )
+
+    ta, tb = totals.alias("ta"), totals.alias("tb")
+    pairs = (
+        ta.crossJoin(F.broadcast(tb))
+        .where(F.col("ta.source") < F.col("tb.source"))
+        .select(
+            F.col("ta.source").alias("source_a"),
+            F.col("tb.source").alias("source_b"),
+            F.col("ta.n_shingles").alias("n_shingles_a"),
+            F.col("tb.n_shingles").alias("n_shingles_b"),
+        )
+    )
+    return (
+        pairs.join(overlap, on=["source_a", "source_b"], how="left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shingles_a",
+            "n_shingles_b",
+            F.coalesce("overlap_shingles", F.lit(0)).cast("long").alias("overlap_shingles"),
+            # single exactly-rounded IEEE division of two integers:
+            # bit-identical on both sides, no float-accumulation hazard
+            (
+                F.coalesce("overlap_shingles", F.lit(0)).cast("double")
+                / F.least("n_shingles_a", "n_shingles_b")
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH src_sh AS (
+  SELECT DISTINCT source, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM src_sh GROUP BY source
+),
+overlap AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS overlap_shingles
+  FROM src_sh a JOIN src_sh b USING (shingle)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT ta.source AS source_a, tb.source AS source_b,
+  ta.n_shingles AS n_shingles_a, tb.n_shingles AS n_shingles_b,
+  CAST(COALESCE(o.overlap_shingles, 0) AS BIGINT) AS overlap_shingles,
+  CAST(COALESCE(o.overlap_shingles, 0) AS DOUBLE)
+    / LEAST(ta.n_shingles, tb.n_shingles) AS containment
+FROM totals ta JOIN totals tb ON ta.source < tb.source
+LEFT JOIN overlap o ON o.source_a = ta.source AND o.source_b = tb.source
+ORDER BY source_a, source_b
+"""
+
+
+def word_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram (whitespace-token)
+    distribution, plus type-token ratio — the information-density
+    quality signal (low entropy ⇒ repetitive/templated text).
+
+    ``H = log2(n) - (Σ c·ln c)/(n·ln 2)`` over per-token counts ``c``:
+    one narrow explode, one (doc, token) count (map-side combinable),
+    one per-doc fold. Both sides use the identical ln-based formula so
+    the only cross-engine divergence is the float accumulation order of
+    ``Σ c·ln c``; that sum is rounded to 4 decimals (same documented
+    tolerance class as the pair-cosine kernel, similarity.py). The
+    type-token ratio is a single exactly-rounded integer division —
+    bit-stable unrounded.
+    """
+    d = load_table(spark, "documents", sf)
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    counts = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ln2 = 0.6931471805599453  # = ln(2), the exact double literal on both sides
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+            F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("_clnc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_tokens",
+            (F.col("distinct_tokens").cast("double") / F.col("n_tokens")).alias("ttr"),
+            F.round(
+                F.log(F.col("n_tokens").cast("double")) / ln2
+                - F.col("_clnc") / (F.col("n_tokens") * ln2),
+                4,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WORD_ENTROPY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttr,
+  ROUND(
+    ln(CAST(SUM(c) AS DOUBLE)) / 0.6931471805599453
+      - SUM(c * ln(CAST(c AS DOUBLE))) / (CAST(SUM(c) AS BIGINT) * 0.6931471805599453),
+    4
+  ) AS entropy
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, QuerySpec] = {
+    "source_overlap": QuerySpec(source_overlap, SOURCE_OVERLAP_SQL),
+    "word_entropy": QuerySpec(word_entropy, WORD_ENTROPY_SQL),
     "simhash": QuerySpec(simhash, SIMHASH_SQL),
     "ngram_jaccard": QuerySpec(ngram_jaccard, NGRAM_JACCARD_SQL),
     "quality_score": QuerySpec(quality_score, QUALITY_SQL),

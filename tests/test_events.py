@@ -18,3 +18,29 @@ def test_gap_fill_covers_every_slot(spark, sf_dir):
         if r.n_events == 0 and prev is not None:
             assert r.filled_total == prev
         by_type[r.event_type] = r.filled_total
+
+
+def test_incremental_rollup_equals_naive_rebuild(spark, sf_dir):
+    """merge(state, delta) must be row-identical to a from-scratch
+    single-pass rollup — the materialized-view-refresh contract."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import DEC, incremental_rollup
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    merged = incremental_rollup(spark, sf_dir).collect()
+    naive = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+        .collect()
+    )
+    assert merged == naive

@@ -92,3 +92,64 @@ def test_near_dup_delta_completes_the_full_build(spark, sf_dir):
     assert delta, "fixture delta batch produced no candidate pairs"
     for a, b, _ in delta:
         assert is_new(a) or is_new(b)
+
+
+def test_source_overlap_invariants(spark, sf_dir):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import source_overlap
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    rows = source_overlap(spark, sf_dir).collect()
+    n_sources = load_table(spark, "documents", sf_dir).select("source").distinct().count()
+    # full upper-triangular matrix, zero-overlap pairs included
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 <= r.overlap_shingles <= min(r.n_shingles_a, r.n_shingles_b)
+        assert 0.0 <= r.containment <= 1.0
+        assert r.containment == r.overlap_shingles / min(r.n_shingles_a, r.n_shingles_b)
+
+
+def test_source_overlap_synthetic_containment(spark, tmp_path):
+    """Source B = half of A's docs verbatim + noise: every shared doc's
+    shingles are contained, so overlap == |shingles(shared docs)|."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import source_overlap
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon", "en", "srcA", 30),
+        (2, "one two three four five six", "en", "srcA", 27),
+        (3, "alpha beta gamma delta epsilon", "en", "srcB", 30),  # mirror of 1
+        (4, "totally different words here now", "en", "srcB", 32),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    lake = tmp_path / "lake"
+    d.write.parquet(str(lake / "documents.parquet"))
+    out = {(r.source_a, r.source_b): r for r in source_overlap(spark, str(lake)).collect()}
+    r = out[("srcA", "srcB")]
+    # doc 1 has 3 tri-shingles, all present in srcB via doc 3
+    assert r.overlap_shingles == 3
+    assert r.n_shingles_a == 3 + 4  # 5-token and 6-token docs
+    assert r.n_shingles_b == 3 + 3
+
+
+def test_word_entropy_closed_form(spark, tmp_path):
+    import math
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import word_entropy
+
+    docs = [
+        (1, "same same same same", "en", "s", 19),        # H = 0
+        (2, "a b c d e f g h", "en", "s", 15),            # H = log2(8) = 3
+        (3, "x x y y", "en", "s", 7),                     # H = 1
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    lake = tmp_path / "lake"
+    d.write.parquet(str(lake / "documents.parquet"))
+    out = {r.doc_id: r for r in word_entropy(spark, str(lake)).collect()}
+    assert out[1].entropy == 0.0 and out[1].ttr == 0.25
+    assert out[2].entropy == 3.0 and out[2].ttr == 1.0
+    assert out[3].entropy == 1.0 and out[3].ttr == 0.5
+    assert out[2].n_tokens == 8 and out[2].distinct_tokens == 8

@@ -191,6 +191,8 @@ def registry() -> dict[str, QuerySpec]:
         "incremental_rollup",
         "source_overlap",
         "word_entropy",
+        "rolling_active_users",
+        "winsorize_doc_lengths",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -293,6 +293,60 @@ ORDER BY hour_start, s.event_type
 """
 
 
+def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """7-day rolling distinct active users per day (the WAU curve) —
+    exact rolling COUNT(DISTINCT), which Spark's window frames cannot
+    express natively.
+
+    Plan: dedupe to (user, active-day) once, then *scatter* each active
+    day into the ≤7 report days it contributes to (``explode(sequence)``
+    — constant 7× fan-out of the already-deduped pairs, not of the raw
+    facts), and count distinct users per report day. At 100 TB the raw
+    fact scan reduces to |users|×|days| pairs before any fan-out, and
+    the final distinct-count shuffles on report day with partial
+    aggregation — no day ever re-scans its trailing week. Report days
+    past the observed maximum are clipped via a broadcast 1-row bound.
+    """
+    e = load_table(spark, "events", sf)
+    ud = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    hi = ud.agg(F.max("day").alias("hi"))
+    contrib = ud.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.crossJoin(F.broadcast(hi))
+        .where(F.col("day") <= F.col("hi"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+ROLLING_ACTIVE_SQL = """
+WITH ud AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+)
+SELECT s.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
+FROM spine s
+JOIN ud u ON u.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+GROUP BY s.day
+ORDER BY s.day
+"""
+
+
 _INGEST_MOD = 7  # event_id % 7 == 0 -> the "newly arrived" batch
 
 
@@ -361,6 +415,7 @@ ORDER BY day, event_type
 
 EVENT_QUERIES: dict[str, QuerySpec] = {
     "incremental_rollup": QuerySpec(incremental_rollup, INCREMENTAL_ROLLUP_SQL),
+    "rolling_active_users": QuerySpec(rolling_active_users, ROLLING_ACTIVE_SQL),
     "gap_fill_hourly": QuerySpec(gap_fill_hourly, GAP_FILL_SQL),
     "tumbling_window_counts": QuerySpec(tumbling_window_counts, TUMBLING_SQL),
     "sliding_window_counts": QuerySpec(sliding_window_counts, SLIDING_SQL),

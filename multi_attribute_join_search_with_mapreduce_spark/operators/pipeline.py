@@ -565,7 +565,63 @@ ORDER BY source, doc_id
 """
 
 
+def winsorize_doc_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source outlier clipping (winsorization) of document length at
+    the exact 1/8 and 7/8 quantiles — the tail-taming preprocessing step
+    before length-sensitive mixing/packing.
+
+    The clip bounds are EXACT per-group order statistics, not sketches.
+    Eighths (0.125/0.875) are deliberate: the interpolation weight is an
+    exact binary fraction, so ``a + f*(b-a)`` over BIGINT ranks is
+    bit-identical in Spark and DuckDB regardless of each engine's
+    interpolation formula — p05/p95 (0.05 is not a binary double) would
+    diverge in the last ULP between formula variants.
+
+    Plan: one per-source percentile aggregate (S rows), broadcast back
+    onto the docs, map-side ``least/greatest`` clip — the fact table is
+    scanned once and never shuffled.
+    """
+    d = load_table(spark, "documents", sf)
+    q = F.percentile("n_chars", F.array(F.lit(0.125), F.lit(0.875)))
+    bounds = (
+        d.groupBy("source")
+        .agg(q.alias("_q"))
+        .select("source", F.col("_q")[0].alias("lo"), F.col("_q")[1].alias("hi"))
+    )
+    return (
+        d.join(F.broadcast(bounds), on="source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.least(F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")).alias(
+                "clipped_chars"
+            ),
+            (
+                (F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi"))
+            ).alias("was_clipped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINSORIZE_SQL = """
+WITH bounds AS (
+  SELECT source,
+    quantile_cont(n_chars, 0.125) AS lo,
+    quantile_cont(n_chars, 0.875) AS hi
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source, n_chars,
+  LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi) AS clipped_chars,
+  (n_chars < lo OR n_chars > hi) AS was_clipped
+FROM documents d JOIN bounds USING (source)
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
+    "winsorize_doc_lengths": QuerySpec(winsorize_doc_lengths, WINSORIZE_SQL),
     "stratified_sample_exact": QuerySpec(stratified_sample_exact, STRATIFIED_SAMPLE_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),
     "mixture_sample": QuerySpec(mixture_sample, MIXTURE_SAMPLE_SQL),

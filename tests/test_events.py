@@ -44,3 +44,30 @@ def test_incremental_rollup_equals_naive_rebuild(spark, sf_dir):
         .collect()
     )
     assert merged == naive
+
+
+def test_rolling_active_users_synthetic(spark, tmp_path):
+    """Known scatter: users on days 1, 3, and 10 — the 7-day window
+    picks up exactly the users active in the trailing week."""
+    import datetime as dt
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import rolling_active_users
+
+    def ev(i, day, user):
+        return (i, dt.datetime(2024, 1, day, 12, 0, 0), user, "click", 1.0, "{}")
+
+    rows = [ev(1, 1, 100), ev(2, 1, 101), ev(3, 3, 100), ev(4, 10, 102)]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    lake = tmp_path / "lake"
+    e.write.parquet(str(lake / "events.parquet"))
+    out = {r.day.day: r.active_7d for r in rolling_active_users(spark, str(lake)).collect()}
+    assert out[1] == 2          # users 100, 101 on day 1
+    assert out[3] == 2          # both still inside the trailing week
+    assert out[7] == 2          # day 1 contributions last through day 7
+    assert out[8] == 1          # only day 3's user 100 remains
+    assert out[9] == 1
+    assert out[10] == 1         # user 102 only; day 3 expired
+    assert max(out) == 10       # clipped at the observed max day

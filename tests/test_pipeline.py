@@ -153,3 +153,19 @@ def test_stratified_sample_exact_counts_and_margin_independence(spark, sf_dir):
     assert sorted((r.source, r.doc_id) for r in rescued) == sorted(
         (r.source, r.doc_id) for r in kept
     )
+
+
+def test_winsorize_closed_form(spark, tmp_path):
+    """n_chars 0..8 in one source: eighth-quantile bounds are exactly
+    1.0 and 7.0, so 0 clips up and 8 clips down."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import winsorize_doc_lengths
+
+    docs = [(i, f"doc {i}", "en", "s", i) for i in range(9)]
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    lake = tmp_path / "lake"
+    d.write.parquet(str(lake / "documents.parquet"))
+    out = {r.doc_id: r for r in winsorize_doc_lengths(spark, str(lake)).collect()}
+    assert out[0].clipped_chars == 1.0 and out[0].was_clipped
+    assert out[8].clipped_chars == 7.0 and out[8].was_clipped
+    for i in range(1, 8):
+        assert out[i].clipped_chars == float(i) and not out[i].was_clipped

@@ -58,6 +58,7 @@ from multi_attribute_join_search_with_mapreduce_spark.plans.sql_surface import (
 )
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec, merge
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+from multi_attribute_join_search_with_mapreduce_spark.sources.layout import LAYOUT_QUERIES
 
 FLAGSHIP_ATTRS = ["p_brand", "p_type"]
 THREE_ATTRS = ["p_name", "p_brand", "p_type"]
@@ -167,6 +168,7 @@ def registry() -> dict[str, QuerySpec]:
         RELATIONAL_QUERIES,
         QUALITY_QUERIES,
         DISCOVERY_QUERIES,
+        LAYOUT_QUERIES,
     )
     # Round-3 window (the driver checks the first ~50 entries): lead
     # with the 9 queries that have never had a driver correctness row
@@ -193,6 +195,7 @@ def registry() -> dict[str, QuerySpec]:
         "word_entropy",
         "rolling_active_users",
         "winsorize_doc_lengths",
+        "bucketed_fact_join",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

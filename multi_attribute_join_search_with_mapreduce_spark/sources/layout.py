@@ -176,3 +176,86 @@ def read_xml(spark: SparkSession, path: str, schema: str, row_tag: str = "row") 
         .schema(schema)
         .load(path)
     )
+
+
+def write_bucketed_table(
+    spark: SparkSession, df: DataFrame, out_table: str, key: str, buckets: int = 16
+) -> None:
+    """Persist ``df`` as a managed table bucketed+sorted by ``key`` —
+    the co-location contract: two tables bucketed on their join key with
+    the same bucket count sort-merge join with NO exchange on either
+    side (each task reads matching bucket files directly).
+
+    Same stale-location hygiene as ``index.write_posting_index``: the
+    in-memory catalog forgets managed tables across sessions while the
+    warehouse directory survives, so drop both before writing.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS `{out_table}`")
+    jvm = spark._jvm
+    stale = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), out_table.lower()
+    )
+    stale.getFileSystem(spark._jsc.hadoopConfiguration()).delete(stale, True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(out_table)
+    )
+
+
+def bucketed_fact_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gated proof of the bucketed FACT-FACT join path: persist
+    ``orders`` and ``lineitem`` bucketed by order key (the ingest-time
+    layout decision a 100 TB deployment makes once), then run an
+    orders⨝lineitem rollup through the bucketed table scans. The join
+    inherits the bucket partitioning — zero shuffle of either fact
+    (plan-asserted in ``tests/test_layout.py``); only the S-row final
+    aggregate exchanges. Oracle: the same rollup as plain SQL —
+    bucketing must never change results, only the plan.
+    """
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    write_bucketed_table(
+        spark,
+        load_table(spark, "orders", sf).select("o_orderkey", "o_orderpriority"),
+        "orders_by_okey",
+        "o_orderkey",
+    )
+    write_bucketed_table(
+        spark,
+        load_table(spark, "lineitem", sf).select("l_orderkey", "l_extendedprice"),
+        "lineitem_by_okey",
+        "l_orderkey",
+    )
+    o = spark.table("orders_by_okey")
+    li = spark.table("lineitem_by_okey")
+    return (
+        o.hint("merge")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_FACT_JOIN_SQL = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
+
+LAYOUT_QUERIES: dict[str, QuerySpec] = {
+    "bucketed_fact_join": QuerySpec(bucketed_fact_join, BUCKETED_FACT_JOIN_SQL),
+}

@@ -123,3 +123,26 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
     assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == sorted(
         (r.n_nationkey, r.n_name) for r in src.collect()
     )
+
+
+def test_bucketed_fact_join_no_fact_shuffle(spark, sf_dir):
+    """Both facts bucketed on the join key: the sort-merge join must
+    read bucket files directly — no Exchange below the join."""
+    import contextlib
+    import io
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.layout import bucketed_fact_join
+
+    df = bucketed_fact_join(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    # in the formatted tree, the join's children (the fact scans) render
+    # BELOW its line until the tree ends at the first blank line
+    subtree = plan.split("SortMergeJoin", 1)[1].split("\n\n", 1)[0]
+    assert "Exchange" not in subtree, "bucketed fact join shuffled a fact side"
+    assert "Bucketed: true" in plan
+    for t in ("orders_by_okey", "lineitem_by_okey"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -196,6 +196,7 @@ def registry() -> dict[str, QuerySpec]:
         "rolling_active_users",
         "winsorize_doc_lengths",
         "bucketed_fact_join",
+        "stream_incremental_rollup",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -457,7 +457,106 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-rollup maintenance: a ``foreachBatch``
+    loop that merges each micro-batch's per-(day, event_type) partials
+    into a persisted rollup table — the streaming twin of
+    ``operators.events.incremental_rollup``, and the shape a 100 TB
+    deployment uses for continuously-refreshed aggregates (merge
+    O(batch) partials + |keys| state rows per trigger; the fact history
+    is never rescanned).
+
+    The single-file fixture is pre-split into 4 parquet files so the
+    stream genuinely delivers multiple micro-batches
+    (``maxFilesPerTrigger=1``) and the state table goes through real
+    iterated merges. State versions are written copy-on-write
+    (``v{batch_id}``) because overwriting a parquet dir that the same
+    job is reading is unsafe; the checkpointed batch id makes each merge
+    idempotent on retry in a real deployment. COUNT/MIN/MAX merge
+    exactly and SUM stays decimal until the final projection, so the
+    end state is bit-identical to the oracle's one-shot full recompute.
+    """
+    import tempfile
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    base = tempfile.mkdtemp(prefix="majs_stream_rollup_")
+    src_dir = f"{base}/src"
+    e = load_table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    e.repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    state = {"path": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merged = partials(batch_df)
+        if state["path"] is not None:
+            merged = (
+                spark.read.parquet(state["path"])
+                .unionByName(merged)
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("cnt").cast("long").alias("cnt"),
+                    F.sum("sum_dec").cast("decimal(28,2)").alias("sum_dec"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+        new_path = f"{base}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return (
+        spark.read.parquet(state["path"])
+        .select(
+            "day",
+            "event_type",
+            F.col("cnt").alias("n_events"),
+            F.col("sum_dec").cast("double").alias("total_value"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# Oracle: same full recompute as the batch incremental rollup.
+from multi_attribute_join_search_with_mapreduce_spark.operators.events import (  # noqa: E402
+    INCREMENTAL_ROLLUP_SQL,
+)
+
+
 STREAM_QUERIES: dict[str, QuerySpec] = {
+    "stream_incremental_rollup": QuerySpec(
+        stream_incremental_rollup, INCREMENTAL_ROLLUP_SQL
+    ),
     "stream_tumbling_counts": QuerySpec(stream_tumbling_counts, STREAM_TUMBLING_SQL),
     "stream_sessionize": QuerySpec(stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_static_enrich": QuerySpec(stream_static_enrich, STREAM_STATIC_SQL),

@@ -142,3 +142,16 @@ def test_stream_append_to_lake_roundtrip(spark, sf_dir, tmp_path):
         for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_stream_incremental_rollup_matches_batch(spark, sf_dir):
+    """The foreachBatch-merged rollup state must equal the batch
+    incremental rollup (itself proven == full recompute)."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import incremental_rollup
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        stream_incremental_rollup,
+    )
+
+    got = stream_incremental_rollup(spark, sf_dir).collect()
+    want = incremental_rollup(spark, sf_dir).collect()
+    assert got == want

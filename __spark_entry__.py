@@ -197,6 +197,7 @@ def registry() -> dict[str, QuerySpec]:
         "winsorize_doc_lengths",
         "bucketed_fact_join",
         "stream_incremental_rollup",
+        "hierarchical_rollup",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -347,6 +347,64 @@ ORDER BY s.day
 """
 
 
+def hierarchical_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-granularity rollup with partial reuse: daily partials are
+    computed from the facts ONCE, then the weekly grain aggregates the
+    daily partials — never the facts. The standard OLAP rollup-pyramid
+    maintenance pattern: at 100 TB the fact scan happens exactly once
+    and every coarser grain costs |finer-grain buckets| rows, so adding
+    month/quarter/year grains is nearly free.
+
+    Mergeability is the same contract as ``incremental_rollup``:
+    COUNT sums exactly and SUM stays decimal across levels, so each
+    derived grain is bit-identical to aggregating the raw facts at that
+    grain directly — which is what the UNION-of-direct-GROUP-BYs oracle
+    proves.
+    """
+    e = load_table(spark, "events", sf)
+    daily = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("_sum_dec"),
+        )
+        .persist()
+    )
+    weekly = (
+        daily.groupBy(
+            F.date_trunc("week", F.col("bucket")).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("_sum_dec").alias("_sum_dec"),
+        )
+    )
+    out = daily.select(F.lit("day").alias("grain"), "*").unionByName(
+        weekly.select(F.lit("week").alias("grain"), "*")
+    )
+    return out.select(
+        "grain",
+        "bucket",
+        "event_type",
+        "n_events",
+        F.col("_sum_dec").cast("double").alias("total_value"),
+    ).orderBy("grain", "bucket", "event_type")
+
+
+HIERARCHICAL_ROLLUP_SQL = """
+SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'week', date_trunc('week', ts), event_type,
+  CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+ORDER BY grain, bucket, event_type
+"""
+
+
 _INGEST_MOD = 7  # event_id % 7 == 0 -> the "newly arrived" batch
 
 
@@ -416,6 +474,7 @@ ORDER BY day, event_type
 EVENT_QUERIES: dict[str, QuerySpec] = {
     "incremental_rollup": QuerySpec(incremental_rollup, INCREMENTAL_ROLLUP_SQL),
     "rolling_active_users": QuerySpec(rolling_active_users, ROLLING_ACTIVE_SQL),
+    "hierarchical_rollup": QuerySpec(hierarchical_rollup, HIERARCHICAL_ROLLUP_SQL),
     "gap_fill_hourly": QuerySpec(gap_fill_hourly, GAP_FILL_SQL),
     "tumbling_window_counts": QuerySpec(tumbling_window_counts, TUMBLING_SQL),
     "sliding_window_counts": QuerySpec(sliding_window_counts, SLIDING_SQL),

@@ -71,3 +71,23 @@ def test_rolling_active_users_synthetic(spark, tmp_path):
     assert out[9] == 1
     assert out[10] == 1         # user 102 only; day 3 expired
     assert max(out) == 10       # clipped at the observed max day
+
+
+def test_hierarchical_rollup_week_sums_days(spark, sf_dir):
+    """Each weekly bucket must be exactly the sum of its daily buckets
+    (count identity; value identity is oracle-gated bit-exact)."""
+    import collections
+    import datetime as dt
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import hierarchical_rollup
+
+    rows = hierarchical_rollup(spark, sf_dir).collect()
+    days = [r for r in rows if r.grain == "day"]
+    weeks = {(r.bucket, r.event_type): r for r in rows if r.grain == "week"}
+    acc = collections.Counter()
+    for r in days:
+        week_start = r.bucket - dt.timedelta(days=r.bucket.weekday())
+        acc[(week_start, r.event_type)] += r.n_events
+    assert set(acc) == set(weeks)
+    for k, n in acc.items():
+        assert weeks[k].n_events == n

@@ -198,6 +198,8 @@ def registry() -> dict[str, QuerySpec]:
         "bucketed_fact_join",
         "stream_incremental_rollup",
         "hierarchical_rollup",
+        "event_transition_matrix",
+        "equi_depth_histogram",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -405,6 +405,62 @@ ORDER BY grain, bucket, event_type
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every (previous type → next type) pair, the transition
+    count and conditional probability — the behavioral-model input for
+    funnel/path analysis.
+
+    One (user)-partitioned sort powers the lag; the pair count and the
+    per-previous-type total ride the same aggregate output (window sum
+    over the S²-row matrix, not the facts). The probability is a single
+    exactly-rounded division of two BIGINTs — bit-stable on both
+    engines, no rounding needed.
+    """
+    e = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        e.select(
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wt)
+        ).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT LAG(event_type, 1) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+  CAST(n_transitions AS DOUBLE)
+    / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS p
+FROM counts
+ORDER BY prev_type, next_type
+"""
+
+
 _INGEST_MOD = 7  # event_id % 7 == 0 -> the "newly arrived" batch
 
 
@@ -475,6 +531,7 @@ EVENT_QUERIES: dict[str, QuerySpec] = {
     "incremental_rollup": QuerySpec(incremental_rollup, INCREMENTAL_ROLLUP_SQL),
     "rolling_active_users": QuerySpec(rolling_active_users, ROLLING_ACTIVE_SQL),
     "hierarchical_rollup": QuerySpec(hierarchical_rollup, HIERARCHICAL_ROLLUP_SQL),
+    "event_transition_matrix": QuerySpec(event_transition_matrix, TRANSITION_SQL),
     "gap_fill_hourly": QuerySpec(gap_fill_hourly, GAP_FILL_SQL),
     "tumbling_window_counts": QuerySpec(tumbling_window_counts, TUMBLING_SQL),
     "sliding_window_counts": QuerySpec(sliding_window_counts, SLIDING_SQL),

@@ -614,7 +614,46 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source equi-depth (equal-height) histogram of document
+    length: 4 ntile buckets with count/min/max each — the optimizer-
+    statistics shape (selectivity estimation buckets) and the skew-audit
+    view of a column.
+
+    ``ntile`` is deterministic here because the ordering key is total
+    (``n_chars, doc_id``); both engines assign the first buckets the
+    extra rows, so bucket boundaries agree exactly. One windowed pass
+    over a per-source sort, then an S×4-row aggregate.
+    """
+    d = load_table(spark, "documents", sf)
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("source", "n_chars", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+EQUI_DEPTH_SQL = """
+SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(n_chars) AS lo, MAX(n_chars) AS hi
+FROM (
+  SELECT source, n_chars,
+    NTILE(4) OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS bucket
+  FROM documents
+)
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
 RELATIONAL_QUERIES: dict[str, QuerySpec] = {
+    "equi_depth_histogram": QuerySpec(equi_depth_histogram, EQUI_DEPTH_SQL),
     "doc_length_quartiles": QuerySpec(doc_length_quartiles, DOC_LENGTH_QUARTILES_SQL),
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),

@@ -91,3 +91,22 @@ def test_hierarchical_rollup_week_sums_days(spark, sf_dir):
     assert set(acc) == set(weeks)
     for k, n in acc.items():
         assert weeks[k].n_events == n
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import event_transition_matrix
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    by_prev: dict = {}
+    total = 0
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+        total += r.n_transitions
+    for prev, rs in by_prev.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-9
+    # transitions = events - one first-event per user
+    e = load_table(spark, "events", sf_dir)
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert total == n_events - n_users

@@ -26,3 +26,19 @@ def test_registry_is_consistent():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_equi_depth_buckets_balanced(spark, sf_dir):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.relational import equi_depth_histogram
+
+    rows = equi_depth_histogram(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert [r.bucket for r in sorted(rs, key=lambda r: r.bucket)] == [1, 2, 3, 4]
+        sizes = [r.n_docs for r in rs]
+        assert max(sizes) - min(sizes) <= 1  # equi-depth
+        ordered = sorted(rs, key=lambda r: r.bucket)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.hi <= b.lo  # non-overlapping value ranges

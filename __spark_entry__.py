@@ -200,6 +200,7 @@ def registry() -> dict[str, QuerySpec]:
         "hierarchical_rollup",
         "event_transition_matrix",
         "equi_depth_histogram",
+        "user_value_ewma",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

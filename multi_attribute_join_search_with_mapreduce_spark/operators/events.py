@@ -461,6 +461,64 @@ ORDER BY prev_type, next_type
 """
 
 
+EWMA_ALPHA = 0.25  # exact binary fraction: 0.25*x + 0.75*acc rounds identically everywhere
+
+
+def user_value_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values in
+    time order — a genuinely RECURSIVE per-group computation
+    (``y_t = α·x_t + (1-α)·y_{t-1}``) that no native window frame can
+    express, so this is the engine's grouped-map ``applyInPandas``
+    surface: Arrow-batched, one group per user, state never leaves the
+    executor.
+
+    Bit-exact differential in spite of the Python kernel: the oracle
+    folds DuckDB's ``list_reduce`` over the identically-ordered value
+    list with the identical ``0.25·x + 0.75·acc`` expression — the same
+    IEEE double sequence on both sides (α an exact binary fraction), so
+    no rounding tolerance is needed. Seed = first value, matching
+    ``list_reduce``'s no-initializer semantics.
+
+    Scale: the only shuffle is the groupBy(user_id) that any per-user
+    op pays; per-group work is O(events-of-user) with O(1) state.
+    """
+    import pandas as pd
+
+    e = load_table(spark, "events", sf).select("user_id", "ts", "event_id", "value")
+
+    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for x in pdf["value"]:
+            acc = float(x) if acc is None else EWMA_ALPHA * float(x) + (1 - EWMA_ALPHA) * acc
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma": [acc],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(ewma, "user_id long, n_events long, ewma double")
+        .orderBy("user_id")
+    )
+
+
+EWMA_SQL = f"""
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  list_reduce(
+    list(value ORDER BY ts ASC, event_id ASC),
+    (acc, x) -> {EWMA_ALPHA}*x + {1 - EWMA_ALPHA}*acc
+  ) AS ewma
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 _INGEST_MOD = 7  # event_id % 7 == 0 -> the "newly arrived" batch
 
 
@@ -532,6 +590,7 @@ EVENT_QUERIES: dict[str, QuerySpec] = {
     "rolling_active_users": QuerySpec(rolling_active_users, ROLLING_ACTIVE_SQL),
     "hierarchical_rollup": QuerySpec(hierarchical_rollup, HIERARCHICAL_ROLLUP_SQL),
     "event_transition_matrix": QuerySpec(event_transition_matrix, TRANSITION_SQL),
+    "user_value_ewma": QuerySpec(user_value_ewma, EWMA_SQL),
     "gap_fill_hourly": QuerySpec(gap_fill_hourly, GAP_FILL_SQL),
     "tumbling_window_counts": QuerySpec(tumbling_window_counts, TUMBLING_SQL),
     "sliding_window_counts": QuerySpec(sliding_window_counts, SLIDING_SQL),

@@ -110,3 +110,25 @@ def test_transition_matrix_rows_are_distributions(spark, sf_dir):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_ewma_closed_form(spark, tmp_path):
+    """Hand-computed fold: alpha=0.25 over [4, 8, 16] = 0.25*16 +
+    0.75*(0.25*8 + 0.75*4) = 7.75; a single event returns itself."""
+    import datetime as dt
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import user_value_ewma
+
+    def ev(i, minute, user, v):
+        return (i, dt.datetime(2024, 1, 1, 0, minute), user, "click", float(v), "{}")
+
+    rows = [ev(1, 0, 7, 4), ev(2, 1, 7, 8), ev(3, 2, 7, 16), ev(4, 0, 9, 42)]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    lake = tmp_path / "lake"
+    e.write.parquet(str(lake / "events.parquet"))
+    out = {r.user_id: r for r in user_value_ewma(spark, str(lake)).collect()}
+    assert out[7].ewma == 7.75 and out[7].n_events == 3
+    assert out[9].ewma == 42.0 and out[9].n_events == 1

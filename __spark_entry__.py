@@ -59,6 +59,7 @@ from multi_attribute_join_search_with_mapreduce_spark.plans.sql_surface import (
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec, merge
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 from multi_attribute_join_search_with_mapreduce_spark.sources.layout import LAYOUT_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import SNAPSHOT_QUERIES
 
 FLAGSHIP_ATTRS = ["p_brand", "p_type"]
 THREE_ATTRS = ["p_name", "p_brand", "p_type"]
@@ -169,6 +170,7 @@ def registry() -> dict[str, QuerySpec]:
         QUALITY_QUERIES,
         DISCOVERY_QUERIES,
         LAYOUT_QUERIES,
+        SNAPSHOT_QUERIES,
     )
     # Round-3 window (the driver checks the first ~50 entries): lead
     # with the 9 queries that have never had a driver correctness row
@@ -201,6 +203,7 @@ def registry() -> dict[str, QuerySpec]:
         "event_transition_matrix",
         "equi_depth_histogram",
         "user_value_ewma",
+        "snapshot_time_travel",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

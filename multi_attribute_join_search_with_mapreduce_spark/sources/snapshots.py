@@ -1,0 +1,169 @@
+"""Snapshot-versioned parquet tables: manifest-based time travel.
+
+The lakehouse capability class (Iceberg/Delta-style): every commit
+writes immutable data files plus a tiny JSON manifest listing the
+table's live file-set at that version. Readers resolve a manifest —
+latest or pinned — and scan exactly the listed files, so
+
+- **time travel**: any historical version stays readable forever until
+  explicitly expired (old manifests keep referencing the old files);
+- **snapshot isolation**: a reader pinned to v*n* is unaffected by
+  concurrent appends/compactions committing v*n+1*;
+- **compaction without downtime**: rewriting small files into big ones
+  is just a new manifest over new files — readers of old versions are
+  untouched.
+
+Scale notes: the manifest holds *directory* entries (one per commit),
+not per-file entries, so manifest size is O(commits), and the data
+scan is a plain multi-path parquet read — partition pruning, predicate
+pushdown, and column pruning all still apply. Commit = write manifest
+``v{n}.json`` then atomically rename into place; the highest complete
+manifest wins, so a crashed half-written commit is invisible.
+
+The reference has no table-format layer (its lake lives in a warehouse,
+``handlers.py:15``); this module is part of the 100 TB parquet-lake
+surface the engine adds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version}.json")
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """All committed versions, ascending (empty for a fresh dir)."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _commit(table_dir: str, version: int, data_dirs: list[str]) -> None:
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "data_dirs": data_dirs}, f)
+    # atomic on POSIX: the manifest appears fully-written or not at all
+    os.rename(tmp, _manifest_path(table_dir, version))
+
+
+def snapshot_append(df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as a new version = previous live file-set plus this
+    batch's files. Returns the committed version number."""
+    versions = snapshot_versions(table_dir)
+    version = (versions[-1] + 1) if versions else 1
+    data_dir = f"data/commit-{version:06d}"
+    df.write.parquet(os.path.join(table_dir, data_dir))
+    prev = _read_manifest(table_dir, versions[-1])["data_dirs"] if versions else []
+    _commit(table_dir, version, [*prev, data_dir])
+    return version
+
+
+def snapshot_compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
+    """Rewrite the CURRENT live file-set into ``target_files`` files and
+    commit it as a new version. Content-preserving; every older version
+    remains readable (its manifest still lists the old files)."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    version = versions[-1] + 1
+    data_dir = f"data/compact-{version:06d}"
+    (
+        snapshot_read(spark, table_dir)
+        .repartition(target_files)
+        .write.parquet(os.path.join(table_dir, data_dir))
+    )
+    _commit(table_dir, version, [data_dir])
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Scan the table at ``version`` (default: latest). A plain
+    multi-path parquet read over the manifest's file-set — pushdown and
+    pruning intact."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    dirs = _read_manifest(table_dir, v)["data_dirs"]
+    return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])
+
+
+def snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gated proof of the snapshot lifecycle: commit the even
+    half of ``events`` (v1), append the odd half (v2), compact (v3) —
+    then read every version *after all commits exist* and report exact
+    per-version stats. v1's stats surviving v2/v3 IS time travel +
+    snapshot isolation; v3 matching v2 proves compaction preserves
+    content. Oracle: the same stats computed straight from the fixture.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    table_dir = tempfile.mkdtemp(prefix="majs_snapshots_")
+    e = load_table(spark, "events", sf).select("event_id", "user_id", "value")
+    snapshot_append(e.where(F.col("event_id") % 2 == 0), table_dir)
+    snapshot_append(e.where(F.col("event_id") % 2 != 0), table_dir)
+    snapshot_compact(spark, table_dir)
+
+    out = None
+    for v in snapshot_versions(table_dir):
+        stats = snapshot_read(spark, table_dir, v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("version")
+
+
+SNAPSHOT_TIME_TRAVEL_SQL = """
+SELECT 1 AS version,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id) AS BIGINT),
+  CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id) AS BIGINT),
+  CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM events
+ORDER BY version
+"""
+
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
+
+SNAPSHOT_QUERIES: dict[str, QuerySpec] = {
+    "snapshot_time_travel": QuerySpec(snapshot_time_travel, SNAPSHOT_TIME_TRAVEL_SQL),
+}

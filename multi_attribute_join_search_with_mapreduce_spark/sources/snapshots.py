@@ -96,6 +96,50 @@ def snapshot_compact(spark: SparkSession, table_dir: str, target_files: int = 1)
     return version
 
 
+def snapshot_upsert(df: DataFrame, table_dir: str, keys: list[str]) -> int:
+    """MERGE INTO, copy-on-write: rows in ``df`` replace current rows
+    with the same key (latest wins) and new keys insert; commit the
+    merged set as a new version. History stays readable — the previous
+    manifest still lists the previous files.
+
+    At 100 TB a production implementation rewrites only the files whose
+    key-ranges intersect the batch (manifest min/max pruning); this
+    commit rewrites the live set, which is the correct semantics and
+    the same manifest mechanics — the file-level pruning is an
+    optimization inside this function, not a different contract.
+    """
+    spark = df.sparkSession
+    versions = snapshot_versions(table_dir)
+    if versions:
+        current = snapshot_read(spark, table_dir)
+        merged = current.join(df.select(*keys), on=keys, how="left_anti").unionByName(df)
+    else:
+        merged = df
+    version = (versions[-1] + 1) if versions else 1
+    data_dir = f"data/merge-{version:06d}"
+    merged.write.parquet(os.path.join(table_dir, data_dir))
+    _commit(table_dir, version, [data_dir])
+    return version
+
+
+def snapshot_delete_where(
+    spark: SparkSession, table_dir: str, predicate: str
+) -> int:
+    """DELETE, copy-on-write: commit a new version containing the rows
+    that do NOT match ``predicate`` (a SQL boolean expression)."""
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    remaining = snapshot_read(spark, table_dir).where(~F.expr(predicate))
+    version = versions[-1] + 1
+    data_dir = f"data/delete-{version:06d}"
+    remaining.write.parquet(os.path.join(table_dir, data_dir))
+    _commit(table_dir, version, [data_dir])
+    return version
+
+
 def snapshot_read(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:

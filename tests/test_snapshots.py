@@ -58,3 +58,30 @@ def test_half_written_commit_is_invisible(spark, table):
 def test_read_missing_version_raises(spark, table):
     with pytest.raises(ValueError):
         snapshot_read(spark, table, 99)
+
+
+def test_upsert_latest_wins_and_inserts(spark, table):
+    from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import snapshot_upsert
+
+    updates = spark.createDataFrame([(3, 999), (100, 200)], "id long, x long")
+    v3 = snapshot_upsert(updates, table, keys=["id"])
+    assert v3 == 3
+    rows = {r.id: r.x for r in snapshot_read(spark, table, v3).collect()}
+    assert rows[3] == 999          # updated
+    assert rows[100] == 200        # inserted
+    assert rows[4] == 8            # untouched
+    assert len(rows) == 16
+    # pre-merge version still shows the old value
+    old = {r.id: r.x for r in snapshot_read(spark, table, 2).collect()}
+    assert old[3] == 6 and 100 not in old
+
+
+def test_delete_where_copy_on_write(spark, table):
+    from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import (
+        snapshot_delete_where,
+    )
+
+    v3 = snapshot_delete_where(spark, table, "id % 2 = 0")
+    got = sorted(r.id for r in snapshot_read(spark, table, v3).collect())
+    assert got == [1, 3, 5, 7, 9, 11, 13]
+    assert snapshot_read(spark, table, 2).count() == 15  # history intact

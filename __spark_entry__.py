@@ -204,6 +204,7 @@ def registry() -> dict[str, QuerySpec]:
         "equi_depth_histogram",
         "user_value_ewma",
         "snapshot_time_travel",
+        "conversion_within_window",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -461,6 +461,71 @@ ORDER BY prev_type, next_type
 """
 
 
+def conversion_within_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed funnel conversion: of each user's signup events, how
+    many were followed by a purchase by the SAME user within 24 hours —
+    plus the conversion rate. The sequence-pattern primitive behind
+    funnel/attribution metrics.
+
+    Plan: both sides reduce before joining — signups and purchases are
+    filtered scans, the EXISTS is a left-semi join keyed on ``user_id``
+    with the interval as a residual condition, so the shuffle carries
+    only the two filtered event subsets. A per-user sort-merge handles
+    arbitrary fan-out without duplicating signups (semi-join, not
+    inner). Counting is exact-integer; the rate is one exactly-rounded
+    BIGINT division.
+    """
+    e = load_table(spark, "events", sf)
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("event_id").alias("s_id")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS")),
+        "left_semi",
+    )
+    return (
+        signups.agg(F.count(F.lit(1)).cast("long").alias("n_signups"))
+        .crossJoin(
+            F.broadcast(
+                converted.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+            )
+        )
+        .select(
+            "n_signups",
+            "n_converted",
+            (F.col("n_converted").cast("double") / F.col("n_signups")).alias(
+                "conversion_rate"
+            ),
+        )
+    )
+
+
+CONVERSION_SQL = """
+WITH s AS (
+  SELECT user_id, ts AS s_ts FROM events WHERE event_type = 'signup'
+),
+conv AS (
+  SELECT COUNT(*) AS n_converted
+  FROM s
+  WHERE EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+      AND p.ts > s.s_ts AND p.ts <= s.s_ts + INTERVAL 24 HOUR
+  )
+)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signups,
+  CAST(n_converted AS BIGINT) AS n_converted,
+  CAST(n_converted AS DOUBLE) / (SELECT COUNT(*) FROM s) AS conversion_rate
+FROM conv
+"""
+
+
 EWMA_ALPHA = 0.25  # exact binary fraction: 0.25*x + 0.75*acc rounds identically everywhere
 
 
@@ -591,6 +656,7 @@ EVENT_QUERIES: dict[str, QuerySpec] = {
     "hierarchical_rollup": QuerySpec(hierarchical_rollup, HIERARCHICAL_ROLLUP_SQL),
     "event_transition_matrix": QuerySpec(event_transition_matrix, TRANSITION_SQL),
     "user_value_ewma": QuerySpec(user_value_ewma, EWMA_SQL),
+    "conversion_within_window": QuerySpec(conversion_within_window, CONVERSION_SQL),
     "gap_fill_hourly": QuerySpec(gap_fill_hourly, GAP_FILL_SQL),
     "tumbling_window_counts": QuerySpec(tumbling_window_counts, TUMBLING_SQL),
     "sliding_window_counts": QuerySpec(sliding_window_counts, SLIDING_SQL),

@@ -132,3 +132,31 @@ def test_ewma_closed_form(spark, tmp_path):
     out = {r.user_id: r for r in user_value_ewma(spark, str(lake)).collect()}
     assert out[7].ewma == 7.75 and out[7].n_events == 3
     assert out[9].ewma == 42.0 and out[9].n_events == 1
+
+
+def test_conversion_window_boundaries(spark, tmp_path):
+    """Strict-after and inclusive-24h boundary semantics."""
+    import datetime as dt
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import (
+        conversion_within_window,
+    )
+
+    def ev(i, day, hour, user, typ):
+        return (i, dt.datetime(2024, 1, day, hour), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0, 1, "signup"), ev(2, 1, 5, 1, "purchase"),    # converts
+        ev(3, 1, 0, 2, "signup"), ev(4, 2, 0, 2, "purchase"),    # exactly 24h: converts
+        ev(5, 1, 0, 3, "signup"), ev(6, 2, 1, 3, "purchase"),    # 25h: no
+        ev(7, 1, 5, 4, "signup"), ev(8, 1, 0, 4, "purchase"),    # before: no
+        ev(9, 1, 0, 5, "signup"),                                 # never purchases
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    lake = tmp_path / "lake"
+    e.write.parquet(str(lake / "events.parquet"))
+    r = conversion_within_window(spark, str(lake)).collect()[0]
+    assert r.n_signups == 5 and r.n_converted == 2 and r.conversion_rate == 0.4

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region", "nation", "customer", "supplier", "part",
@@ -117,3 +118,36 @@ def read_csv_source(spark: SparkSession, path: str, header: bool = True) -> Data
         spark.sparkContext.addFile(path)
         path = "file://" + SparkFiles.get(path.rsplit("/", 1)[-1])
     return spark.read.csv(path, header=header, inferSchema=True)
+
+
+def read_csv_robust(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Production CSV ingest: PERMISSIVE mode with an explicit schema
+    and a captured ``_corrupt_record`` column — malformed rows never
+    abort a 100 TB load and never silently disappear; they are
+    quarantined for inspection.
+
+    Returns ``(good, bad)``: ``good`` carries only schema-conforming
+    rows, ``bad`` the raw text of every malformed line. Both are plain
+    filters over one scan (Spark computes the corrupt column during
+    parsing; the quarantine split costs nothing extra). An explicit
+    schema is mandatory — inference is an extra full pass and would
+    happily type a corrupt file as all-strings instead of flagging it.
+
+    NOTE (Spark semantics): a from-CSV DataFrame cannot be filtered on
+    ``_corrupt_record`` alone in one pass; the split materializes via a
+    cached scan, which for ingest-sized batches is the documented
+    pattern (SPARK-21610's required workaround).
+    """
+    full_schema = schema + ", _corrupt_record string"
+    raw = (
+        spark.read.schema(full_schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    ).cache()
+    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad

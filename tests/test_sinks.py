@@ -118,3 +118,21 @@ def test_dynamic_partition_overwrite_is_idempotent(spark, sf_dir, tmp_path):
     # replaced the click partition's files)
     overwrite_partitions(clicks, dst, "event_type")
     assert spark.read.parquet(dst).count() == n_total
+
+
+def test_read_csv_robust_quarantines_bad_rows(spark, tmp_path):
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import read_csv_robust
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,qty,name\n"
+        "1,10,alpha\n"
+        "2,notanumber,beta\n"     # qty fails the int schema
+        "3,30,gamma\n"
+        "4,40\n"                  # missing column
+    )
+    good, bad = read_csv_robust(spark, str(p), "id int, qty int, name string")
+    good_rows = {r.id: (r.qty, r.name) for r in good.collect()}
+    assert good_rows == {1: (10, "alpha"), 3: (30, "gamma")}
+    bad_rows = sorted(r._corrupt_record for r in bad.collect())
+    assert bad_rows == ["2,notanumber,beta", "4,40"]

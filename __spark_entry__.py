@@ -205,6 +205,7 @@ def registry() -> dict[str, QuerySpec]:
         "user_value_ewma",
         "snapshot_time_travel",
         "conversion_within_window",
+        "profile_columns",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

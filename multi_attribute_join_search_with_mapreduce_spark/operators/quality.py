@@ -108,6 +108,83 @@ SELECT * FROM (
 """
 
 
+def profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profiler over ``documents`` — one row per column with
+    null count, exact distinct count, and min/max rendered as strings
+    (one schema fits every column type). The ingest-inspection /
+    catalog-statistics surface.
+
+    One scan computes every per-column aggregate in a single
+    ``agg(...)`` (no per-column scan loop); the profile is then
+    unpivoted driver-side from the 1-row result — O(columns) literals,
+    no data movement.
+    """
+    d = load_table(spark, "documents", sf)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = d.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    pairs = ", ".join(
+        f"'{c}', struct({c}__nulls AS nulls, {c}__distinct AS n_distinct, "
+        f"{c}__min AS min_value, {c}__max AS max_value)"
+        for c in cols
+    )
+    return (
+        one.select(
+            F.col("__n").alias("n_rows"),
+            F.explode(F.expr(f"map({pairs})")).alias("column_name", "s"),
+        )
+        .select(
+            "column_name",
+            F.col("n_rows").cast("long"),
+            F.col("s.nulls").cast("long").alias("n_nulls"),
+            F.col("s.n_distinct").cast("long").alias("n_distinct"),
+            "s.min_value",
+            "s.max_value",
+        )
+        .orderBy("column_name")
+    )
+
+
+PROFILE_SQL = """
+WITH base AS (SELECT COUNT(*) AS n_rows FROM documents)
+SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_nulls AS BIGINT) AS n_nulls,
+  CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
+FROM (
+  SELECT 'doc_id' AS column_name, (SELECT n_rows FROM base) AS n_rows,
+    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+    COUNT(DISTINCT doc_id) AS n_distinct,
+    CAST(MIN(doc_id) AS VARCHAR) AS min_value, CAST(MAX(doc_id) AS VARCHAR) AS max_value
+  FROM documents
+  UNION ALL
+  SELECT 'text', (SELECT n_rows FROM base),
+    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT text),
+    MIN(text), MAX(text) FROM documents
+  UNION ALL
+  SELECT 'lang', (SELECT n_rows FROM base),
+    SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT lang),
+    MIN(lang), MAX(lang) FROM documents
+  UNION ALL
+  SELECT 'source', (SELECT n_rows FROM base),
+    SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT source),
+    MIN(source), MAX(source) FROM documents
+  UNION ALL
+  SELECT 'n_chars', (SELECT n_rows FROM base),
+    SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT n_chars),
+    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+)
+ORDER BY column_name
+"""
+
+
 QUALITY_QUERIES: dict[str, QuerySpec] = {
     "dq_audit": QuerySpec(dq_audit, DQ_AUDIT_SQL),
+    "profile_columns": QuerySpec(profile_columns, PROFILE_SQL),
 }

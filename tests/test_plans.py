@@ -48,6 +48,14 @@ SMJ_ALLOWED = {
     # sized at 100 TB), so the static plan is rightly SMJ; AQE converts
     # to broadcast at runtime when the fixture vocabulary is small.
     "rare_token_stats",
+    # SMJ is the POINT: both facts are bucketed+sorted on the join key,
+    # so the sort-merge join reads co-located buckets with zero
+    # exchange (the no-fact-shuffle assert lives in test_layout.py).
+    "bucketed_fact_join",
+    # distinct (source, shingle) self-joined on shingle: both sides are
+    # corpus-derived and corpus-scale at 100 TB; AQE broadcasts at
+    # runtime when the fixture side is small.
+    "source_overlap",
 }
 
 

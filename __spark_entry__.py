@@ -59,6 +59,7 @@ from multi_attribute_join_search_with_mapreduce_spark.plans.sql_surface import (
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec, merge
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 from multi_attribute_join_search_with_mapreduce_spark.sources.layout import LAYOUT_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.sources.sinks import SINK_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import SNAPSHOT_QUERIES
 
 FLAGSHIP_ATTRS = ["p_brand", "p_type"]
@@ -170,6 +171,7 @@ def registry() -> dict[str, QuerySpec]:
         QUALITY_QUERIES,
         DISCOVERY_QUERIES,
         LAYOUT_QUERIES,
+        SINK_QUERIES,
         SNAPSHOT_QUERIES,
     )
     # Round-3 window (the driver checks the first ~50 entries): lead
@@ -206,6 +208,12 @@ def registry() -> dict[str, QuerySpec]:
         "snapshot_time_travel",
         "conversion_within_window",
         "profile_columns",
+        "jsonl_roundtrip",
+        "partitioned_scan_prune",
+        "schema_evolution_merge",
+        "zorder_clustered_scan",
+        "window_value_functions",
+        "hof_vector_stats",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

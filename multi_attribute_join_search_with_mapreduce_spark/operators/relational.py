@@ -283,6 +283,53 @@ FROM events
 """
 
 
+def window_value_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """The remaining analytic-window surface in one query: first_value /
+    last_value / nth_value over the full partition frame, plus the
+    distribution functions ntile / percent_rank / cume_dist.
+
+    The window order ``(o_orderdate, o_orderkey)`` is a total order
+    (orderkey is unique), so every one of these — including ntile's
+    bucket boundaries and percent_rank's rank — is deterministic and
+    engine-independent. percent_rank/cume_dist are exact rational
+    doubles computed from the same integer operands on both sides, so
+    the value-hash is stable. One shuffle on o_custkey; the six
+    functions share a single sort within the window operator.
+    """
+    o = load_table(spark, "orders", sf)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = F.col("o_totalprice").cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first(price).over(w_full).alias("first_price"),
+        F.last(price).over(w_full).alias("last_price"),
+        F.nth_value(price, 2).over(w_full).alias("second_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+WINDOW_VALUE_SQL = """
+SELECT o_custkey, o_orderkey,
+  FIRST_VALUE(CAST(o_totalprice AS DOUBLE)) OVER full_w AS first_price,
+  LAST_VALUE(CAST(o_totalprice AS DOUBLE)) OVER full_w AS last_price,
+  NTH_VALUE(CAST(o_totalprice AS DOUBLE), 2) OVER full_w AS second_price,
+  CAST(NTILE(4) OVER ord_w AS INTEGER) AS quartile,
+  PERCENT_RANK() OVER ord_w AS pr,
+  CUME_DIST() OVER ord_w AS cd
+FROM orders
+WINDOW
+  full_w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+  ord_w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
 # --- join variants ---------------------------------------------------------
 
 def left_join_order_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -664,6 +711,7 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     "window_topn_orders": QuerySpec(window_topn_orders, WINDOW_TOPN_SQL),
     "window_running_total": QuerySpec(window_running_total, WINDOW_RUNNING_SQL),
     "window_lag_events": QuerySpec(window_lag_events, WINDOW_LAG_SQL),
+    "window_value_functions": QuerySpec(window_value_functions, WINDOW_VALUE_SQL),
     "left_join_order_counts": QuerySpec(left_join_order_counts, LEFT_JOIN_SQL),
     "anti_join_customers": QuerySpec(anti_join_customers, ANTI_JOIN_SQL),
     "semi_join_parts": QuerySpec(semi_join_parts, SEMI_JOIN_SQL),

@@ -589,7 +589,55 @@ LIMIT {TOP_K}
 """
 
 
+def hof_vector_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order-function surface proof over the ``embedding`` array
+    column: transform / filter / zip_with / reverse / aggregate — all as
+    native Catalyst expressions (no Python in the plan).
+
+    Per-vector stats only (shuffle-free map): dimension count, positive
+    count, max component, L1 norm, and the self-reversed dot product
+    (``zip_with(v, reverse(v), *)`` folded with ``aggregate``).
+    Accumulations use the module's parity discipline: cast each float
+    to double first, fold strictly left-to-right on both engines
+    (``_DOT_SQL``-style explicit index fold in DuckDB), round to 4.
+
+    HOFs are CodegenFallback (interpreted per row) — fine for this
+    per-element arithmetic; the hot ANN pair-scoring path uses the
+    Arrow pandas kernel instead (``_pair_cosine``, this module).
+    """
+    e = load_table(spark, "embeddings", sf)
+    to_d = lambda x: x.cast("double")  # noqa: E731
+    absd = F.transform("embedding", lambda x: F.abs(to_d(x)))
+    rev_prod = F.zip_with(
+        "embedding", F.reverse(F.col("embedding")), lambda x, y: to_d(x) * to_d(y)
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_dim"),
+        F.round(fold(absd), 4).alias("l1_norm"),
+        F.round(fold(rev_prod), 4).alias("dot_rev"),
+    )
+
+
+HOF_VECTOR_STATS_SQL = """
+SELECT vec_id,
+  CAST(len(embedding) AS BIGINT) AS n_dims,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+  ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_dim,
+  ROUND(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4)
+    AS l1_norm,
+  ROUND(list_sum(list_transform(generate_series(1, len(embedding)),
+    i -> CAST(embedding[i] AS DOUBLE)
+         * CAST(embedding[len(embedding) - i + 1] AS DOUBLE))), 4) AS dot_rev
+FROM embeddings
+"""
+
+
 SIMILARITY_QUERIES: dict[str, QuerySpec] = {
+    "hof_vector_stats": QuerySpec(hof_vector_stats, HOF_VECTOR_STATS_SQL),
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEAR_DUP_SQL),
     "embedding_near_dup_multiprobe": QuerySpec(
         embedding_near_dup_multiprobe, EMB_NEAR_DUP_MULTIPROBE_SQL

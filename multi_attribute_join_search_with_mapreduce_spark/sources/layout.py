@@ -244,6 +244,56 @@ def bucketed_fact_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def zorder_clustered_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gated proof of the Z-order clustering path: rewrite
+    ``lineitem`` clustered on ``(l_partkey, l_suppkey)``
+    (:func:`cluster_by_zorder`), then run a two-dimensional selective
+    scan over the clustered copy and aggregate.
+
+    The oracle runs the same predicate on the unclustered fixture — a
+    green row proves the Morton-key rewrite (scale, interleave,
+    range-partition, sort) moved every row and invented none. The
+    *pruning* payoff is asserted separately in ``tests/test_layout.py``
+    (disjoint per-file min/max on both clustered columns): parquet
+    row-group stats skip files whose curve interval misses the
+    predicate box, in either dimension — the property a single-column
+    sort cannot give.
+    """
+    import tempfile
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    li = load_table(spark, "lineitem", sf).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    dst = os.path.join(tempfile.mkdtemp(prefix="majs_zorder_"), "lineitem_z")
+    cluster_by_zorder(li, ("l_partkey", "l_suppkey"), dst, n_files=8)
+    back = spark.read.parquet(dst).where(
+        (F.col("l_partkey") <= 100) & (F.col("l_suppkey") <= 50)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("sum_okey"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+ZORDER_CLUSTERED_SCAN_SQL = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_partkey <= 100 AND l_suppkey <= 50
+"""
+
+
 BUCKETED_FACT_JOIN_SQL = """
 SELECT o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -258,4 +308,7 @@ from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec 
 
 LAYOUT_QUERIES: dict[str, QuerySpec] = {
     "bucketed_fact_join": QuerySpec(bucketed_fact_join, BUCKETED_FACT_JOIN_SQL),
+    "zorder_clustered_scan": QuerySpec(
+        zorder_clustered_scan, ZORDER_CLUSTERED_SCAN_SQL
+    ),
 }

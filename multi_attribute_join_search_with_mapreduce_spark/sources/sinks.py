@@ -60,3 +60,171 @@ def read_json_source(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+# --- driver-gated roundtrip proofs -----------------------------------------
+
+
+def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gated proof of the JSON sink + scan pair: write an
+    ``events`` projection as gzip JSONL, read it back with an explicit
+    schema, and aggregate — the oracle computes the same aggregate from
+    the parquet fixture, so a green row proves the interchange path is
+    lossless.
+
+    The projection is integers and strings only: JSON has no int/float
+    distinction, and a DOUBLE that transits a decimal string can come
+    back one ulp off — exact roundtrip claims belong to types with
+    exact text representations. (Floats ride parquet/ORC sinks, which
+    are binary-exact; see ``test_sinks.py`` for the float cases.)
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    path = os.path.join(tempfile.mkdtemp(prefix="majs_jsonl_"), "events_jsonl")
+    e = load_table(spark, "events", sf).select("event_id", "user_id", "event_type")
+    write_json(e, path, mode="overwrite")
+    back = read_json_source(
+        spark, path, schema="event_id long, user_id long, event_type string"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def partitioned_scan_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gated proof of the partitioned sink + pruned scan pair:
+    write ``events`` hive-partitioned by ``event_type``, then read back
+    with an equality filter on the partition column and aggregate.
+
+    At 100 TB this is THE layout decision: the filter is satisfied by
+    directory listing alone (``PartitionFilters`` in the plan — asserted
+    in ``tests/test_sinks.py``), so a one-partition query reads one
+    partition's files, not the table. The oracle applies the same filter
+    to the unpartitioned fixture — a green row proves the partitioned
+    write relocated every row to the right directory and lost none.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    path = os.path.join(tempfile.mkdtemp(prefix="majs_part_"), "events_by_type")
+    e = load_table(spark, "events", sf).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    write_parquet(e, path, partition_by=("event_type",), mode="overwrite")
+    back = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+PARTITIONED_SCAN_PRUNE_SQL = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+def schema_evolution_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gated proof of schema evolution on read: two parquet
+    batches with different schemas — an early write of ``orders``
+    without ``o_orderpriority``, a later one with it — land in the same
+    table directory; ``mergeSchema`` reads them as one relation with
+    the missing column NULL-filled for old files.
+
+    This is the append-only-lake reality at 100 TB: producers add
+    columns over time and nobody rewrites petabytes of history.
+    mergeSchema reconciles footers at planning time (per-file schema
+    union — no data pass); the scan itself stays pruned and pushed
+    down. The oracle rebuilds the same union from the fixture with an
+    explicit NULL for the legacy half.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    path = os.path.join(tempfile.mkdtemp(prefix="majs_evolve_"), "orders_evolving")
+    o = load_table(spark, "orders", sf)
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.where(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<legacy>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT COALESCE(o_orderpriority, '<legacy>') AS priority,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 <> 0
+)
+GROUP BY 1
+ORDER BY priority
+"""
+
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
+
+SINK_QUERIES: dict[str, QuerySpec] = {
+    "jsonl_roundtrip": QuerySpec(jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
+    "partitioned_scan_prune": QuerySpec(
+        partitioned_scan_prune, PARTITIONED_SCAN_PRUNE_SQL
+    ),
+    "schema_evolution_merge": QuerySpec(
+        schema_evolution_merge, SCHEMA_EVOLUTION_SQL
+    ),
+}

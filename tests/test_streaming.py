@@ -155,3 +155,45 @@ def test_stream_incremental_rollup_matches_batch(spark, sf_dir):
     got = stream_incremental_rollup(spark, sf_dir).collect()
     want = incremental_rollup(spark, sf_dir).collect()
     assert got == want
+
+
+def test_checkpoint_recovery_is_exactly_once(spark, sf_dir, tmp_path):
+    """Stop/restart against the same checkpoint must not re-ingest:
+    the file source records processed files in the checkpoint log, so a
+    restarted query resumes from the unseen files only. Sink total ==
+    source total (each row exactly once) after two separate runs over a
+    growing source directory — the recovery contract every production
+    ingest relies on."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        stream_append_to_lake,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    e = load_table(spark, "events", sf_dir).select("event_id", "user_id", "event_type")
+    schema = e.schema
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        stream_append_to_lake(stream, out, ckpt)
+
+    # First run sees only the even half; second run must pick up ONLY
+    # the odd half appended in between — same checkpoint, new query.
+    e.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    e.where(F.col("event_id") % 2 != 0).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    want = e.agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")).collect()[0]
+    assert n_first == e.where(F.col("event_id") % 2 == 0).count()
+    assert (got.n, got.s) == (want.n, want.s)  # no loss, no duplication

@@ -214,6 +214,7 @@ def registry() -> dict[str, QuerySpec]:
         "zorder_clustered_scan",
         "window_value_functions",
         "hof_vector_stats",
+        "variant_props_stats",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

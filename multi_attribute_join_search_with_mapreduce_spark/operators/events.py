@@ -170,6 +170,52 @@ FROM events GROUP BY k ORDER BY k
 """
 
 
+def variant_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type: ``parse_json`` once
+    into the binary-encoded variant, then ``variant_get`` path
+    extraction — the modern engine path for JSON at scale.
+
+    Why it matters at 100 TB: ``get_json_object`` re-parses the JSON
+    string on every call, so N extracted paths cost N parses per row;
+    a variant column is parsed once and each path is a cheap binary
+    probe (and a variant stored to parquet is shredded columnar).
+    Same aggregate as the ``get_json_object`` query family so the
+    DuckDB oracle stays exact.
+    """
+    e = load_table(spark, "events", sf)
+    v = F.parse_json("props")
+    return (
+        e.select("event_type", F.variant_get(v, "$.k", "int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(k) AS BIGINT) AS n_with_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  CAST(MIN(k) AS INTEGER) AS min_k,
+  CAST(MAX(k) AS INTEGER) AS max_k,
+  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly cohort-retention matrix: users grouped by the ISO week of
     their first event; for each (cohort_week, weeks_since_first) the
@@ -663,5 +709,6 @@ EVENT_QUERIES: dict[str, QuerySpec] = {
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL),
     "event_type_funnel": QuerySpec(event_type_funnel, FUNNEL_SQL),
     "json_props_extract": QuerySpec(json_props_extract, JSON_SQL),
+    "variant_props_stats": QuerySpec(variant_props_stats, VARIANT_PROPS_SQL),
     "cohort_retention": QuerySpec(cohort_retention, COHORT_SQL),
 }

@@ -17,6 +17,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from multi_attribute_join_search_with_mapreduce_spark.index import (
+    LAKE_TABLES,
+    append_posting_index,
     cached_posting_index,
     posting_index_sql,
     write_posting_index,
@@ -100,6 +102,36 @@ def _search_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl
 
 
+def _search_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated proof of append-only index maintenance: build the
+    parquet index from four lake tables, land the fifth (``part``) via
+    :func:`append_posting_index` — one narrow unpivot pass over just
+    that table, the existing index untouched — then run the flagship
+    search against the maintained index. Oracle identical to
+    ``mjs_search_tables``: maintenance must be invisible to queries.
+    At 100 TB this is the difference between re-tokenizing the lake on
+    every new table (the reference's offline rebuild) and an O(new
+    table) append.
+    """
+    import os
+    import tempfile
+
+    idx_dir = os.path.join(tempfile.mkdtemp(prefix="majs_incr_idx_"), "pidx")
+    # initial build: everything except `part`
+    base = tuple(s for s in LAKE_TABLES if s.name != "part")
+    from multi_attribute_join_search_with_mapreduce_spark.index import build_posting_index
+
+    build_posting_index(spark, sf_dir, base).write.mode("error").parquet(idx_dir)
+    # the new table lands: append its postings only
+    append_posting_index(
+        spark, sf_dir, idx_dir, tuple(s for s in LAKE_TABLES if s.name == "part")
+    )
+    postings = spark.read.parquet(idx_dir)
+    query_df = load_table(spark, "part", sf_dir)
+    tbl, _ = multi_attribute_join_search(postings, query_df, FLAGSHIP_ATTRS)
+    return tbl
+
+
 def _search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = cached_posting_index(spark, sf_dir)
     batch = [
@@ -140,6 +172,12 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     # path; oracle identical to mjs_search_tables).
     "mjs_search_bucketed_index": QuerySpec(
         _search_bucketed,
+        join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="tables"),
+    ),
+    # Append-only index maintenance: O(new table) extension of the
+    # on-disk index, then the flagship search over the maintained copy.
+    "mjs_index_incremental": QuerySpec(
+        _search_incremental_index,
         join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="tables"),
     ),
 }
@@ -215,6 +253,7 @@ def registry() -> dict[str, QuerySpec]:
         "window_value_functions",
         "hof_vector_stats",
         "variant_props_stats",
+        "mjs_index_incremental",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

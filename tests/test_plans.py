@@ -144,3 +144,31 @@ def test_runtime_bloom_filter_arms_on_selective_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_observe_metrics_piggyback_on_one_pass(spark, sf_dir):
+    """In-flight query metrics via df.observe: row counts / sums are
+    collected DURING the query's single pass (an AggregatingAccumulator
+    on the executors), not by a second counting job — at 100 TB the
+    difference between free telemetry and doubling the scan."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    obs = Observation("ingest_metrics")
+    e = load_table(spark, "events", sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_id"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+    )
+    out = e.groupBy("event_type").count()
+    n_types = out.count()  # one action drives both the query and the metrics
+    want = load_table(spark, "events", sf_dir).agg(
+        F.count(F.lit(1)), F.sum("event_id")
+    ).collect()[0]
+    assert n_types > 0
+    assert obs.get["n_rows"] == want[0]
+    assert obs.get["sum_id"] == want[1]
+    assert obs.get["n_null_value"] >= 0

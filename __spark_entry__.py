@@ -254,6 +254,7 @@ def registry() -> dict[str, QuerySpec]:
         "hof_vector_stats",
         "variant_props_stats",
         "mjs_index_incremental",
+        "snapshot_diff_audit",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

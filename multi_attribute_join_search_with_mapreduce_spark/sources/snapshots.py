@@ -156,6 +156,97 @@ def snapshot_read(
     return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Row-level diff between two table versions: per key, classify as
+    ``inserted`` (key only in ``new``), ``deleted`` (only in ``old``),
+    ``changed`` (both, payload differs) or ``unchanged``.
+
+    Scale shape: each side is first reduced to ``(keys, fingerprint)``
+    — ``xxhash64`` over the non-key columns — so the full-outer join
+    ships 8-byte fingerprints instead of wide payloads, then one
+    co-partitioned shuffle on the key. Fingerprint comparison is
+    engine-internal only (never exposed in output), so hash semantics
+    don't leak into results. This is the audit primitive behind
+    "what did last night's merge actually change".
+    """
+    from pyspark.sql import functions as F
+
+    payload = [c for c in new.columns if c not in keys]
+    # keys-only table: membership is the whole payload — constant
+    # fingerprint, so common keys classify as unchanged, never changed.
+    fp = F.xxhash64(*payload) if payload else F.lit(0).cast("long")
+    oldh = old.select(*keys, fp.alias("_h_old"))
+    newh = new.select(*keys, fp.alias("_h_new"))
+    change = (
+        F.when(F.col("_h_old").isNull(), "inserted")
+        .when(F.col("_h_new").isNull(), "deleted")
+        .when(F.col("_h_old") != F.col("_h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        oldh.join(newh, keys, "full_outer")
+        .select(*keys, change.alias("change_type"))
+    )
+
+
+def snapshot_diff_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gated proof of the full snapshot mutation lifecycle plus
+    version diff: commit a base version of ``events``, then a
+    copy-on-write upsert (modify every ``event_id % 4 == 2`` row,
+    insert the ``% 4 == 3`` rows), then a copy-on-write delete
+    (``% 4 == 1``), and finally :func:`snapshot_diff` version 1 against
+    the latest version. By construction the residue classes map exactly
+    to change types (0→unchanged, 1→deleted, 2→changed, 3→inserted) —
+    which is precisely what the oracle states, so a green row proves
+    upsert, delete, time travel AND the diff classifier in one pass.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    table_dir = tempfile.mkdtemp(prefix="majs_snapdiff_")
+    base = load_table(spark, "events", sf).select("event_id", "user_id", "value")
+    m = F.col("event_id") % 4
+    snapshot_append(base.where(m < 3), table_dir)  # v1: classes 0,1,2
+    # v2 upsert: class-2 rows with a guaranteed-different payload, plus
+    # the class-3 inserts (coalesce so NULL values still visibly change)
+    changed = base.where(m == 2).withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(0.0)) + F.lit(1.0)
+    )
+    snapshot_upsert(changed.unionByName(base.where(m == 3)), table_dir, ["event_id"])
+    snapshot_delete_where(spark, table_dir, "event_id % 4 = 1")  # v3
+    diff = snapshot_diff(
+        snapshot_read(spark, table_dir, version=1),
+        snapshot_read(spark, table_dir),
+        ["event_id"],
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+        .orderBy("change_type")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+SELECT CASE event_id % 4
+         WHEN 0 THEN 'unchanged'
+         WHEN 1 THEN 'deleted'
+         WHEN 2 THEN 'changed'
+         ELSE 'inserted'
+       END AS change_type,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events
+GROUP BY 1
+ORDER BY change_type
+"""
+
+
 def snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gated proof of the snapshot lifecycle: commit the even
     half of ``events`` (v1), append the odd half (v2), compact (v3) —
@@ -210,4 +301,5 @@ from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec 
 
 SNAPSHOT_QUERIES: dict[str, QuerySpec] = {
     "snapshot_time_travel": QuerySpec(snapshot_time_travel, SNAPSHOT_TIME_TRAVEL_SQL),
+    "snapshot_diff_audit": QuerySpec(snapshot_diff_audit, SNAPSHOT_DIFF_SQL),
 }

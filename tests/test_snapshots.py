@@ -85,3 +85,32 @@ def test_delete_where_copy_on_write(spark, table):
     got = sorted(r.id for r in snapshot_read(spark, table, v3).collect())
     assert got == [1, 3, 5, 7, 9, 11, 13]
     assert snapshot_read(spark, table, 2).count() == 15  # history intact
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, payload string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "k long, payload string"
+    )
+    got = {
+        (r.k, r.change_type) for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        (1, "deleted"), (2, "unchanged"), (3, "changed"), (4, "inserted")
+    }
+
+
+def test_snapshot_diff_keys_only_table(spark):
+    """With no payload columns a common key can only be unchanged."""
+    from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {(r.k, r.change_type) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {(1, "deleted"), (2, "unchanged"), (3, "inserted")}

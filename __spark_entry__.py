@@ -255,6 +255,7 @@ def registry() -> dict[str, QuerySpec]:
         "variant_props_stats",
         "mjs_index_incremental",
         "snapshot_diff_audit",
+        "mergeable_hll_rollup",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -351,6 +351,35 @@ def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def mergeable_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted-mergeable distinct counts via Datasketches HLL: one
+    sketch per event type, and the GLOBAL distinct-user estimate built
+    by ``hll_union_agg`` over those per-group sketches — never by
+    re-scanning the fact table.
+
+    This is the sketch property the 100 TB rollup pyramid rests on:
+    distinct counts don't sum across groups, but their sketches union
+    losslessly (register-wise max), so daily sketches roll to weekly to
+    global with no second pass over raw data.
+    ``tests/test_pipeline.py`` asserts the union-of-parts estimate
+    equals the direct whole-table sketch exactly and is within HLL
+    error of the exact count. Approximate output => no SQL oracle
+    (driver rows-only check).
+    """
+    e = load_table(spark, "events", sf)
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    groups = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return groups.unionByName(total).orderBy("event_type")
+
+
 # Tokenizer-aware chunking: fixed token window with overlap, the unit
 # a training pipeline actually feeds to a model. Whitespace tokens (the
 # same split as token_stats) stand in for a real tokenizer; swap
@@ -629,6 +658,7 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "pack_shards": QuerySpec(pack_shards, PACK_SHARDS_SQL),
     "quantile_gate": QuerySpec(quantile_gate, QUANTILE_GATE_SQL),
     "approx_sketches": QuerySpec(approx_sketches, None),
+    "mergeable_hll_rollup": QuerySpec(mergeable_hll_rollup, None),
     "chunk_documents": QuerySpec(chunk_documents, CHUNK_SQL),
     "rare_token_stats": QuerySpec(rare_token_stats, RARE_TOKEN_SQL),
 }

@@ -169,3 +169,27 @@ def test_winsorize_closed_form(spark, tmp_path):
     assert out[8].clipped_chars == 7.0 and out[8].was_clipped
     for i in range(1, 8):
         assert out[i].clipped_chars == float(i) and not out[i].was_clipped
+
+
+def test_mergeable_hll_union_equals_direct_sketch(spark, sf_dir):
+    """The union of per-group HLL sketches must equal the direct
+    whole-table sketch EXACTLY (register-wise max is associative and
+    order-free), and land within HLL error of the exact count — the
+    property that lets distinct counts roll up without re-scanning."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import mergeable_hll_rollup
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    rows = {r.event_type: r.approx_users for r in mergeable_hll_rollup(spark, sf_dir).collect()}
+    e = load_table(spark, "events", sf_dir)
+
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("n")
+    ).collect()[0].n
+    assert rows["ALL"] == direct  # union of parts == direct sketch
+
+    exact = e.select("user_id").distinct().count()
+    assert abs(rows["ALL"] - exact) / exact < 0.05
+    # every per-group estimate is bounded by the global one
+    assert all(v <= rows["ALL"] * 1.05 for k, v in rows.items() if k != "ALL")

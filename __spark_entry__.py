@@ -256,6 +256,8 @@ def registry() -> dict[str, QuerySpec]:
         "mjs_index_incremental",
         "snapshot_diff_audit",
         "mergeable_hll_rollup",
+        "lateral_topn_orders",
+        "nation_revenue_share",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

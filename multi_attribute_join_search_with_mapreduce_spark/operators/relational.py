@@ -330,6 +330,91 @@ WINDOW
 """
 
 
+def lateral_topn_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT — the SQL-surface spelling
+    of per-group top-n: for each BUILDING-segment customer, its two
+    largest orders.
+
+    Catalyst decorrelates the lateral limit into a window/rank plan (no
+    per-row re-execution — there is no nested-loop "for each customer
+    run a query" at runtime), so this is the same physical shape as
+    ``window_topn_orders``; what the query pins is that the LATERAL
+    spelling itself parses, decorrelates, and matches the oracle.
+    """
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import register_lake
+
+    register_lake(spark, sf, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, o.o_orderkey
+        """
+    )
+
+
+LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o ON TRUE
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, o.o_orderkey
+"""
+
+
+def nation_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation order revenue and its share of the global total —
+    computed the way that survives 100 TB: the total is a 1-row
+    aggregate broadcast back via cross join, NOT ``sum() over ()``,
+    whose empty-frame window funnels every row through one partition.
+    The share is one IEEE double division of two exactly-summed
+    decimals, so the value-hash is engine-stable.
+    """
+    c = load_table(spark, "customer", sf).select("c_custkey", "c_nationkey")
+    o = load_table(spark, "orders", sf).select("o_custkey", "o_totalprice")
+    n = load_table(spark, "nation", sf).select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("_rev"))
+    )
+    total = rev.agg(F.sum("_rev").alias("_total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            (F.col("_rev").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH rev AS (
+  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+  CAST(_rev AS DOUBLE) AS revenue,
+  CAST(_rev AS DOUBLE) / CAST((SELECT SUM(_rev) FROM rev) AS DOUBLE) AS share
+FROM rev
+ORDER BY n_name
+"""
+
+
 # --- join variants ---------------------------------------------------------
 
 def left_join_order_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -712,6 +797,8 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     "window_running_total": QuerySpec(window_running_total, WINDOW_RUNNING_SQL),
     "window_lag_events": QuerySpec(window_lag_events, WINDOW_LAG_SQL),
     "window_value_functions": QuerySpec(window_value_functions, WINDOW_VALUE_SQL),
+    "lateral_topn_orders": QuerySpec(lateral_topn_orders, LATERAL_TOPN_SQL),
+    "nation_revenue_share": QuerySpec(nation_revenue_share, NATION_REVENUE_SHARE_SQL),
     "left_join_order_counts": QuerySpec(left_join_order_counts, LEFT_JOIN_SQL),
     "anti_join_customers": QuerySpec(anti_join_customers, ANTI_JOIN_SQL),
     "semi_join_parts": QuerySpec(semi_join_parts, SEMI_JOIN_SQL),

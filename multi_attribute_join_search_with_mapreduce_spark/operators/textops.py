@@ -909,7 +909,107 @@ ORDER BY doc_id
 """
 
 
+# --- exact set-similarity join (prefix filtering, PPJoin-style) ------------
+
+# Jaccard threshold as an exact fraction (NUM/DEN) so every gate in the
+# pipeline is integer arithmetic — no float boundary can flip a pair in
+# or out between Spark and the oracle.
+_SSJ_NUM, _SSJ_DEN = 1, 2
+
+
+def set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT all-pairs Jaccard join over 3-gram shingle sets at
+    threshold ``NUM/DEN`` via prefix filtering (Chaudhuri et al. ICDE'06
+    / Bayardo et al. WWW'07) — the deterministic counterpart to the
+    MinHash-LSH path (`near_dup_candidates`), which is probabilistic.
+
+    Candidate generation never enumerates docs². Elements are globally
+    ordered by (document-frequency, element); each doc keeps only its
+    PREFIX — the first ``n - ceil(t*n) + 1`` elements. Losslessness: if
+    ``J(x,y) >= t`` then the overlap ``a = |x ∩ y|`` satisfies
+    ``a >= t/(1+t)*(|x|+|y|) >= t*max(|x|,|y|)``, and two sets with
+    overlap ``a`` must collide within their first ``n - a + 1`` elements
+    under ANY shared total order — so every qualifying pair shares a
+    prefix element. Rarest-first ordering makes the prefix postings the
+    SHORTEST postings, so the candidate self-join is bounded by
+    Σ prefix-posting² (≪ docs²); a length filter
+    (``DEN*min(na,nb) >= NUM*max(na,nb)``) prunes further before the
+    exact verify, which runs only on survivors.
+
+    Scale shape: one vocabulary aggregation (map-side combinable), one
+    bounded per-doc sort (doc shingle count), one equi-join on prefix
+    elements, exact `array_intersect` verify on candidates only. The
+    final threshold is integer-checked (``DEN*inter >= NUM*union``).
+    """
+    d = load_table(spark, "documents", sf)
+    sets = d.select(
+        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
+    ).persist()
+
+    elems = sets.select("doc_id", F.explode("sh").alias("el"))
+    dfreq = elems.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
+
+    # Per-doc elements sorted rarest-first; keep the prefix only.
+    ordered = (
+        elems.join(dfreq, "el")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "el"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.size("ranked").alias("n"),
+            F.transform("ranked", lambda s: s["el"]).alias("sorted_el"),
+        )
+    )
+    # p = n - ceil(t*n) + 1, ceil via integer arithmetic.
+    p = F.col("n") - F.floor((_SSJ_NUM * F.col("n") + _SSJ_DEN - 1) / _SSJ_DEN).cast("int") + 1
+    prefixes = ordered.select(
+        "doc_id", "n", F.explode(F.slice("sorted_el", 1, p)).alias("el")
+    )
+
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cands = (
+        a.join(b, "el")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            _SSJ_DEN * F.least(F.col("a.n"), F.col("b.n"))
+            >= _SSJ_NUM * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cands.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .filter(_SSJ_DEN * inter >= _SSJ_NUM * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+    )
+
+
+# Oracle: brute-force exact all-pairs with the SAME integer threshold —
+# the prefix filter is provably lossless, so the outputs must be
+# identical, not merely similar.
+SET_SIMILARITY_SQL = f"""
+WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.sh, b.sh)) AS inter,
+    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+FROM scored WHERE {_SSJ_DEN} * inter >= {_SSJ_NUM} * uni
+"""
+
+
 TEXT_QUERIES: dict[str, QuerySpec] = {
+    "set_similarity_join": QuerySpec(set_similarity_join, SET_SIMILARITY_SQL),
     "source_overlap": QuerySpec(source_overlap, SOURCE_OVERLAP_SQL),
     "word_entropy": QuerySpec(word_entropy, WORD_ENTROPY_SQL),
     "simhash": QuerySpec(simhash, SIMHASH_SQL),

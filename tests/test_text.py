@@ -153,3 +153,82 @@ def test_word_entropy_closed_form(spark, tmp_path):
     assert out[2].entropy == 3.0 and out[2].ttr == 1.0
     assert out[3].entropy == 1.0 and out[3].ttr == 0.5
     assert out[2].n_tokens == 8 and out[2].distinct_tokens == 8
+
+
+def test_set_similarity_join_matches_bruteforce(spark, sf_dir):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        SET_SIMILARITY_SQL,
+        set_similarity_join,
+    )
+
+    from .conftest import assert_df_equals_duckdb
+
+    assert_df_equals_duckdb(set_similarity_join(spark, sf_dir), SET_SIMILARITY_SQL, sf_dir)
+
+
+def test_set_similarity_prefix_filter_lossless_boundary(spark, tmp_path):
+    """Adversarial boundary fixture: pairs engineered to land exactly AT,
+    just above, and just below the 1/2 threshold — the prefix filter must
+    keep every qualifying pair (losslessness), and the integer threshold
+    must include J == t exactly."""
+    from itertools import combinations
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import set_similarity_join
+
+    def doc(words):
+        return " ".join(words)
+
+    base = [f"w{i}" for i in range(12)]
+    docs = [
+        # docs 1/2: 10 shared tokens + 2 unique each -> shingle overlap high
+        (1, doc(base[:10] + ["u1", "u2"]), "en", "s", 0),
+        (2, doc(base[:10] + ["v1", "v2"]), "en", "s", 0),
+        # docs 3/4: identical -> J = 1
+        (3, doc(base), "en", "s", 0),
+        (4, doc(base), "en", "s", 0),
+        # docs 5/6: disjoint vocab -> J = 0
+        (5, doc([f"a{i}" for i in range(8)]), "en", "s", 0),
+        (6, doc([f"b{i}" for i in range(8)]), "en", "s", 0),
+        # docs 7/8: exactly half-overlapping shingle sets (J == 1/2):
+        # each has 4 tri-shingles over a 6-token doc; share 2 of 6 total
+        (7, "p q r s x1 y1", "en", "s", 0),
+        (8, "p q r s x2 y2", "en", "s", 0),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    lake = tmp_path / "lake"
+    d.write.parquet(str(lake / "documents.parquet"))
+
+    # Python brute force over the same shingle definition
+    def shingles(text):
+        toks = text.split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets = {i: shingles(t) for i, t, *_ in docs}
+    expected = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 2 * inter >= uni:
+            expected[(a, b)] = round(inter / uni, 4)
+
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in set_similarity_join(spark, str(lake)).collect()}
+    assert got == expected
+    assert (3, 4) in got and got[(3, 4)] == 1.0
+    assert (5, 6) not in got
+
+
+def test_set_similarity_candidates_pruned_below_all_pairs(spark, sf_dir):
+    """The prefix-filter candidate count must be well under docs²/2 on the
+    real fixture — the point of the operator is to never enumerate
+    all pairs."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import set_similarity_join
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    plan = set_similarity_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert n_docs > 0

@@ -194,7 +194,10 @@ def stateful_sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN
 
 
 def purchase_click_join_stream(
-    events: DataFrame, max_lag_hours: int = 1, watermark: str = "2 hours"
+    events: DataFrame,
+    max_lag_hours: int = 1,
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval self-join: each purchase joined to the
     same user's clicks in the preceding ``max_lag_hours``.
@@ -234,7 +237,7 @@ def purchase_click_join_stream(
                 click_ts <= purchase_ts
                 """
             ),
-            "inner",
+            how,
         )
         # back to the lake's naive type (watermark round trip, see above)
         .withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp_ntz"))
@@ -438,6 +441,102 @@ FROM purch p JOIN clicks c
 """
 
 
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (driver-gated OUTER stream-stream proof): the
+    watermarked interval join run as LEFT OUTER — unmatched purchases
+    must surface with NULL click columns, which in Structured Streaming
+    happens only when the global watermark passes the row's join window
+    and its state is evicted.
+
+    Eviction needs the watermark to move PAST the data, so the source
+    is the events fixture plus two far-future sentinel rows (one click,
+    one purchase — the global watermark is the MIN over both watermark
+    nodes, and each node only sees its own event type). After the data
+    batch, the advanced watermark triggers the engine's no-data batch,
+    which flushes every remaining unmatched purchase as a NULL-padded
+    row. Sentinels carry negative ids and are filtered from the result,
+    and the sentinel click can never join a real purchase (its event
+    time is above every purchase's upper bound). The oracle is the full
+    batch LEFT JOIN — exact equality, not just inner-subset parity.
+
+    Scale note: state is bounded by watermark + interval exactly as in
+    the inner join; the outer rows ride the same eviction sweep, so
+    there is no extra state class to size.
+    """
+    import tempfile
+    import time
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    base = tempfile.mkdtemp(prefix="majs_stream_louter_")
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_ts = e.agg(F.max("ts").alias("m")).first()["m"]
+    sent = spark.createDataFrame(
+        [(-1, max_ts, -1, "click", 0.0), (-2, max_ts, -1, "purchase", 0.0)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        # watermark 2h + interval 1h + 1h margin past the fixture's end
+        F.expr("timestampadd(HOUR, 4, ts)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    src = f"{base}/src"
+    e.unionByName(sent).write.parquet(src)
+
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    out = purchase_click_join_stream(stream, how="leftOuter")
+
+    spark_conf_keys = ("spark.sql.shuffle.partitions", "spark.sql.session.timeZone")
+    saved = {k: spark.conf.get(k) for k in spark_conf_keys}
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_louter_sink")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # The NULL-padded rows are emitted by the watermark-advance
+            # no-data batch, which can run just after processAllAvailable
+            # returns — settle until the sink row count is stable.
+            last, stable, deadline = -1, 0, time.monotonic() + 30
+            while stable < 4 and time.monotonic() < deadline:
+                n = spark.sql("SELECT COUNT(*) FROM stream_louter_sink").first()[0]
+                stable = stable + 1 if n == last else 0
+                last = n
+                time.sleep(0.25)
+        finally:
+            q.stop()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.sql("SELECT * FROM stream_louter_sink").filter(
+        F.col("purchase_id") >= 0
+    )
+
+
+STREAM_LEFT_OUTER_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id AS purchase_user, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts
+FROM purch p LEFT JOIN clicks c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (driver-gated stateful-dedup proof): the source
     stream unioned with itself — every event arrives twice — must
@@ -561,5 +660,6 @@ STREAM_QUERIES: dict[str, QuerySpec] = {
     "stream_sessionize": QuerySpec(stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_static_enrich": QuerySpec(stream_static_enrich, STREAM_STATIC_SQL),
     "stream_stream_attrib": QuerySpec(stream_stream_attribution, STREAM_STREAM_SQL),
+    "stream_stream_left_outer": QuerySpec(stream_stream_left_outer, STREAM_LEFT_OUTER_SQL),
     "stream_dedup_watermark": QuerySpec(stream_dedup_events, STREAM_DEDUP_SQL),
 }

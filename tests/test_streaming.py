@@ -197,3 +197,38 @@ def test_checkpoint_recovery_is_exactly_once(spark, sf_dir, tmp_path):
     want = e.agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")).collect()[0]
     assert n_first == e.where(F.col("event_id") % 2 == 0).count()
     assert (got.n, got.s) == (want.n, want.s)  # no loss, no duplication
+
+
+def test_stream_stream_left_outer_emits_evicted_null_rows(spark, sf_dir):
+    """The LEFT OUTER streaming join must emit exactly one NULL-padded
+    row per purchase with no qualifying click — identical to the batch
+    left join's unmatched set (watermark flush via sentinel rows)."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        stream_stream_left_outer,
+    )
+
+    out = stream_stream_left_outer(spark, sf_dir).persist()
+    e = load_table(spark, "events", sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase")
+    unmatched = purch.join(
+        clicks,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") >= F.expr("ts - INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("ts")),
+        "left_anti",
+    )
+    null_rows = out.filter(F.col("click_id").isNull())
+    assert null_rows.count() == unmatched.count()
+    # every null row corresponds to a real unmatched purchase id
+    got = {r.purchase_id for r in null_rows.select("purchase_id").collect()}
+    want = {r.event_id for r in unmatched.select("event_id").collect()}
+    assert got == want
+    # inner portion unchanged by the outer mode
+    assert out.filter(F.col("click_id").isNotNull()).count() == out.count() - len(want)
+    out.unpersist()

@@ -339,6 +339,121 @@ ORDER BY hour_start, s.event_type
 """
 
 
+def gap_fill_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filled hourly series with LINEAR interpolation — the
+    hypertable ``time_bucket_gapfill + interpolate`` twin of
+    `gap_fill_hourly`'s locf: a missing hour gets the straight-line
+    value between its nearest observed neighbours; hours before the
+    first / after the last observation stay NULL.
+
+    Same scale shape as the locf variant (one fact aggregate, generated
+    spine, per-key windows bounded by bucket count). The neighbour
+    lookups are two ignore-nulls window passes (last-preceding and
+    first-following) over the spine — no self-join. Hour indices come
+    from ``timestampdiff`` against a fixed NTZ epoch, so the arithmetic
+    is timezone-independent in any session; the interpolation is one
+    multiply-add on doubles, bit-identical in Spark and DuckDB.
+    """
+    e = load_table(spark, "events", sf)
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("_avg"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    keys = e.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(keys))
+
+    hour_idx = F.expr("timestampdiff(HOUR, TIMESTAMP_NTZ'1970-01-01 00:00:00', h)")
+    obs_idx = F.when(F.col("_avg").isNotNull(), hour_idx)
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("_avg", ignorenulls=True).over(w_prev)
+    prev_i = F.last(obs_idx.alias("_pi"), ignorenulls=True).over(w_prev)
+    next_v = F.first("_avg", ignorenulls=True).over(w_next)
+    next_i = F.first(obs_idx.alias("_ni"), ignorenulls=True).over(w_next)
+    frac = (hour_idx - prev_i).cast("double") / (next_i - prev_i).cast("double")
+    interp = F.when(F.col("_avg").isNotNull(), F.col("_avg")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return (
+        spine.join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("hour_start"),
+            "event_type",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+            F.round(interp, 6).alias("avg_value"),
+            F.col("_avg").isNull().alias("is_interpolated"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+GAP_FILL_LINEAR_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avgv
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+spine AS (
+  SELECT h, event_type FROM hours
+  CROSS JOIN (SELECT DISTINCT event_type FROM events)
+),
+joined AS (
+  SELECT s.h, s.event_type, hr.n, hr.avgv,
+    date_diff('hour', TIMESTAMP '1970-01-01', s.h) AS hi_idx
+  FROM spine s
+  LEFT JOIN hourly hr ON s.h = hr.h AND s.event_type = hr.event_type
+),
+nb AS (
+  SELECT *,
+    last_value(avgv IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN avgv IS NOT NULL THEN hi_idx END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_i,
+    first_value(avgv IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN avgv IS NOT NULL THEN hi_idx END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+  FROM joined
+)
+SELECT h AS hour_start, event_type,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+  ROUND(CASE WHEN avgv IS NOT NULL THEN avgv
+    ELSE prev_v + (next_v - prev_v) *
+         (CAST(hi_idx - prev_i AS DOUBLE) / CAST(next_i - prev_i AS DOUBLE))
+  END, 6) AS avg_value,
+  avgv IS NULL AS is_interpolated
+FROM nb
+ORDER BY hour_start, event_type
+"""
+
+
 def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
     """7-day rolling distinct active users per day (the WAU curve) —
     exact rolling COUNT(DISTINCT), which Spark's window frames cannot
@@ -696,7 +811,81 @@ ORDER BY day, event_type
 """
 
 
+def rolling_zscore_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window anomaly detection: each hourly per-type total is
+    z-scored against the previous 24 observed hours; |z| > 3 flags the
+    hour. The monitoring primitive over any metric stream.
+
+    Determinism contract: the window accumulations (sum, sum-of-squares,
+    count) run in DECIMAL, so they are exact and independent of frame
+    evaluation strategy — a sliding-frame sum computed by
+    subtract-on-slide in one engine and full recompute in the other
+    diverges in floating point but not in decimal. Mean/variance/z are
+    then ONE double expression over those exact inputs, bit-identical
+    in Spark and DuckDB.
+
+    Scale: one map-side-combinable hourly aggregate over the facts;
+    the window runs over hourly rows (|types| x |hours|), thousands of
+    rows per year-key — never over raw events.
+    """
+    e = load_table(spark, "events", sf)
+    vdec = F.col("value").cast(DEC)
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.sum(vdec).alias("_v"),
+        F.sum((vdec * vdec).cast("decimal(38,4)")).alias("_vv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("_v").over(w).cast("double")
+    q = F.sum("_vv").over(w).cast("double")
+    x = F.col("_v").cast("double")
+    mean = s / n
+    var = (q - s * s / n) / (n - 1)
+    z = F.when(
+        (n >= 12) & (var > 0), (x - mean) / F.sqrt(var)
+    )
+    return hourly.select(
+        F.col("h").alias("hour_start"),
+        "event_type",
+        x.alias("hour_value"),
+        n.cast("long").alias("n_trailing"),
+        F.round(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+    ).orderBy("hour_start", "event_type")
+
+
+ROLLING_ZSCORE_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+             AS DECIMAL(38,4))) AS vv
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT h, event_type, CAST(v AS DOUBLE) AS x,
+    COUNT(*) OVER w AS n,
+    CAST(SUM(v) OVER w AS DOUBLE) AS s,
+    CAST(SUM(vv) OVER w AS DOUBLE) AS q
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT h AS hour_start, event_type, x AS hour_value,
+  CAST(n AS BIGINT) AS n_trailing,
+  ROUND(CASE WHEN n >= 12 AND (q - s * s / n) / (n - 1) > 0
+        THEN (x - s / n) / sqrt((q - s * s / n) / (n - 1)) END, 4) AS zscore,
+  COALESCE(abs(CASE WHEN n >= 12 AND (q - s * s / n) / (n - 1) > 0
+        THEN (x - s / n) / sqrt((q - s * s / n) / (n - 1)) END) > 3, FALSE) AS is_anomaly
+FROM win
+ORDER BY hour_start, event_type
+"""
+
+
 EVENT_QUERIES: dict[str, QuerySpec] = {
+    "gap_fill_linear": QuerySpec(gap_fill_linear, GAP_FILL_LINEAR_SQL),
+    "rolling_zscore_anomalies": QuerySpec(rolling_zscore_anomalies, ROLLING_ZSCORE_SQL),
     "incremental_rollup": QuerySpec(incremental_rollup, INCREMENTAL_ROLLUP_SQL),
     "rolling_active_users": QuerySpec(rolling_active_users, ROLLING_ACTIVE_SQL),
     "hierarchical_rollup": QuerySpec(hierarchical_rollup, HIERARCHICAL_ROLLUP_SQL),

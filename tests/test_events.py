@@ -160,3 +160,61 @@ def test_conversion_window_boundaries(spark, tmp_path):
     e.write.parquet(str(lake / "events.parquet"))
     r = conversion_within_window(spark, str(lake)).collect()[0]
     assert r.n_signups == 5 and r.n_converted == 2 and r.conversion_rate == 0.4
+
+
+def test_gap_fill_linear_closed_form(spark, tmp_path):
+    """Observations at hours 0 (v=10) and 4 (v=30): hours 1-3 must
+    interpolate to 15/20/25; no rows outside the observed span exist
+    because the spine is bounded by min/max ts."""
+    import datetime as dt
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import gap_fill_linear
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 30), 1, "click", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 4, 30), 1, "click", 30.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    lake = tmp_path / "lake"
+    e.write.parquet(str(lake / "events.parquet"))
+    out = {r.hour_start.hour: r for r in gap_fill_linear(spark, str(lake)).collect()}
+    assert [out[h].avg_value for h in range(5)] == [10.0, 15.0, 20.0, 25.0, 30.0]
+    assert [out[h].is_interpolated for h in range(5)] == [False, True, True, True, False]
+    assert out[2].n_events == 0 and out[0].n_events == 1
+
+
+def test_rolling_zscore_closed_form(spark, tmp_path):
+    """13 hourly values of 10 then one spike of 1000: the spike's
+    trailing window has mean 10, stddev 0 -> var==0 guard keeps z NULL;
+    with variance present the z-score matches the hand computation."""
+    import datetime as dt
+    import math
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import (
+        rolling_zscore_anomalies,
+    )
+
+    rows = []
+    # alternating 10/14 keeps variance positive; 13 trailing hours
+    for h in range(13):
+        rows.append((h, dt.datetime(2024, 1, 1, h, 0), 1, "click", 10.0 + 4 * (h % 2), "{}"))
+    rows.append((99, dt.datetime(2024, 1, 1, 13, 0), 1, "click", 1000.0, "{}"))
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    lake = tmp_path / "lake"
+    e.write.parquet(str(lake / "events.parquet"))
+    out = {r.hour_start.hour: r for r in rolling_zscore_anomalies(spark, str(lake)).collect()}
+    # trailing window for hour 13: 13 values (7x10, 6x14)
+    vals = [10.0 + 4 * (h % 2) for h in range(13)]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = (sum(v * v for v in vals) - sum(vals) ** 2 / n) / (n - 1)
+    expect = (1000.0 - mean) / math.sqrt(var)
+    assert out[13].is_anomaly
+    assert abs(out[13].zscore - expect) < 1e-3
+    assert out[5].zscore is None  # fewer than 12 trailing observations

@@ -102,7 +102,69 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
+# Conservative upper bound on input partitions for the local-candidate
+# threshold. Any key with global count >= T has a partition holding
+# >= T/P of it (pigeonhole, P = actual partitions <= _P_BOUND), so
+# filtering locals at T/_P_BOUND keeps a guaranteed SUPERSET of the
+# true heavy hitters. A larger bound only admits more candidates —
+# never loses one — so correctness is independent of the real layout.
+_P_BOUND = 64
+_HH_THRESHOLD = 70
+
+
+def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) -> DataFrame:
+    """EXACT frequency heavy hitters (keys with count >= threshold)
+    without shuffling the long tail — the distributed Misra-Gries
+    shape.
+
+    The naive plan (`groupBy(key).count().filter(>=T)`) partial-aggregates
+    map-side but still EXCHANGES one row per distinct key — at 100 TB
+    that shuffle is vocabulary-sized (billions of tail keys) while the
+    answer is a handful of rows. Catalyst cannot push the HAVING below
+    the final aggregation, so phase 1 here is an Arrow-batched
+    ``mapInPandas`` kernel that counts keys WITHIN each partition and
+    emits only locals >= T/_P_BOUND — the tail dies before the wire.
+    Phase 2 recounts the surviving candidates exactly over a broadcast
+    semi-join. Output is exact (the local gate keeps a provable
+    superset; the recount discards false positives), which is why the
+    plain HAVING query can be the oracle.
+
+    At fixture scale every key clears the local gate (T/P < per-key
+    local counts) — the pruning power grows with per-partition volume,
+    which is the 100 TB regime this is built for.
+    """
+    import pandas as pd
+
+    e = load_table(spark, "events", sf).select(F.col("user_id").cast("long"))
+    local_min = -(-threshold // _P_BOUND)  # ceil(T / P_BOUND)
+
+    def local_candidates(batches):
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for k, c in pdf["user_id"].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(c)
+        keep = [k for k, c in counts.items() if c >= local_min]
+        yield pd.DataFrame({"user_id": pd.Series(keep, dtype="int64")})
+
+    cands = e.mapInPandas(local_candidates, "user_id long").distinct()
+    return (
+        e.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= threshold)
+        .orderBy("user_id")
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id HAVING COUNT(*) >= {_HH_THRESHOLD}
+ORDER BY user_id
+"""
+
+
 SKEW_QUERIES: dict[str, QuerySpec] = {
+    "heavy_hitters": QuerySpec(heavy_hitters, HEAVY_HITTERS_SQL),
     "salted_event_counts": QuerySpec(salted_event_counts, SALTED_EVENT_COUNTS_SQL),
     "salted_user_event_join": QuerySpec(
         salted_user_event_join, SALTED_USER_EVENT_JOIN_SQL

@@ -34,3 +34,29 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert salted == plain
     # fact rows with no dim partner are dropped on both paths (inner)
     assert len(salted) == e.count()
+
+
+def test_heavy_hitters_exact_under_adversarial_partitioning(spark, tmp_path):
+    """Spread each key thinly over many partitions (worst case for the
+    local-candidate gate) — the output must still equal the plain
+    HAVING aggregation because the gate keeps a provable superset."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.skew import heavy_hitters
+
+    # key k repeated 10+k times, k in 0..29; threshold 25 -> keys >= 15
+    rows = [(k,) for k in range(30) for _ in range(10 + k)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(40)
+    lake = tmp_path / "lake"
+    df.select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(str(lake / "events.parquet"))
+
+    out = {r.user_id: r.n_events for r in heavy_hitters(spark, str(lake), threshold=25).collect()}
+    assert out == {k: 10 + k for k in range(30) if 10 + k >= 25}

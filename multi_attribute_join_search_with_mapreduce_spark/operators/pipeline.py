@@ -649,7 +649,85 @@ ORDER BY doc_id
 """
 
 
+def temperature_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Square-root temperature rebalancing of the corpus mixture
+    (the α=0.5 sampling temperature of multilingual/multi-source LLM
+    training): every source is deterministically downsampled relative
+    to the SMALLEST source so kept token shares go ∝ sqrt(natural
+    share) — big sources shrink, rare sources keep everything.
+
+    Per-source keep rate ``r_s = sqrt(c_min / c_s)`` (token counts).
+    α is fixed at 1/2 precisely so the rate needs only division and
+    ``sqrt`` — both IEEE-correctly-rounded, hence bit-identical in
+    Spark and DuckDB — never ``pow``, whose last-ulp behaviour is
+    libm-specific and could flip a keep decision at a threshold
+    boundary. The gate itself is an order-stable string compare:
+    ``md5(doc_id)[0:8] < hex(floor(r_s * 2^32))`` — a pure map-side
+    filter against a broadcast 1-row-per-source rate table, the same
+    shape `mixture_sample` uses, so no shuffle touches the corpus
+    until the audit aggregate.
+    """
+    d = load_table(spark, "documents", sf).select(
+        "doc_id", "source", _n_tokens().cast("long").alias("n_tok")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_tok").alias("c"))
+    cmin = per_src.agg(F.min("c").alias("c_min"))
+    thr_int = F.floor(
+        F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")) * F.lit(2.0**32)
+    )
+    rates = per_src.crossJoin(F.broadcast(cmin)).select(
+        "source",
+        F.when(thr_int >= F.lit(2**32), F.lit("g"))
+        .otherwise(F.lower(F.lpad(F.conv(thr_int.cast("string"), 10, 16), 8, "0")))
+        .alias("thr_hex"),
+        F.round(
+            F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")), 6
+        ).alias("keep_rate"),
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < F.col("thr_hex")
+    )
+    return (
+        kept.groupBy("source", "keep_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("n_tokens_kept"),
+        )
+        .select("source", "keep_rate", "n_docs_kept", "n_tokens_kept")
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_REBALANCE_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, CAST({_N_TOKENS_SQL} AS BIGINT) AS n_tok FROM documents
+),
+per_src AS (SELECT source, SUM(n_tok) AS c FROM per_doc GROUP BY source),
+thr AS (
+  SELECT source,
+    FLOOR(sqrt(CAST((SELECT MIN(c) FROM per_src) AS DOUBLE) / CAST(c AS DOUBLE)) * 4294967296.0) AS t,
+    ROUND(sqrt(CAST((SELECT MIN(c) FROM per_src) AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS keep_rate
+  FROM per_src
+),
+rates AS (
+  SELECT source, keep_rate,
+    CASE WHEN t >= 4294967296 THEN 'g'
+         ELSE lower(lpad(to_hex(CAST(t AS BIGINT)), 8, '0'))
+    END AS thr_hex
+  FROM thr
+)
+SELECT d.source, r.keep_rate,
+  CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+  CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens_kept
+FROM per_doc d JOIN rates r ON d.source = r.source
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr_hex
+GROUP BY d.source, r.keep_rate
+ORDER BY d.source
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
+    "temperature_rebalance": QuerySpec(temperature_rebalance, TEMPERATURE_REBALANCE_SQL),
     "winsorize_doc_lengths": QuerySpec(winsorize_doc_lengths, WINSORIZE_SQL),
     "stratified_sample_exact": QuerySpec(stratified_sample_exact, STRATIFIED_SAMPLE_SQL),
     "train_test_split": QuerySpec(train_test_split, TRAIN_TEST_SPLIT_SQL),

@@ -193,3 +193,33 @@ def test_mergeable_hll_union_equals_direct_sketch(spark, sf_dir):
     assert abs(rows["ALL"] - exact) / exact < 0.05
     # every per-group estimate is bounded by the global one
     assert all(v <= rows["ALL"] * 1.05 for k, v in rows.items() if k != "ALL")
+
+
+def test_temperature_rebalance_invariants(spark, sf_dir):
+    """α=0.5 contract: the smallest source keeps rate 1.0 (everything),
+    rates fall as source token mass grows, and kept counts never exceed
+    corpus counts."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import (
+        _n_tokens,
+        temperature_rebalance,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    out = {r.source: r for r in temperature_rebalance(spark, sf_dir).collect()}
+    totals = {
+        r.source: (r.n_docs, r.c)
+        for r in load_table(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(_n_tokens().cast("long")).alias("c"))
+        .collect()
+    }
+    c_min = min(c for _, c in totals.values())
+    for src, r in out.items():
+        n_docs, c = totals[src]
+        assert r.n_docs_kept <= n_docs and r.n_tokens_kept <= c
+        assert abs(r.keep_rate - (c_min / c) ** 0.5) < 1e-6
+        if c == c_min:
+            # rate-1.0 source: the 'g' sentinel keeps every doc
+            assert r.n_docs_kept == n_docs and r.n_tokens_kept == c

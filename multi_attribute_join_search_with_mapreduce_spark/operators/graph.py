@@ -340,6 +340,116 @@ ORDER BY c.vec_id
 """
 
 
+# --- fixed-point integer PageRank over the near-dup graph ------------------
+
+# 12-decimal fixed point: rank 1.0 == 10^12. All iteration arithmetic
+# is BIGINT (floor-div contributions, 17/20 damping) so every round is
+# EXACT and order-independent — float PageRank cannot be value-hashed
+# across engines because groupBy sums of doubles are not associative.
+_PR_SCALE = 10**12
+_PR_BASE = 150_000_000_000  # 0.15 * scale
+_PR_ROUNDS = 5
+
+
+def pagerank_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Five rounds of damped PageRank over the symmetric LSH near-dup
+    graph — the iterative-numeric-fixpoint counterpart to the
+    label-propagation components: centrality inside duplicate clusters
+    (high-degree hubs accumulate mass; isolated docs pin at the 0.15
+    base).
+
+    Per round: one equi-join of the rank frame against the persisted
+    edge list + one aggregate on dst — shuffles carry (id, rank) pairs
+    only, never documents. Ranks live in 12-decimal fixed point;
+    contribution = ``rank div degree`` (integer floor-div) and damping
+    = ``(17 * Σ) div 20``, so the fixpoint trajectory is bit-exact and
+    the DuckDB oracle (the same five rounds as chained CTEs) matches
+    on the BIGINT column, not a float tolerance.
+
+    At 100 TB scale the loop adds ``localCheckpoint`` every few rounds
+    (see `connected_components`); five fixed rounds keep the lineage
+    shallow enough to skip it.
+    """
+    pairs = _candidate_edges(spark, sf)
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("k")).persist()
+    nodes = load_table(spark, "documents", sf).select("doc_id").persist()
+
+    pr = nodes.select("doc_id", F.lit(_PR_SCALE).cast("long").alias("pr"))
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("pr div k").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_pr = (
+            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
+                ).cast("long").alias("pr"),
+            )
+            .persist()
+        )
+        pr.unpersist() if pr is not nodes else None
+        pr = new_pr
+
+    deg = outdeg.select(F.col("src").alias("doc_id"), F.col("k").alias("degree"))
+    return (
+        pr.join(deg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+            F.col("pr").alias("pagerank_fp"),
+            F.round(F.col("pr").cast("double") / _PR_SCALE, 6).alias("pagerank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_sql() -> str:
+    its = [
+        f"it0 AS (SELECT doc_id, CAST({_PR_SCALE} AS BIGINT) AS pr FROM documents)"
+    ]
+    for i in range(1, _PR_ROUNDS + 1):
+        its.append(
+            f"""it{i} AS (
+  SELECT n.doc_id,
+    CAST({_PR_BASE} + (17 * COALESCE(SUM(p.pr // o.k), 0)) // 20 AS BIGINT) AS pr
+  FROM documents n
+  LEFT JOIN edges e ON e.dst = n.doc_id
+  LEFT JOIN it{i - 1} p ON p.doc_id = e.src
+  LEFT JOIN outdeg o ON o.src = e.src
+  GROUP BY n.doc_id)"""
+        )
+    return f"""
+WITH cand AS (
+{NEAR_DUP_SQL}
+),
+pairs AS (SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= {_EDGE_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+outdeg AS (SELECT src, COUNT(*) AS k FROM edges GROUP BY src),
+{",".join(its)}
+SELECT f.doc_id,
+  CAST(COALESCE(o.k, 0) AS BIGINT) AS degree,
+  f.pr AS pagerank_fp,
+  ROUND(CAST(f.pr AS DOUBLE) / {_PR_SCALE}, 6) AS pagerank
+FROM it{_PR_ROUNDS} f
+LEFT JOIN outdeg o ON o.src = f.doc_id
+ORDER BY f.doc_id
+"""
+
+
 def _cc_ctes() -> str:
     """Shared recursive-CTE prefix: candidate pairs -> edges -> exact
     transitive closure -> per-node component min."""
@@ -383,6 +493,7 @@ ORDER BY d.doc_id
 
 
 GRAPH_QUERIES: dict[str, QuerySpec] = {
+    "pagerank_near_dup": QuerySpec(pagerank_near_dup, _pagerank_sql()),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_canonical": QuerySpec(dedup_canonical, DEDUP_CANONICAL_SQL),
     "semantic_dedup": QuerySpec(semantic_dedup, _semantic_dedup_sql()),

@@ -168,3 +168,51 @@ def test_join_graph_hot_key_cap_and_partial_containment(spark):
     assert got[(3, 4)] == 1.0 and got[(4, 5)] == 1.0
     # 'h' joins both sets: common {a,b,h}, min size 4
     assert got[(1, 2)] == 0.75
+
+
+def test_pagerank_fixed_point_matches_python_simulation(spark, sf_dir):
+    """Replay the 5-round fixed-point iteration in pure Python over the
+    same edge list — every BIGINT rank must match exactly (the whole
+    point of the integer formulation)."""
+    from collections import defaultdict
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import (
+        _EDGE_THRESHOLD,
+        _PR_BASE,
+        _PR_ROUNDS,
+        _PR_SCALE,
+        pagerank_near_dup,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        near_dup_candidates,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in near_dup_candidates(spark, sf_dir)
+        .filter(f"est_jaccard >= {_EDGE_THRESHOLD}")
+        .collect()
+    ]
+    edges = defaultdict(list)
+    for a, b in pairs:
+        edges[a].append(b)
+        edges[b].append(a)
+    nodes = [r.doc_id for r in load_table(spark, "documents", sf_dir).select("doc_id").collect()]
+
+    pr = {n: _PR_SCALE for n in nodes}
+    for _ in range(_PR_ROUNDS):
+        s = defaultdict(int)
+        for src, dsts in edges.items():
+            c = pr[src] // len(dsts)
+            for d in dsts:
+                s[d] += c
+        pr = {n: _PR_BASE + (17 * s[n]) // 20 for n in nodes}
+
+    got = {r.doc_id: (r.pagerank_fp, r.degree) for r in pagerank_near_dup(spark, sf_dir).collect()}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n] == (pr[n], len(edges.get(n, []))), n
+    # isolated docs pin at the damping base exactly
+    isolated = [n for n in nodes if n not in edges]
+    assert all(got[n][0] == _PR_BASE for n in isolated)

@@ -636,7 +636,161 @@ FROM embeddings
 """
 
 
+# --- distributed Lloyd k-means (exact decimal centroid accumulation) -------
+
+_KM_K = 8
+_KM_ROUNDS = 2
+_KM_DIMS = 64
+
+
+def _km_dist2(emb: Column, cvec: list[float]) -> Column:
+    """Squared L2 to a literal centroid, left-to-right fold over dims —
+    the same IEEE accumulation order as DuckDB's ``list_sum`` fold."""
+    c_lit = F.array(*[F.lit(float(v)) for v in cvec])
+    return F.aggregate(
+        F.zip_with(emb, c_lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _km_assign(e: DataFrame, codebook: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment against the driver-held codebook —
+    one narrow projection (array_min over (dist, cell) structs: smallest
+    distance, ties to the smallest cell), no crossJoin, no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(_km_dist2(F.col("emb"), cvec).alias("d"), F.lit(cell).alias("cell"))
+            for cell, cvec in codebook
+        ]
+    )
+    best = F.array_min(scored)
+    return e.select(
+        "vec_id", "emb", best["cell"].alias("cell"), best["d"].alias("dist2")
+    )
+
+
+def kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus — the real
+    IVF-codebook trainer (`_centroid_df` is the label-seeded stand-in):
+    ``_KM_ROUNDS`` refinement rounds from a deterministic seed (the K
+    lowest vec_ids), then per-cell size and inertia under the refined
+    codebook.
+
+    Cross-engine exactness, the hard part of driver-gating an iterative
+    float algorithm: (1) centroid means accumulate in DECIMAL —
+    groupBy sums of doubles are order-nondeterministic, decimal sums
+    are exact — then one rounded double division; (2) distances are a
+    fixed-order fold against *literal* centroid components, so Spark
+    and DuckDB compute the same doubles bit-for-bit; (3) assignment
+    ties break to the smallest cell; (4) inertia re-enters decimal
+    before the final sum. The oracle replays the identical rounds as
+    chained CTEs and matches on values, not tolerances.
+
+    Scale shape: per round ONE narrow assignment pass (codebook is a
+    broadcast-sized model parameter, like Spark ML's
+    ``KMeansModel.clusterCenters``) + ONE (cell, dim)-grouped
+    aggregate — shuffle rows bounded by K x dims, never by corpus
+    size. Empty cells carry their previous centroid forward
+    (COALESCE), mirrored on both sides.
+    """
+    e = (
+        load_table(spark, "embeddings", sf)
+        .select("vec_id", _dvec("embedding").alias("emb"))
+        .persist()
+    )
+    seeds = e.orderBy("vec_id").limit(_KM_K).collect()
+    codebook = [(i, [float(v) for v in r["emb"]]) for i, r in enumerate(seeds)]
+
+    for _ in range(_KM_ROUNDS):
+        assigned = _km_assign(e, codebook)
+        exploded = assigned.select("cell", F.posexplode("emb").alias("dim", "v"))
+        means = {
+            (r["cell"], r["dim"]): r["mv"]
+            for r in exploded.groupBy("cell", "dim")
+            .agg(
+                F.round(
+                    F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("mv")
+            )
+            .collect()
+        }
+        codebook = [
+            (cell, [means.get((cell, j), old[j]) for j in range(_KM_DIMS)])
+            for cell, old in codebook
+        ]
+
+    final = _km_assign(e, codebook)
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum(F.col("dist2").cast("decimal(38,12)")).cast("double"), 6).alias(
+                "inertia"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def _kmeans_sql() -> str:
+    K, D, R = _KM_K, _KM_DIMS, _KM_ROUNDS
+    dims = f"(SELECT unnest(generate_series(0, {D - 1})) AS i)"
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)",
+        f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb
+  FROM e ORDER BY vec_id LIMIT {K})""",
+        f"""cent0 AS (
+  SELECT cell, i.i AS dim, emb[i.i + 1] AS mv
+  FROM seeds CROSS JOIN {dims} i)""",
+    ]
+    for r in range(1, R + 2):
+        ctes.append(
+            f"cvec{r - 1} AS (SELECT cell, list(mv ORDER BY dim) AS cv FROM cent{r - 1} GROUP BY cell)"
+        )
+        ctes.append(
+            f"""assign{r} AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT vec_id, cell, dist,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM (
+      SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, {D}),
+          i -> (e.emb[i] - c.cv[i]) * (e.emb[i] - c.cv[i]))) AS dist
+      FROM e CROSS JOIN cvec{r - 1} c
+    )
+  ) WHERE rn = 1)"""
+        )
+        if r <= R:
+            ctes.append(
+                f"""means{r} AS (
+  SELECT a.cell, i.i AS dim,
+    ROUND(CAST(SUM(CAST(e.emb[i.i + 1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS mv
+  FROM assign{r} a JOIN e USING (vec_id)
+  CROSS JOIN {dims} i
+  GROUP BY a.cell, i.i)"""
+            )
+            ctes.append(
+                f"""cent{r} AS (
+  SELECT c.cell, c.dim, COALESCE(m.mv, c.mv) AS mv
+  FROM cent{r - 1} c LEFT JOIN means{r} m ON m.cell = c.cell AND m.dim = c.dim)"""
+            )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  ROUND(CAST(SUM(CAST(dist AS DECIMAL(38,12))) AS DOUBLE), 6) AS inertia
+FROM assign{R + 1}
+GROUP BY cell
+ORDER BY cell
+"""
+
+
 SIMILARITY_QUERIES: dict[str, QuerySpec] = {
+    "kmeans_lloyd": QuerySpec(kmeans_lloyd, _kmeans_sql()),
     "hof_vector_stats": QuerySpec(hof_vector_stats, HOF_VECTOR_STATS_SQL),
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEAR_DUP_SQL),
     "embedding_near_dup_multiprobe": QuerySpec(

@@ -158,3 +158,33 @@ def test_multiprobe_recovers_sibling_bucket_pairs(spark, sf_dir):
     for a, b in multi:
         ham = sum(x != y for x, y in zip(buckets[a], buckets[b]))
         assert ham <= 1, f"pair ({a},{b}) at Hamming {ham}"
+
+
+def test_kmeans_lloyd_refinement_reduces_inertia(spark, sf_dir):
+    """Lloyd's algorithm contract: total inertia under the refined
+    codebook must be strictly below inertia under the seed codebook,
+    and every vector stays assigned (cell sizes sum to the corpus)."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
+        _KM_K,
+        _dvec,
+        _km_assign,
+        kmeans_lloyd,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
+    n = e.count()
+    seeds = e.orderBy("vec_id").limit(_KM_K).collect()
+    seed_codebook = [(i, [float(v) for v in r["emb"]]) for i, r in enumerate(seeds)]
+    seed_inertia = (
+        _km_assign(e, seed_codebook).agg(F.sum("dist2").alias("s")).first()["s"]
+    )
+
+    out = kmeans_lloyd(spark, sf_dir).collect()
+    assert sum(r.n_vectors for r in out) == n
+    assert sum(r.inertia for r in out) < seed_inertia
+    assert all(r.inertia >= 0 for r in out)

@@ -258,6 +258,15 @@ def registry() -> dict[str, QuerySpec]:
         "mergeable_hll_rollup",
         "lateral_topn_orders",
         "nation_revenue_share",
+        # late round-3 additions (this session) — equally never-checked
+        "set_similarity_join",
+        "stream_stream_left_outer",
+        "gap_fill_linear",
+        "rolling_zscore_anomalies",
+        "heavy_hitters",
+        "temperature_rebalance",
+        "pagerank_near_dup",
+        "kmeans_lloyd",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

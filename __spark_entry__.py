@@ -267,6 +267,8 @@ def registry() -> dict[str, QuerySpec]:
         "temperature_rebalance",
         "pagerank_near_dup",
         "kmeans_lloyd",
+        "chunk_documents_udtf",
+        "recursive_hierarchy_walk",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -456,6 +456,57 @@ WHERE chunk_text <> ''
 """
 
 
+def chunk_documents_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """The chunker as a Python UDTF consumed through a correlated
+    LATERAL join — the user-defined TABLE function surface (Spark 4
+    ``@udtf``), where one input row fans out to a variable number of
+    output rows inside the engine's lateral-join machinery rather than
+    via explode arithmetic.
+
+    Deliberately the same contract as `chunk_documents` (same columns,
+    same 64/48 token windows, same empty-chunk filter) and gated
+    against the SAME DuckDB oracle: the two paths must be
+    row-identical, proving the UDTF plumbing, not new semantics. The
+    native-expression variant remains the hot path (UDTFs run in a
+    Python worker, row-at-a-time); the UDTF is for logic that cannot
+    be expressed as expressions — here it carries per-row Python state
+    (the token list) across the yielded chunk rows.
+    """
+    import math
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_id int, n_doc_tokens int, "
+            "chunk_text string, n_chunk_tokens int"
+        )
+    )
+    class Chunker:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            toks = re.split(r"\s+", text.strip())
+            n = len(toks)
+            n_chunks = max(1, math.ceil((n - _CHUNK_TOKENS) / _CHUNK_STRIDE) + 1)
+            for i in range(n_chunks):
+                chunk = " ".join(toks[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_TOKENS])
+                if chunk:
+                    yield doc_id, i, n, chunk, len(chunk.split(" "))
+
+    spark.udtf.register("majs_chunker", Chunker)
+    load_table(spark, "documents", sf).select("doc_id", "text").createOrReplaceTempView(
+        "majs_docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_id, c.n_doc_tokens, c.chunk_text, c.n_chunk_tokens
+        FROM majs_docs_for_udtf d, LATERAL majs_chunker(d.doc_id, d.text) c
+        """
+    )
+
+
 # Corpus frequency at or below which a token counts as "rare" for the
 # OOV/rarity gate (absolute count — at real scale use a ppm threshold).
 _RARE_MAX_FREQ = 2
@@ -738,5 +789,6 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "approx_sketches": QuerySpec(approx_sketches, None),
     "mergeable_hll_rollup": QuerySpec(mergeable_hll_rollup, None),
     "chunk_documents": QuerySpec(chunk_documents, CHUNK_SQL),
+    "chunk_documents_udtf": QuerySpec(chunk_documents_udtf, CHUNK_SQL),
     "rare_token_stats": QuerySpec(rare_token_stats, RARE_TOKEN_SQL),
 }

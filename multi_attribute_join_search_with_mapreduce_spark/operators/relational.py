@@ -784,7 +784,60 @@ ORDER BY source, bucket
 """
 
 
+def recursive_hierarchy_walk(spark: SparkSession, sf: str) -> DataFrame:
+    """``WITH RECURSIVE`` over the lake's natural containment tree
+    (region → nation → customer → order): per root region, how many
+    entities sit at each depth — the org-chart/bill-of-materials query
+    class, run through Spark's recursive-CTE SQL surface (Spark 4).
+
+    The edge list namespaces keys per level ('N'/'C'/'O' prefixes) so
+    the recursion walks one relation. ``UNION ALL`` recursion is exact
+    here because the containment graph is a TREE (each child has one
+    parent — no duplicate paths, guaranteed termination at depth 3).
+    Cyclic/unbounded graphs are the iterative operators' job
+    (`graph.py`: label propagation, alternating star) — a recursive
+    CTE materializes every path and cannot terminate on cycles, which
+    is exactly why the engine carries both surfaces.
+
+    Scale: each recursion level is one shuffle join of the frontier
+    against the edge list — depth-bounded (3 here), frontier rows are
+    (root, node) pairs only.
+    """
+    for t in ("region", "nation", "customer", "orders"):
+        load_table(spark, t, sf).createOrReplaceTempView(f"majs_rec_{t}")
+    return spark.sql(_RECURSIVE_WALK_BODY.format(p="majs_rec_"))
+
+
+# One SQL body, two engines: Spark runs it over prefixed temp views,
+# DuckDB over its pre-registered plain views.
+_RECURSIVE_WALK_BODY = """
+WITH RECURSIVE edges(parent, child) AS (
+  SELECT 'R' || CAST(r_regionkey AS STRING), 'N' || CAST(n_nationkey AS STRING)
+  FROM {p}nation JOIN {p}region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT 'N' || CAST(c_nationkey AS STRING), 'C' || CAST(c_custkey AS STRING)
+  FROM {p}customer
+  UNION ALL
+  SELECT 'C' || CAST(o_custkey AS STRING), 'O' || CAST(o_orderkey AS STRING)
+  FROM {p}orders
+),
+walk(root, node, depth) AS (
+  SELECT r_name, 'R' || CAST(r_regionkey AS STRING), 0 FROM {p}region
+  UNION ALL
+  SELECT w.root, e.child, w.depth + 1
+  FROM walk w JOIN edges e ON e.parent = w.node
+)
+SELECT root, depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM walk GROUP BY root, depth ORDER BY root, depth
+"""
+
+RECURSIVE_WALK_SQL = _RECURSIVE_WALK_BODY.format(p="").replace(
+    "AS STRING", "AS VARCHAR"
+)
+
+
 RELATIONAL_QUERIES: dict[str, QuerySpec] = {
+    "recursive_hierarchy_walk": QuerySpec(recursive_hierarchy_walk, RECURSIVE_WALK_SQL),
     "equi_depth_histogram": QuerySpec(equi_depth_histogram, EQUI_DEPTH_SQL),
     "doc_length_quartiles": QuerySpec(doc_length_quartiles, DOC_LENGTH_QUARTILES_SQL),
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),

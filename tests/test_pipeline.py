@@ -223,3 +223,17 @@ def test_temperature_rebalance_invariants(spark, sf_dir):
         if c == c_min:
             # rate-1.0 source: the 'g' sentinel keeps every doc
             assert r.n_docs_kept == n_docs and r.n_tokens_kept == c
+
+
+def test_chunker_udtf_identical_to_native_path(spark, sf_dir):
+    """UDTF lateral-join chunker must be row-identical to the
+    explode-arithmetic chunker — same contract, two surfaces."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+
+    a = chunk_documents(spark, sf_dir)
+    b = chunk_documents_udtf(spark, sf_dir)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

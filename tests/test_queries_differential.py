@@ -42,3 +42,21 @@ def test_equi_depth_buckets_balanced(spark, sf_dir):
         ordered = sorted(rs, key=lambda r: r.bucket)
         for a, b in zip(ordered, ordered[1:]):
             assert a.hi <= b.lo  # non-overlapping value ranges
+
+
+def test_recursive_walk_depth_counts(spark, sf_dir):
+    """Tree invariant: depth d row counts equal the level cardinalities
+    (5 regions, 25 nations, |customer|, |orders|)."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.relational import (
+        recursive_hierarchy_walk,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    out = recursive_hierarchy_walk(spark, sf_dir).collect()
+    by_depth = {}
+    for r in out:
+        by_depth[r.depth] = by_depth.get(r.depth, 0) + r.n_nodes
+    assert by_depth[0] == load_table(spark, "region", sf_dir).count()
+    assert by_depth[1] == load_table(spark, "nation", sf_dir).count()
+    assert by_depth[2] == load_table(spark, "customer", sf_dir).count()
+    assert by_depth[3] == load_table(spark, "orders", sf_dir).count()

@@ -269,6 +269,7 @@ def registry() -> dict[str, QuerySpec]:
         "kmeans_lloyd",
         "chunk_documents_udtf",
         "recursive_hierarchy_walk",
+        "incremental_join_rollup",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -784,6 +784,75 @@ ORDER BY source, bucket
 """
 
 
+def incremental_join_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance of a JOIN + aggregate — the join
+    twin of `events.incremental_rollup` (which maintains a plain
+    rollup): the revenue-per-priority view over orders⨝lineitem is
+    maintained under simultaneous deltas on BOTH join sides using the
+    bilinear delta expansion
+
+        agg(A⨝B) = agg(A₀⨝B₀) + agg(ΔA⨝B₀) + agg(A₀⨝ΔB) + agg(ΔA⨝ΔB)
+
+    (disjoint unions distribute through the join). The old state
+    ``agg(A₀⨝B₀)`` is NEVER recomputed — refresh cost is the three
+    Δ-sized terms, each a delta joined against one side. Partials are
+    exact decimal sums, so merge order cannot change a cent and the
+    oracle (the one-shot full join+agg) matches by value.
+
+    The deltas are content-keyed splits (orderkey/partkey mod), the
+    repo's convention for deterministic "newly arrived" batches. At
+    100 TB the delta terms are partition-pruned scans of the delta
+    plus semi-joined probes of the other side — O(Δ), not O(history).
+    """
+    o = load_table(spark, "orders", sf).select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, "lineitem", sf).select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o_old, o_new = o.filter("o_orderkey % 10 != 0"), o.filter("o_orderkey % 10 = 0")
+    li_old, li_new = li.filter("l_partkey % 7 != 0"), li.filter("l_partkey % 7 = 0")
+
+    def partial(orders_side: DataFrame, items_side: DataFrame) -> DataFrame:
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+        return (
+            orders_side.join(
+                items_side, orders_side["o_orderkey"] == items_side["l_orderkey"]
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(rev).cast("decimal(28,4)").alias("rev_dec"),
+            )
+        )
+
+    state0 = partial(o_old, li_old)
+    deltas = (
+        partial(o_new, li_old)
+        .unionByName(partial(o_old, li_new))
+        .unionByName(partial(o_new, li_new))
+    )
+    return (
+        state0.unionByName(deltas)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_items").cast("long").alias("n_items"),
+            F.sum("rev_dec").cast("decimal(28,4)").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+INCREMENTAL_JOIN_ROLLUP_SQL = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def recursive_hierarchy_walk(spark: SparkSession, sf: str) -> DataFrame:
     """``WITH RECURSIVE`` over the lake's natural containment tree
     (region → nation → customer → order): per root region, how many
@@ -838,6 +907,9 @@ RECURSIVE_WALK_SQL = _RECURSIVE_WALK_BODY.format(p="").replace(
 
 RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     "recursive_hierarchy_walk": QuerySpec(recursive_hierarchy_walk, RECURSIVE_WALK_SQL),
+    "incremental_join_rollup": QuerySpec(
+        incremental_join_rollup, INCREMENTAL_JOIN_ROLLUP_SQL
+    ),
     "equi_depth_histogram": QuerySpec(equi_depth_histogram, EQUI_DEPTH_SQL),
     "doc_length_quartiles": QuerySpec(doc_length_quartiles, DOC_LENGTH_QUARTILES_SQL),
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),

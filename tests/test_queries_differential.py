@@ -60,3 +60,23 @@ def test_recursive_walk_depth_counts(spark, sf_dir):
     assert by_depth[1] == load_table(spark, "nation", sf_dir).count()
     assert by_depth[2] == load_table(spark, "customer", sf_dir).count()
     assert by_depth[3] == load_table(spark, "orders", sf_dir).count()
+
+
+def test_incremental_join_rollup_deltas_are_exercised(spark, sf_dir):
+    """The bilinear decomposition only proves something if all three
+    delta terms are nonempty — assert the splits actually produce
+    cross-term rows at this fixture scale."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    o_new = o.filter("o_orderkey % 10 = 0")
+    li_new = li.filter("l_partkey % 7 = 0")
+    o_old = o.filter("o_orderkey % 10 != 0")
+    li_old = li.filter("l_partkey % 7 != 0")
+    j = lambda a, b: a.join(b, a["o_orderkey"] == b["l_orderkey"]).count()
+    assert j(o_new, li_old) > 0
+    assert j(o_old, li_new) > 0
+    assert j(o_new, li_new) > 0

@@ -140,6 +140,43 @@ def snapshot_delete_where(
     return version
 
 
+def snapshot_expire(table_dir: str, keep_last: int = 1) -> dict:
+    """Retention / VACUUM: expire all but the newest ``keep_last``
+    versions, then garbage-collect data directories no longer
+    referenced by ANY surviving manifest.
+
+    Ordering is the crash-safety contract: manifests are removed
+    FIRST, data directories second. A crash between the two phases
+    leaves unreferenced data dirs (harmless, re-collectable on the
+    next expire) but never a manifest pointing at deleted files. A
+    data dir shared by a surviving manifest (append commits reference
+    prior dirs) is always retained — liveness is computed over the
+    union of survivors' file-sets, not per-version.
+
+    Returns ``{"expired_versions": [...], "removed_dirs": [...]}``.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(table_dir)
+    expired, survivors = versions[:-keep_last], versions[-keep_last:]
+    live: set[str] = set()
+    for v in survivors:
+        live.update(_read_manifest(table_dir, v)["data_dirs"])
+    for v in expired:
+        os.remove(_manifest_path(table_dir, v))
+    removed = []
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            rel = f"data/{name}"
+            if rel not in live:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed.append(rel)
+    return {"expired_versions": expired, "removed_dirs": removed}
+
+
 def snapshot_read(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:

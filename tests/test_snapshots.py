@@ -114,3 +114,59 @@ def test_snapshot_diff_keys_only_table(spark):
     new = spark.createDataFrame([(2,), (3,)], "k long")
     got = {(r.k, r.change_type) for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {(1, "deleted"), (2, "unchanged"), (3, "inserted")}
+
+
+def test_snapshot_expire_retention_and_gc(spark, tmp_path):
+    """Three appends + a compaction; expire to keep_last=1: old
+    versions become unreadable, the survivor's content is intact, and
+    every data dir the survivor doesn't reference is gone from disk."""
+    import os
+
+    import pytest
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_expire,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        snapshot_append(
+            spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "k"), t
+        )
+    snapshot_compact(spark, t)
+    assert snapshot_versions(t) == [1, 2, 3, 4]
+    before = sorted(r.k for r in snapshot_read(spark, t).collect())
+
+    out = snapshot_expire(t, keep_last=1)
+    assert out["expired_versions"] == [1, 2, 3]
+    # pre-compaction commit dirs are unreferenced by v4 -> collected
+    assert len(out["removed_dirs"]) == 3
+    assert snapshot_versions(t) == [4]
+    assert sorted(r.k for r in snapshot_read(spark, t).collect()) == before
+    with pytest.raises(ValueError):
+        snapshot_read(spark, t, version=2)
+    # on-disk data dirs == exactly the survivor's file-set
+    live = set(os.listdir(os.path.join(t, "data")))
+    assert live == {"compact-000004"}
+
+
+def test_snapshot_expire_keeps_shared_dirs(spark, tmp_path):
+    """Append-only history: v3's manifest references v1's and v2's data
+    dirs, so expiring to keep_last=1 must remove NOTHING from disk."""
+    from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_expire,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        snapshot_append(spark.range(i * 5, i * 5 + 5).withColumnRenamed("id", "k"), t)
+    out = snapshot_expire(t, keep_last=1)
+    assert out["expired_versions"] == [1, 2]
+    assert out["removed_dirs"] == []
+    assert snapshot_read(spark, t).count() == 15

@@ -270,6 +270,8 @@ def registry() -> dict[str, QuerySpec]:
         "chunk_documents_udtf",
         "recursive_hierarchy_walk",
         "incremental_join_rollup",
+        "file_provenance",
+        "bpe_pair_stats",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -1008,7 +1008,64 @@ FROM scored WHERE {_SSJ_DEN} * inter >= {_SSJ_NUM} * uni
 """
 
 
+# --- BPE merge statistics (tokenizer training primitive) -------------------
+
+_BPE_TOP = 20
+
+
+def bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The inner loop of byte-pair-encoding tokenizer training at
+    corpus scale: count every ADJACENT character pair across all token
+    occurrences and rank the merge candidates. One BPE training round
+    = take the top pair, merge it, recount; this operator is that
+    count-and-rank step as a distributed query.
+
+    Pure narrow fan-out (token -> |token|-1 pairs via
+    ``transform(sequence)``) into one map-side-combinable count — the
+    plan a 100 TB tokenizer-training pass needs, since pair counting
+    dominates BPE cost. Tokens shorter than 2 chars are filtered
+    BEFORE pair generation on both sides (Spark's ``sequence(1, 0)``
+    runs descending where DuckDB's is empty — the filter keeps the
+    engines' fan-out identical). Deterministic top-k: count desc, then
+    pair.
+    """
+    d = load_table(spark, "documents", sf)
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
+
+
+BPE_PAIR_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS t FROM documents
+),
+pairs AS (
+  SELECT substr(t, i, 2) AS pair
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT {_BPE_TOP}
+"""
+
+
 TEXT_QUERIES: dict[str, QuerySpec] = {
+    "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIR_SQL),
     "set_similarity_join": QuerySpec(set_similarity_join, SET_SIMILARITY_SQL),
     "source_overlap": QuerySpec(source_overlap, SOURCE_OVERLAP_SQL),
     "word_entropy": QuerySpec(word_entropy, WORD_ENTROPY_SQL),

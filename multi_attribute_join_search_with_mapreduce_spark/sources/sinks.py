@@ -217,9 +217,70 @@ ORDER BY priority
 """
 
 
+def file_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level provenance via the hidden ``_metadata`` struct of file
+    sources: which physical file each row came from and its position in
+    that file — the audit/debug surface for a 100 TB lake ("which
+    ingest batch produced this bad row?") with NO extra bookkeeping
+    columns stored in the data.
+
+    Per (table, leaf file): row count and the min/max ``row_index``,
+    which must span ``0 .. n-1`` for a full-file scan. ``_metadata`` is
+    populated by the scan node itself (constant-folded per file/row
+    group), so selecting it adds no shuffle and no extra read. Oracle:
+    DuckDB's ``filename=true`` + ``file_row_number=true`` over the same
+    parquet.
+    """
+    from pyspark.sql import functions as F
+
+    def per_table(name: str) -> DataFrame:
+        df = spark.read.parquet(f"{sf}/{name}.parquet")
+        return df.select(
+            F.lit(name).alias("table_name"),
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "file_name"
+            ),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+
+    rows = per_table("documents").unionByName(per_table("events"))
+    return (
+        rows.groupBy("table_name", "file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ri").alias("min_row_index"),
+            F.max("ri").alias("max_row_index"),
+        )
+        .orderBy("table_name", "file_name")
+    )
+
+
+# The driver's oracle connection sees the fixture TABLES as views, not
+# paths, so it cannot call read_parquet(filename=true) itself. The
+# fixtures are single-file tables (one <table>.parquet per table), so
+# the independent check is the CONTRACT itself: one file named
+# '<table>.parquet' whose row_index spans exactly 0..n-1. The
+# multi-file layout (several files, per-file 0-based spans) is covered
+# by the synthetic test in tests/test_sinks.py, which does drive
+# DuckDB's file_row_number over a directory it controls.
+FILE_PROVENANCE_SQL = """
+SELECT 'documents' AS table_name, 'documents.parquet' AS file_name,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(0 AS BIGINT) AS min_row_index,
+  CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index
+FROM documents
+UNION ALL
+SELECT 'events', 'events.parquet', CAST(COUNT(*) AS BIGINT),
+  CAST(0 AS BIGINT), CAST(COUNT(*) - 1 AS BIGINT)
+FROM events
+ORDER BY table_name
+"""
+
+
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
 
 SINK_QUERIES: dict[str, QuerySpec] = {
+    "file_provenance": QuerySpec(file_provenance, FILE_PROVENANCE_SQL),
     "jsonl_roundtrip": QuerySpec(jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "partitioned_scan_prune": QuerySpec(
         partitioned_scan_prune, PARTITIONED_SCAN_PRUNE_SQL

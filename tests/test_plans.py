@@ -56,6 +56,14 @@ SMJ_ALLOWED = {
     # corpus-derived and corpus-scale at 100 TB; AQE broadcasts at
     # runtime when the fixture side is small.
     "source_overlap",
+    # per-round rank⨝edges join: both sides are graph-scale at 100 TB
+    # (edges is the LSH pair list, ranks one row per node); AQE
+    # broadcasts at runtime where the fixture graph is small.
+    "pagerank_near_dup",
+    # version-to-version FULL OUTER join of fingerprint frames: full
+    # outer cannot be a broadcast hash join, and both versions are
+    # table-scale at 100 TB — SMJ is the only correct shape.
+    "snapshot_diff_audit",
 }
 
 
@@ -67,11 +75,19 @@ def _plan_of(spark, name, sf_dir):
     return buf.getvalue()
 
 
+# Queries whose PURPOSE is the Python-executed surface itself: the UDTF
+# entry exists to prove the @udtf + LATERAL machinery and is documented
+# as the slow path next to its native twin (chunk_documents), which
+# stays under the no-Python gate.
+PYTHON_EVAL_ALLOWED = {"chunk_documents_udtf"}
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_plan_has_no_scale_killers(spark, sf_dir, name):
     plan = _plan_of(spark, name, sf_dir)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
-    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    if name not in PYTHON_EVAL_ALLOWED:
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
     if name not in SMJ_ALLOWED:
         assert "SortMergeJoin" not in plan, (
             f"{name}: SortMergeJoin where a broadcast was expected"

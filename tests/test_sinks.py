@@ -136,3 +136,41 @@ def test_read_csv_robust_quarantines_bad_rows(spark, tmp_path):
     assert good_rows == {1: (10, "alpha"), 3: (30, "gamma")}
     bad_rows = sorted(r._corrupt_record for r in bad.collect())
     assert bad_rows == ["2,notanumber,beta", "4,40"]
+
+
+def test_metadata_row_index_matches_duckdb_file_row_number(spark, tmp_path):
+    """Multi-file layout: Spark's _metadata (file_path, row_index) must
+    agree per file with DuckDB's filename/file_row_number over the same
+    directory — count and 0-based span per physical file."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "multi")
+    spark.range(1000).repartition(4).write.parquet(out)
+
+    got = {
+        r.f: (r.n, r.lo, r.hi)
+        for r in spark.read.parquet(out)
+        .select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("f"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        .groupBy("f")
+        .agg(F.count("*").alias("n"), F.min("ri").alias("lo"), F.max("ri").alias("hi"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        f: (n, lo, hi)
+        for f, n, lo, hi in con.execute(
+            f"""
+            SELECT regexp_extract(filename, '[^/]+$'), COUNT(*),
+                   MIN(file_row_number), MAX(file_row_number)
+            FROM read_parquet('{out}/*.parquet', filename=true, file_row_number=true)
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) == 4
+    assert all(lo == 0 and hi == n - 1 for n, lo, hi in got.values())

@@ -272,6 +272,8 @@ def registry() -> dict[str, QuerySpec]:
         "incremental_join_rollup",
         "file_provenance",
         "bpe_pair_stats",
+        "embedding_gram_matrix",
+        "pca_project",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -789,7 +789,92 @@ ORDER BY cell
 """
 
 
+# --- distributed PCA: exact Gram accumulation + driver-side eigh -----------
+
+def embedding_gram_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """The distributed-linear-algebra building block under PCA /
+    whitening / linear probes: the Gram matrix ``G = Xᵀ X`` of the
+    embedding corpus, accumulated EXACTLY.
+
+    Each vector contributes its outer product's upper triangle
+    (d·(d+1)/2 narrow rows via a double ``posexplode`` with ``i <= j``);
+    products re-enter DECIMAL before the sum, so the reduction is
+    order-independent and the DuckDB oracle matches by value. One
+    map-side-combinable aggregate — the fan-out is per-row constant
+    (2080 cells for d=64) and nothing corpus-sized shuffles: the
+    result is d² model-parameter rows however big X is. This is how
+    100 TB PCA actually runs — G fits on the driver, the eigensolve is
+    O(d³) there (see :func:`pca_project`), and the projection is a
+    narrow map back over the corpus.
+    """
+    e = load_table(spark, "embeddings", sf)
+    cells = (
+        e.select(F.posexplode(_dvec("embedding")).alias("i", "vi"), "embedding")
+        .select("i", "vi", F.posexplode(_dvec("embedding")).alias("j", "vj"))
+        .filter(F.col("i") <= F.col("j"))
+    )
+    return (
+        cells.groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum((F.col("vi") * F.col("vj")).cast("decimal(28,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("g")
+        )
+        .orderBy("i", "j")
+    )
+
+
+GRAM_SQL = """
+WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+cells AS (
+  SELECT i.i, j.j, CAST(emb[i.i + 1] * emb[j.j + 1] AS DECIMAL(28,12)) AS p
+  FROM e
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+  WHERE i.i <= j.j
+)
+SELECT i, j, ROUND(CAST(SUM(p) AS DOUBLE), 6) AS g
+FROM cells GROUP BY i, j ORDER BY i, j
+"""
+
+
+def pca_project(spark: SparkSession, sf: str, n_components: int = 4) -> DataFrame:
+    """PCA projection of the embedding corpus: eigendecompose the
+    driver-held Gram matrix (d x d — a model parameter, like the IVF
+    codebook) and project every vector onto the top components as a
+    narrow map with literal loadings. No oracle entry — LAPACK
+    eigenvector signs/order are library-specific — but the invariants
+    (orthonormal loadings, descending explained variance, projection
+    norms bounded by vector norms) are pytest-gated.
+    """
+    import numpy as np
+
+    g_rows = embedding_gram_matrix(spark, sf).collect()
+    d = max(r["j"] for r in g_rows) + 1
+    G = np.zeros((d, d))
+    for r in g_rows:
+        G[r["i"], r["j"]] = r["g"]
+        G[r["j"], r["i"]] = r["g"]
+    _, vecs = np.linalg.eigh(G)
+    comps = vecs[:, ::-1][:, :n_components]  # descending eigenvalue order
+
+    e = load_table(spark, "embeddings", sf)
+    emb = _dvec("embedding")
+    proj = [
+        F.round(
+            _dot(emb, F.array(*[F.lit(float(v)) for v in comps[:, c]])), 6
+        ).alias(f"pc{c}")
+        for c in range(n_components)
+    ]
+    return e.select("vec_id", *proj).orderBy("vec_id")
+
+
 SIMILARITY_QUERIES: dict[str, QuerySpec] = {
+    "embedding_gram_matrix": QuerySpec(embedding_gram_matrix, GRAM_SQL),
+    "pca_project": QuerySpec(pca_project, None),
     "kmeans_lloyd": QuerySpec(kmeans_lloyd, _kmeans_sql()),
     "hof_vector_stats": QuerySpec(hof_vector_stats, HOF_VECTOR_STATS_SQL),
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEAR_DUP_SQL),

@@ -188,3 +188,42 @@ def test_kmeans_lloyd_refinement_reduces_inertia(spark, sf_dir):
     assert sum(r.n_vectors for r in out) == n
     assert sum(r.inertia for r in out) < seed_inertia
     assert all(r.inertia >= 0 for r in out)
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """PCA contract: loadings orthonormal, component variances
+    descending, and the projection explains no more energy than the
+    vectors carry (sum pc_i^2 <= ||v||^2 per row)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
+        _dot,
+        _dvec,
+        embedding_gram_matrix,
+        pca_project,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    g_rows = embedding_gram_matrix(spark, sf_dir).collect()
+    d = max(r["j"] for r in g_rows) + 1
+    G = np.zeros((d, d))
+    for r in g_rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["g"]
+    vals, vecs = np.linalg.eigh(G)
+    assert np.allclose(vecs.T @ vecs, np.eye(d), atol=1e-8)
+    assert (np.diff(vals[::-1]) <= 1e-9).all()  # descending
+
+    out = pca_project(spark, sf_dir).persist()
+    cols = [c for c in out.columns if c.startswith("pc")]
+    # per-row energy bound
+    e = load_table(spark, "embeddings", sf_dir)
+    norms = e.select("vec_id", _dot(_dvec("embedding"), _dvec("embedding")).alias("nn"))
+    joined = out.join(norms, "vec_id")
+    energy = sum(F.col(c) * F.col(c) for c in cols)
+    assert joined.filter(energy > F.col("nn") + 1e-6).count() == 0
+    # component variance ordering holds empirically on the projections
+    var = joined.agg(*[F.sum(F.col(c) * F.col(c)).alias(c) for c in cols]).first()
+    vs = [var[c] for c in cols]
+    assert all(vs[i] >= vs[i + 1] - 1e-6 for i in range(len(vs) - 1))
+    out.unpersist()

@@ -274,6 +274,8 @@ def registry() -> dict[str, QuerySpec]:
         "bpe_pair_stats",
         "embedding_gram_matrix",
         "pca_project",
+        "bm25_search",
+        "part_pair_cooccurrence",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -784,6 +784,45 @@ ORDER BY source, bucket
 """
 
 
+def part_pair_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together
+    — frequent-itemset candidate generation (the canonical MapReduce
+    workload) as one self-join + count.
+
+    The self-join is keyed on ``l_orderkey``, so the fan-out per order
+    is C(items, 2) with items bounded by the order's own size (≤7 in
+    TPC-H-shaped data) — a bounded blow-up that scales linearly in
+    orders, never a cross join. ``partkey_a < partkey_b`` halves the
+    pairs and canonicalizes them; the count is map-side combinable.
+    Deterministic top-k: count desc, then the pair itself.
+    """
+    li = load_table(spark, "lineitem", sf).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+PART_PAIR_SQL = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+"""
+
+
 def incremental_join_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental view maintenance of a JOIN + aggregate — the join
     twin of `events.incremental_rollup` (which maintains a plain
@@ -910,6 +949,7 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
     "incremental_join_rollup": QuerySpec(
         incremental_join_rollup, INCREMENTAL_JOIN_ROLLUP_SQL
     ),
+    "part_pair_cooccurrence": QuerySpec(part_pair_cooccurrence, PART_PAIR_SQL),
     "equi_depth_histogram": QuerySpec(equi_depth_histogram, EQUI_DEPTH_SQL),
     "doc_length_quartiles": QuerySpec(doc_length_quartiles, DOC_LENGTH_QUARTILES_SQL),
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),

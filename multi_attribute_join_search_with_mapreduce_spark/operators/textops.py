@@ -1064,7 +1064,109 @@ ORDER BY n DESC, pair LIMIT {_BPE_TOP}
 """
 
 
+# --- BM25 sparse retrieval --------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 10
+
+
+def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse keyword retrieval: BM25 scores for a fixed conjunctive
+    query over the corpus, top-``_BM25_TOP`` — the inverted-index
+    search-engine operator (the dense twin is `knn_*`).
+
+    Scale shape: term filtering happens in the token explode (map-side
+    — only query-term postings survive, the 100 TB posting-list prune);
+    per-doc tf's come back as ONE conditional-aggregation row per doc,
+    so the per-term score contributions are summed in FIXED term order
+    (a groupBy float sum over terms would be order-nondeterministic);
+    corpus stats (N, avgdl, df_t) are a broadcast 1-row cross join.
+    ``idf = ln(1 + (N - df + .5)/(df + .5))`` — always positive. Same
+    ln/round-4 tolerance class as `word_entropy`.
+    """
+    d = load_table(spark, "documents", sf)
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+
+    # per-doc length over ALL tokens; tf per query term via cond-agg
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("tok") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = _BM25_K1 * (1 - _BM25_B + _BM25_B * (F.col("dl") / avgdl))
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        return idf * tf * (_BM25_K1 + 1) / (tf + norm)
+
+    score = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i)
+    return (
+        scored.select("doc_id", F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOP)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * CAST(tf_{i} AS DOUBLE) * {_BM25_K1 + 1}"
+        f" / (CAST(tf_{i} AS DOUBLE) + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * "
+        f"(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl, {tf_cols}
+  FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM per_doc
+)
+SELECT doc_id, ROUND({terms}, 4) AS bm25
+FROM per_doc CROSS JOIN stats
+WHERE ROUND({terms}, 4) > 0
+ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOP}
+"""
+
+
+BM25_SQL = _bm25_sql()
+
+
 TEXT_QUERIES: dict[str, QuerySpec] = {
+    "bm25_search": QuerySpec(bm25_search, BM25_SQL),
     "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIR_SQL),
     "set_similarity_join": QuerySpec(set_similarity_join, SET_SIMILARITY_SQL),
     "source_overlap": QuerySpec(source_overlap, SOURCE_OVERLAP_SQL),

@@ -276,6 +276,8 @@ def registry() -> dict[str, QuerySpec]:
         "pca_project",
         "bm25_search",
         "part_pair_cooccurrence",
+        "top_event_paths",
+        "length_psi_drift",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -883,7 +883,54 @@ ORDER BY hour_start, event_type
 """
 
 
+def top_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Clickstream path mining: the most common 3-step event-type
+    sequences across user timelines (two ``lag``s over one per-user
+    ordered window + a count) — the navigation-pattern query behind
+    funnel discovery.
+
+    The window partitions by user and sorts by (ts, event_id) — the id
+    tie-break makes same-timestamp orderings deterministic, the module
+    convention (`sessionize`). One shuffle on user_id, one map-side-
+    combinable count; top-k is count desc then path.
+    """
+    e = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    paths = (
+        e.withColumn("_p1", F.lag("event_type", 1).over(w))
+        .withColumn("_p2", F.lag("event_type", 2).over(w))
+        .filter(F.col("_p2").isNotNull())
+        .select(
+            F.concat_ws(
+                " > ", F.col("_p2"), F.col("_p1"), F.col("event_type")
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )
+
+
+TOP_PATHS_SQL = """
+WITH seq AS (
+  SELECT event_type,
+    lag(event_type, 1) OVER w AS p1,
+    lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT concat_ws(' > ', p2, p1, event_type) AS path,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 15
+"""
+
+
 EVENT_QUERIES: dict[str, QuerySpec] = {
+    "top_event_paths": QuerySpec(top_event_paths, TOP_PATHS_SQL),
     "gap_fill_linear": QuerySpec(gap_fill_linear, GAP_FILL_LINEAR_SQL),
     "rolling_zscore_anomalies": QuerySpec(rolling_zscore_anomalies, ROLLING_ZSCORE_SQL),
     "incremental_rollup": QuerySpec(incremental_rollup, INCREMENTAL_ROLLUP_SQL),

@@ -184,7 +184,81 @@ ORDER BY column_name
 """
 
 
+# PSI buckets: fixed doc-length edges (chars). Fixed edges — not
+# corpus-derived quantiles — so the drift metric is stable release to
+# release, the monitoring convention.
+_PSI_EDGES = (0, 100, 200, 300, 400, 600, 1 << 62)
+
+
+def length_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of the document-length distribution
+    between the corpus's two content-keyed halves — the data-drift
+    monitor a production pipeline runs between ingest batches
+    (PSI < 0.1 stable, > 0.25 action).
+
+    Per fixed bucket: expected/actual shares and the PSI contribution
+    ``(a - e) * ln(a / e)``, with Laplace-style +1 counts so empty
+    buckets stay finite. One narrow bucket map + one tiny (bucket,
+    half) count — the ln/round-4 tolerance class over single divisions
+    of exact integers (`word_entropy`).
+    """
+    d = load_table(spark, "documents", sf)
+    length = F.length("text")
+    bucket = None
+    for i in range(len(_PSI_EDGES) - 1):
+        cond = (length >= _PSI_EDGES[i]) & (length < _PSI_EDGES[i + 1])
+        bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+    counts = (
+        d.select(bucket.alias("bucket"), (F.col("doc_id") % 2 == 0).alias("is_a"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_a").cast("long")).alias("n_a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    share_a = (F.col("n_a") + 1).cast("double") / (F.col("t_a") + F.col("k"))
+    share_b = (F.col("n_b") + 1).cast("double") / (F.col("t_b") + F.col("k"))
+    return j.select(
+        "bucket",
+        F.col("n_a").cast("long").alias("n_even_half"),
+        F.col("n_b").cast("long").alias("n_odd_half"),
+        F.round((share_a - share_b) * F.log(share_a / share_b), 4).alias("psi_term"),
+    ).orderBy("bucket")
+
+
+def _psi_sql() -> str:
+    whens = " ".join(
+        f"WHEN length(text) >= {_PSI_EDGES[i]} AND length(text) < {_PSI_EDGES[i + 1]} THEN {i}"
+        for i in range(len(_PSI_EDGES) - 1)
+    )
+    return f"""
+WITH counts AS (
+  SELECT CASE {whens} END AS bucket,
+    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b
+  FROM documents GROUP BY 1
+),
+totals AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b, COUNT(*) AS k FROM counts)
+SELECT bucket,
+  CAST(n_a AS BIGINT) AS n_even_half,
+  CAST(n_b AS BIGINT) AS n_odd_half,
+  ROUND((CAST(n_a + 1 AS DOUBLE) / (t_a + k) - CAST(n_b + 1 AS DOUBLE) / (t_b + k))
+        * ln((CAST(n_a + 1 AS DOUBLE) / (t_a + k)) / (CAST(n_b + 1 AS DOUBLE) / (t_b + k))), 4) AS psi_term
+FROM counts CROSS JOIN totals
+ORDER BY bucket
+"""
+
+
+PSI_SQL = _psi_sql()
+
+
 QUALITY_QUERIES: dict[str, QuerySpec] = {
+    "length_psi_drift": QuerySpec(length_psi_drift, PSI_SQL),
     "dq_audit": QuerySpec(dq_audit, DQ_AUDIT_SQL),
     "profile_columns": QuerySpec(profile_columns, PROFILE_SQL),
 }

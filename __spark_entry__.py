@@ -278,6 +278,7 @@ def registry() -> dict[str, QuerySpec]:
         "part_pair_cooccurrence",
         "top_event_paths",
         "length_psi_drift",
+        "native_session_window",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

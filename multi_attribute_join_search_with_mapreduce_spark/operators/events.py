@@ -121,6 +121,46 @@ FROM with_id GROUP BY user_id, session_id
 """
 
 
+def native_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization via the BUILT-IN ``session_window`` operator —
+    the engine-native twin of the lag/cumsum `sessionize` plan, driver-
+    gated against the same session definition so the two formulations
+    are provably interchangeable (the built-in is also the streaming
+    sessionization operator, so this pins batch/streaming semantic
+    parity of the API itself).
+
+    ``session_window(ts, gap)`` emits [start, last_event + gap); the
+    oracle derives the same intervals from the lag-based sessions
+    (`SESSIONIZE_SQL` + gap on the end). One shuffle on the session
+    key, merge-based window assembly inside the aggregate — no
+    per-user ordered window pass at all, which at 100 TB removes the
+    full per-key sort the lag plan pays.
+    """
+    e = load_table(spark, "events", sf)
+    return (
+        e.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("window_start"),
+            F.col("session_window.end").alias("window_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "window_start")
+    )
+
+
+def _native_session_sql() -> str:
+    return f"""
+WITH sessions AS ({SESSIONIZE_SQL})
+SELECT user_id, session_start AS window_start,
+  session_end + INTERVAL {SESSION_GAP_MIN} MINUTE AS window_end,
+  CAST(n_events AS BIGINT) AS n_events
+FROM sessions
+ORDER BY user_id, window_start
+"""
+
+
 def event_type_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user funnel flags (saw view -> click -> purchase) + conversion
     aggregate — conditional aggregation over event streams."""
@@ -931,6 +971,7 @@ GROUP BY 1 ORDER BY n DESC, path LIMIT 15
 
 EVENT_QUERIES: dict[str, QuerySpec] = {
     "top_event_paths": QuerySpec(top_event_paths, TOP_PATHS_SQL),
+    "native_session_window": QuerySpec(native_session_window, _native_session_sql()),
     "gap_fill_linear": QuerySpec(gap_fill_linear, GAP_FILL_LINEAR_SQL),
     "rolling_zscore_anomalies": QuerySpec(rolling_zscore_anomalies, ROLLING_ZSCORE_SQL),
     "incremental_rollup": QuerySpec(incremental_rollup, INCREMENTAL_ROLLUP_SQL),

@@ -279,6 +279,8 @@ def registry() -> dict[str, QuerySpec]:
         "top_event_paths",
         "length_psi_drift",
         "native_session_window",
+        "weighted_sample_docs",
+        "value_trend_ols",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

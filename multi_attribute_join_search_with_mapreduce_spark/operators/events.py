@@ -969,7 +969,70 @@ GROUP BY 1 ORDER BY n DESC, path LIMIT 15
 """
 
 
+def value_trend_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type linear trend of value over time: closed-form OLS
+    slope/intercept from the four moment sums (Σx, Σy, Σxy, Σx²) —
+    grouped regression as ONE map-side-combinable aggregate, the way
+    distributed regression actually runs (n independent of group
+    sizes; no per-group iteration).
+
+    Exactness: x is integer hours since the corpus start, y re-enters
+    DECIMAL, so all four moments are exact and order-independent; the
+    slope/intercept formulas are then one double expression over exact
+    inputs — the cross-engine determinism pattern of
+    `rolling_zscore_anomalies`. Slope is value-units per hour.
+    """
+    e = load_table(spark, "events", sf)
+    x0 = e.agg(F.min(F.date_trunc("hour", F.col("ts"))).alias("t0"))
+    j = e.crossJoin(F.broadcast(x0))
+    x = F.expr("timestampdiff(HOUR, t0, ts)").cast("long")
+    y = F.col("value").cast(DEC)
+    moments = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum((x.cast("decimal(18,2)") * y).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return moments.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+OLS_TREND_SQL = """
+WITH t0 AS (SELECT date_trunc('hour', MIN(ts)) AS t0 FROM events),
+m AS (
+  SELECT event_type,
+    COUNT(*) AS n,
+    SUM(date_diff('hour', t0, ts)) AS sx,
+    SUM(date_diff('hour', t0, ts) * date_diff('hour', t0, ts)) AS sxx,
+    SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+    SUM(CAST(CAST(date_diff('hour', t0, ts) AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+  FROM events CROSS JOIN t0
+  GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_per_hour,
+  ROUND((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE), 6) AS intercept
+FROM m ORDER BY event_type
+"""
+
+
 EVENT_QUERIES: dict[str, QuerySpec] = {
+    "value_trend_ols": QuerySpec(value_trend_ols, OLS_TREND_SQL),
     "top_event_paths": QuerySpec(top_event_paths, TOP_PATHS_SQL),
     "native_session_window": QuerySpec(native_session_window, _native_session_sql()),
     "gap_fill_linear": QuerySpec(gap_fill_linear, GAP_FILL_LINEAR_SQL),

@@ -777,7 +777,57 @@ ORDER BY d.source
 """
 
 
+# --- weighted sampling without replacement (Efraimidis–Spirakis) -----------
+
+_WS_K = 50
+
+
+def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement, distributed:
+    k=``_WS_K`` docs with inclusion probability ∝ document length, via
+    exponential keys (Efraimidis–Spirakis A-ES): key = -ln(u)/w, take
+    the k smallest. One narrow map + a global top-k
+    (TakeOrderedAndProject) — no sort of the corpus, no coordination,
+    and the selection is mergeable across partitions by construction
+    (that is the A-ES point: per-partition top-k then merge ≡ global
+    top-k).
+
+    Deterministic twist for the differential gate: u is not RNG but the
+    md5 hash of the doc id mapped to (0,1) — ``(hash32 + 1) / 2^32`` —
+    so the "random" draw is content-keyed (repo convention: survives
+    reruns/repartitioning) and the oracle replays it exactly. ln/div
+    are single IEEE ops on identical inputs; ties are impossible (md5
+    collisions aside) and the ordering carries a doc_id tie-break
+    anyway.
+    """
+    d = load_table(spark, "documents", sf)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / F.lit(2.0**32)
+    w = F.length("text").cast("double")
+    key = -F.log(u) / w
+    return (
+        d.select("doc_id", "source", F.length("text").alias("n_chars_w"),
+                 F.round(key, 10).alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(_WS_K)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, source, length(text) AS n_chars_w,
+  ROUND(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE) + 1.0) / 4294967296.0)
+        / CAST(length(text) AS DOUBLE), 10) AS es_key
+FROM documents
+ORDER BY es_key, doc_id LIMIT {_WS_K}
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
+    "weighted_sample_docs": QuerySpec(weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "temperature_rebalance": QuerySpec(temperature_rebalance, TEMPERATURE_REBALANCE_SQL),
     "winsorize_doc_lengths": QuerySpec(winsorize_doc_lengths, WINSORIZE_SQL),
     "stratified_sample_exact": QuerySpec(stratified_sample_exact, STRATIFIED_SAMPLE_SQL),

@@ -218,3 +218,26 @@ def test_rolling_zscore_closed_form(spark, tmp_path):
     assert out[13].is_anomaly
     assert abs(out[13].zscore - expect) < 1e-3
     assert out[5].zscore is None  # fewer than 12 trailing observations
+
+
+def test_ols_trend_closed_form(spark, tmp_path):
+    """Perfect line y = 2x + 5 per hour: slope/intercept recovered
+    exactly."""
+    import datetime as dt
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import value_trend_ols
+
+    rows = [
+        (h, dt.datetime(2024, 1, 1, h, 0), 1, "click", 2.0 * h + 5.0, "{}")
+        for h in range(10)
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    lake = tmp_path / "lake"
+    e.write.parquet(str(lake / "events.parquet"))
+    out = {r.event_type: r for r in value_trend_ols(spark, str(lake)).collect()}
+    assert out["click"].slope_per_hour == 2.0
+    assert out["click"].intercept == 5.0
+    assert out["click"].n_events == 10

@@ -281,6 +281,7 @@ def registry() -> dict[str, QuerySpec]:
         "native_session_window",
         "weighted_sample_docs",
         "value_trend_ols",
+        "er_resolve_types",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

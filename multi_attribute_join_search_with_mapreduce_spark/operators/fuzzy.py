@@ -97,6 +97,114 @@ ORDER BY probe_type, matched_type
 """
 
 
+def er_resolve_types(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end entity resolution: the full block → verify →
+    TRANSITIVELY CLUSTER pipeline over a dirty vocabulary (clean
+    ``p_type``s unioned with their perturbed variants). Pairwise fuzzy
+    matching alone under-merges — A≈B and B≈C must land A, B, C in ONE
+    entity even when A̸≈C — so the verified pairs feed the same
+    iterative connected-components operator the dedup pipeline uses,
+    with the STRING itself as the node key (min-label propagation is
+    type-agnostic; the cluster id is the lexicographically smallest
+    member, which doubles as the survivorship rule: pick the canonical
+    spelling).
+
+    Scale shape: length-band blocking bounds the self-join (never
+    all-pairs), native ``levenshtein`` verifies candidates in codegen,
+    and the component rounds shuffle (string, label) pairs only.
+    Oracle: exact transitive closure via recursive CTE over the same
+    pair SQL.
+    """
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import (
+        connected_components,
+    )
+
+    vocab = load_table(spark, "part", sf).select("p_type").distinct()
+    records = vocab.unionByName(
+        vocab.select(_perturb(F.col("p_type")).alias("p_type"))
+    ).distinct()
+    # The component operator iterates on numeric node ids; strings get
+    # content-keyed 60-bit ids (md5 prefix — collision-free at
+    # vocabulary scale) and the label maps back to the
+    # lexicographically-smallest member string afterwards, so the
+    # OUTPUT contract is engine-independent of the id scheme.
+    def hid(c: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    rec_k = records.select(
+        F.col("p_type").alias("rec"),
+        # all three bands: the `rec < other` canonical orientation is
+        # independent of which side is shorter, so the probe must cover
+        # len-1, len, AND len+1 (distinct() collapses double-found
+        # same-length pairs).
+        F.explode(
+            F.array(
+                F.length("p_type") - 1,
+                F.length("p_type"),
+                F.length("p_type") + 1,
+            )
+        ).alias("block"),
+    )
+    other_k = records.select(F.col("p_type").alias("other"), F.length("p_type").alias("block"))
+    pairs = (
+        rec_k.join(other_k, "block")
+        .filter(F.col("rec") < F.col("other"))
+        .filter(F.levenshtein("rec", "other") <= _MAX_DIST)
+        .select(hid(F.col("rec")).alias("src"), hid(F.col("other")).alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(pairs).select("id", "label")
+    named = comp.join(
+        records.select(F.col("p_type").alias("record"), hid(F.col("p_type")).alias("id")),
+        "id",
+    )
+    canon = named.groupBy("label").agg(
+        F.min("record").alias("entity_id"),
+        F.count(F.lit(1)).alias("entity_size"),
+    )
+    return (
+        named.join(canon, "label")
+        .select("record", "entity_id", "entity_size")
+        .orderBy("record")
+    )
+
+
+ER_RESOLVE_SQL = f"""
+WITH RECURSIVE vocab AS (SELECT DISTINCT p_type FROM part),
+records AS (
+  SELECT p_type FROM vocab
+  UNION
+  SELECT {_P} FROM vocab
+),
+pairs AS (
+  SELECT a.p_type AS src, b.p_type AS dst
+  FROM records a JOIN records b
+    ON abs(length(a.p_type) - length(b.p_type)) <= 1
+   AND a.p_type < b.p_type
+  WHERE levenshtein(a.p_type, b.p_type) <= {_MAX_DIST}
+),
+edges AS (
+  SELECT src AS u, dst AS v FROM pairs
+  UNION ALL
+  SELECT dst, src FROM pairs
+),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS record, MIN(v) AS entity_id FROM reach GROUP BY u)
+SELECT c.record, c.entity_id, s.entity_size
+FROM comp c
+JOIN (
+  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS entity_size
+  FROM comp GROUP BY entity_id
+) s USING (entity_id)
+ORDER BY c.record
+"""
+
+
 FUZZY_QUERIES: dict[str, QuerySpec] = {
     "fuzzy_match_types": QuerySpec(fuzzy_match_types, FUZZY_MATCH_SQL),
+    "er_resolve_types": QuerySpec(er_resolve_types, ER_RESOLVE_SQL),
 }

@@ -64,6 +64,11 @@ SMJ_ALLOWED = {
     # outer cannot be a broadcast hash join, and both versions are
     # table-scale at 100 TB — SMJ is the only correct shape.
     "snapshot_diff_audit",
+    # dirty-vocabulary self-join + component rounds: both sides are
+    # corpus-derived record sets (entity resolution runs over facts at
+    # 100 TB); AQE broadcasts at runtime when the fixture vocabulary
+    # is small.
+    "er_resolve_types",
 }
 
 
@@ -188,3 +193,29 @@ def test_observe_metrics_piggyback_on_one_pass(spark, sf_dir):
     assert obs.get["n_rows"] == want[0]
     assert obs.get["sum_id"] == want[1]
     assert obs.get["n_null_value"] >= 0
+
+
+def test_dynamic_partition_pruning_arms_on_partitioned_fact(spark, tmp_path):
+    """Scale evidence: a dim-filtered join against a partition column
+    must arm dynamic partition pruning — at 100 TB the fact scan reads
+    only the dim-selected partitions, decided at runtime."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+    spark.range(10000).select(
+        "id", (F.col("id") % 10).alias("part_day")
+    ).write.partitionBy("part_day").parquet(base + "/fact")
+    dim = (
+        spark.range(10)
+        .select(F.col("id").alias("d"), (F.col("id") % 10).alias("day"))
+        .filter("d < 2")
+    )
+    fact = spark.read.parquet(base + "/fact")
+    j = fact.join(dim, fact.part_day == dim.day)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower()

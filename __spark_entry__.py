@@ -282,6 +282,9 @@ def registry() -> dict[str, QuerySpec]:
         "weighted_sample_docs",
         "value_trend_ols",
         "er_resolve_types",
+        "unpivot_part_metrics",
+        "try_arithmetic_ratios",
+        "parameterized_sql_topn",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -784,6 +784,107 @@ ORDER BY source, bucket
 """
 
 
+def unpivot_part_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """The official ``DataFrame.unpivot`` (melt) API — long-form
+    (part, metric, value) rows from wide numeric columns, then a
+    per-metric aggregate. The posting-index builder does the same
+    reshape with a generated ``stack(n, ...)`` expression
+    (`index.py`); this entry pins the first-class API variant, which
+    at 100 TB is the same narrow map (no shuffle until the aggregate).
+    """
+    p = load_table(spark, "part", sf)
+    long = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("metric")
+    )
+
+
+UNPIVOT_SQL = """
+WITH long AS (
+  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+)
+SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM long GROUP BY metric ORDER BY metric
+"""
+
+
+def try_arithmetic_ratios(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: ``try_divide`` / ``try_cast``
+    return NULL instead of raising under ANSI mode (Spark 4's default)
+    — the discount-per-quantity ratio over lineitem where zero
+    quantities would otherwise kill a 100 TB job at task 9,973 of
+    10,000. The oracle mirrors with NULLIF.
+    """
+    li = load_table(spark, "lineitem", sf)
+    ratio = F.try_divide(
+        F.col("l_extendedprice").cast("double"),
+        (F.col("l_quantity") - F.col("l_quantity")).cast("double"),  # always 0 -> NULL
+    )
+    safe = F.try_divide(F.col("l_extendedprice").cast("double"), F.col("l_quantity").cast("double"))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(ratio).alias("n_div_by_zero_survivors"),
+            F.round(
+                F.sum(safe.cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_unit_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+TRY_ARITH_SQL = """
+SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(CAST(l_extendedprice AS DOUBLE) / NULLIF(l_quantity - l_quantity, 0)) AS BIGINT)
+    AS n_div_by_zero_survivors,
+  ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE), 4)
+    AS sum_unit_price
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def parameterized_sql_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Parameterized SQL surface: named ``:param`` markers plus
+    ``IDENTIFIER(:col)`` for a safely-injected column reference — the
+    injection-proof templating a multi-tenant lake service needs (the
+    reference interpolates strings into SQL; SURVEY F4 calls this the
+    replacement). The query itself is a plain top-n."""
+    load_table(spark, "orders", sf).createOrReplaceTempView("majs_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM majs_param_orders
+        WHERE o_orderstatus = :status
+        ORDER BY IDENTIFIER(:ordcol) DESC, o_orderkey
+        LIMIT :k
+        """,
+        args={"status": "F", "ordcol": "o_totalprice", "k": 25},
+    )
+
+
+PARAM_SQL_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
 def part_pair_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket co-occurrence: the top part pairs ordered together
     — frequent-itemset candidate generation (the canonical MapReduce
@@ -950,6 +1051,9 @@ RELATIONAL_QUERIES: dict[str, QuerySpec] = {
         incremental_join_rollup, INCREMENTAL_JOIN_ROLLUP_SQL
     ),
     "part_pair_cooccurrence": QuerySpec(part_pair_cooccurrence, PART_PAIR_SQL),
+    "unpivot_part_metrics": QuerySpec(unpivot_part_metrics, UNPIVOT_SQL),
+    "try_arithmetic_ratios": QuerySpec(try_arithmetic_ratios, TRY_ARITH_SQL),
+    "parameterized_sql_topn": QuerySpec(parameterized_sql_topn, PARAM_SQL_SQL),
     "equi_depth_histogram": QuerySpec(equi_depth_histogram, EQUI_DEPTH_SQL),
     "doc_length_quartiles": QuerySpec(doc_length_quartiles, DOC_LENGTH_QUARTILES_SQL),
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),

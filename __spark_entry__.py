@@ -285,6 +285,7 @@ def registry() -> dict[str, QuerySpec]:
         "unpivot_part_metrics",
         "try_arithmetic_ratios",
         "parameterized_sql_topn",
+        "stream_snapshot_ingest",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -78,6 +78,39 @@ def snapshot_append(df: DataFrame, table_dir: str) -> int:
     return version
 
 
+def snapshot_append_batch(df: DataFrame, table_dir: str, batch_id: int) -> int | None:
+    """Idempotent streaming append: commit ``df`` as a new version
+    TAGGED with the micro-batch id; if any manifest already carries
+    this ``batch_id`` the call is a no-op (returns None).
+
+    This is the exactly-once contract for `foreachBatch` sinks into
+    snapshot tables: Structured Streaming may re-deliver a batch after
+    a crash-restart, and the tag turns the redelivery into a skip
+    instead of a duplicate version — the checkpoint guarantees at-
+    least-once, the manifest tag upgrades it to exactly-once, and the
+    atomic manifest rename means a crash mid-commit leaves no partial
+    version for the retry to trip on.
+    """
+    versions = snapshot_versions(table_dir)
+    for v in versions:
+        if _read_manifest(table_dir, v).get("batch_id") == batch_id:
+            return None
+    version = (versions[-1] + 1) if versions else 1
+    data_dir = f"data/commit-{version:06d}"
+    df.write.parquet(os.path.join(table_dir, data_dir))
+    prev = _read_manifest(table_dir, versions[-1])["data_dirs"] if versions else []
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": version, "data_dirs": [*prev, data_dir], "batch_id": batch_id},
+            f,
+        )
+    os.rename(tmp, _manifest_path(table_dir, version))
+    return version
+
+
 def snapshot_compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
     """Rewrite the CURRENT live file-set into ``target_files`` files and
     commit it as a new version. Content-preserving; every older version

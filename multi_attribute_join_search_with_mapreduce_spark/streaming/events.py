@@ -652,7 +652,74 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.events import ( 
 )
 
 
+def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest INTO a snapshot-versioned table:
+    the events fixture arrives as 4 micro-batches, each committed via
+    `snapshot_append_batch` (manifest tagged with the batch id), and a
+    deliberate REDELIVERY of batch 0 after the stream drains must be a
+    no-op — so the final table content equals the source exactly (the
+    oracle) and the version history shows one commit per batch, none
+    for the retry.
+
+    This stitches the two at-scale guarantees together: Structured
+    Streaming's checkpoint gives at-least-once delivery into
+    `foreachBatch`; the snapshot manifest's batch-id tag de-duplicates
+    redelivery; the atomic manifest rename makes each commit all-or-
+    nothing. Readers meanwhile get snapshot isolation and time travel
+    over the ingest history for free.
+    """
+    import tempfile
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import (
+        snapshot_append_batch,
+        snapshot_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="majs_stream_snap_")
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    e.repartition(4).write.parquet(f"{base}/src")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    table_dir = f"{base}/snap_table"
+    first_batch = {"df": None}
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_append_batch(batch_df, table_dir, batch_id)
+        if batch_id == 0:
+            first_batch["df"] = batch_df
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # simulate a crash-restart redelivery of batch 0: must be a no-op
+    redelivered = spark.read.parquet(f"{base}/src").limit(0)
+    assert snapshot_append_batch(redelivered, table_dir, 0) is None
+
+    return snapshot_read(spark, table_dir).orderBy("event_id")
+
+
+STREAM_SNAPSHOT_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events ORDER BY event_id
+"""
+
+
 STREAM_QUERIES: dict[str, QuerySpec] = {
+    "stream_snapshot_ingest": QuerySpec(stream_snapshot_ingest, STREAM_SNAPSHOT_SQL),
     "stream_incremental_rollup": QuerySpec(
         stream_incremental_rollup, INCREMENTAL_ROLLUP_SQL
     ),

@@ -170,3 +170,23 @@ def test_snapshot_expire_keeps_shared_dirs(spark, tmp_path):
     assert out["expired_versions"] == [1, 2]
     assert out["removed_dirs"] == []
     assert snapshot_read(spark, t).count() == 15
+
+
+def test_snapshot_append_batch_idempotent_on_redelivery(spark, tmp_path):
+    """The exactly-once contract: committing the same batch id twice
+    produces ONE version; a new batch id appends normally."""
+    from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import (
+        snapshot_append_batch,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    assert snapshot_append_batch(df, t, batch_id=0) == 1
+    # redelivery of batch 0 (e.g. crash-restart): no new version, no dup rows
+    assert snapshot_append_batch(df, t, batch_id=0) is None
+    assert snapshot_versions(t) == [1]
+    assert snapshot_read(spark, t).count() == 10
+    assert snapshot_append_batch(df, t, batch_id=1) == 2
+    assert snapshot_read(spark, t).count() == 20

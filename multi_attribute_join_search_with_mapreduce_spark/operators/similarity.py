@@ -484,7 +484,11 @@ class IvfIndex:
 
 # Memoized per (session, lake) like the posting index: repeated probes
 # reuse one materialized assignment instead of re-clustering the corpus.
-_IVF_CACHE: dict[tuple[int, str], IvfIndex] = {}
+# Same weakref eviction contract as index._INDEX_CACHE: dead/stopped
+# sessions are purged on every call, so a long-lived multi-session
+# process neither leaks persisted assignments nor serves a reused
+# object id a stale index.
+_IVF_CACHE: dict[tuple[int, str], tuple["weakref.ref[SparkSession]", IvfIndex]] = {}
 
 
 def build_ivf_index(spark: SparkSession, sf: str) -> IvfIndex:
@@ -492,8 +496,17 @@ def build_ivf_index(spark: SparkSession, sf: str) -> IvfIndex:
     then collected — it is tens of rows), assign every vector to its
     nearest cell with one narrow argmax pass, persist the assignment.
     Probes never re-run this (asserted by tests/test_similarity.py)."""
+    import weakref
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import _session_stopped
+
+    for k, (ref, _idx) in list(_IVF_CACHE.items()):
+        sess = ref()
+        if sess is None or _session_stopped(sess):
+            _IVF_CACHE.pop(k, None)
     key = (id(spark), sf)
-    idx = _IVF_CACHE.get(key)
+    hit = _IVF_CACHE.get(key)
+    idx = hit[1] if hit is not None else None
     if idx is None:
         e = load_table(spark, "embeddings", sf)
         codebook = [
@@ -504,7 +517,7 @@ def build_ivf_index(spark: SparkSession, sf: str) -> IvfIndex:
             _assign_cells_literal(e, codebook, 1).repartition("cell").persist()
         )
         idx = IvfIndex(codebook, assignment)
-        _IVF_CACHE[key] = idx
+        _IVF_CACHE[key] = (weakref.ref(spark), idx)
     return idx
 
 

@@ -286,6 +286,7 @@ def registry() -> dict[str, QuerySpec]:
         "try_arithmetic_ratios",
         "parameterized_sql_topn",
         "stream_snapshot_ingest",
+        "media_resize",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

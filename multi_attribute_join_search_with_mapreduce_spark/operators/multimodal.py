@@ -358,9 +358,121 @@ ORDER BY media_id
 """
 
 
+# --- resize / resample ------------------------------------------------------
+
+_RESIZE_W, _RESIZE_H = 8, 8
+_DECIMATE = 2
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """mapInPandas resize/resample: images are nearest-neighbour
+    downscaled to ``_RESIZE_W x _RESIZE_H`` on the stored pixel grid
+    and RE-ENCODED as real BMP containers; audio is decimated by
+    ``_DECIMATE`` and re-encoded as WAV. The emitted stats come from
+    re-PARSING the new container (`_parse_bmp`/`_parse_wav`), so the
+    full decode → transform → encode → decode loop is exercised, not
+    just the arithmetic."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                payload = bytes(r.payload)
+                if payload[:2] == b"BM":
+                    w = struct.unpack_from("<i", payload, 18)[0]
+                    h = struct.unpack_from("<i", payload, 22)[0]
+                    stride = (3 * w + 3) & ~3
+                    px = bytearray()
+                    for r2 in range(_RESIZE_H):
+                        src_row = r2 * h // _RESIZE_H
+                        for c2 in range(_RESIZE_W):
+                            src_col = c2 * w // _RESIZE_W
+                            off = 54 + src_row * stride + src_col * 3
+                            px += payload[off : off + 3]
+                    # re-encode as a real 8x8 BMP (stride = 24, already
+                    # 4-byte aligned for RESIZE_W=8)
+                    img = bytes(px)
+                    header = struct.pack(
+                        "<2sIHHI", b"BM", 54 + len(img), 0, 0, 54
+                    ) + struct.pack(
+                        "<IiihHIIiiII", 40, _RESIZE_W, _RESIZE_H, 1, 24, 0,
+                        len(img), 2835, 2835, 0, 0,
+                    )
+                    d = _parse_bmp(header + img)
+                    out.append((r.media_id, r.kind, d["width"], d["height"], None,
+                                d["n_units"], d["content_sum"]))
+                else:
+                    sr = struct.unpack_from("<I", payload, 24)[0]
+                    n = struct.unpack_from("<I", payload, 40)[0] // 2
+                    samples = struct.unpack_from(f"<{n}h", payload, 44)
+                    dec = samples[::_DECIMATE]
+                    data = struct.pack(f"<{len(dec)}h", *dec)
+                    fmt = struct.pack(
+                        "<HHIIHH", 1, 1, sr // _DECIMATE, sr // _DECIMATE * 2, 2, 16
+                    )
+                    wav = (
+                        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+                        + struct.pack("<4sI", b"fmt ", len(fmt))
+                        + fmt
+                        + struct.pack("<4sI", b"data", len(data))
+                        + data
+                    )
+                    d = _parse_wav(wav)
+                    out.append((r.media_id, r.kind, None, None, d["sample_rate"],
+                                d["n_units"], d["content_sum"]))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "width", "height", "sample_rate",
+                         "n_units", "content_sum"],
+            )
+
+    return media.mapInPandas(kernel, DECODE_SCHEMA)
+
+
+def media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry entry: encode → resize/resample → re-encode → re-parse.
+    The oracle replays the nearest-neighbour index arithmetic and the
+    decimation closed-form over the generator formulas, so the resized
+    CONTENT is value-checked byte-for-byte, not just shapes."""
+    return resize_media(encode_media(synthetic_raw_media(spark))).orderBy("media_id")
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH spec AS (
+  SELECT id AS media_id,
+    CASE WHEN id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    CAST(id % 16 + 4 AS INT) AS width,
+    CAST(id % 12 + 4 AS INT) AS height,
+    CAST(16000 AS INT) AS sample_rate,
+    CAST(id % 200 + 50 AS INT) AS n_samples
+  FROM range({N_DECODE_MEDIA}) t(id)
+)
+SELECT media_id, kind,
+  CASE WHEN kind = 'image' THEN {_RESIZE_W} END AS width,
+  CASE WHEN kind = 'image' THEN {_RESIZE_H} END AS height,
+  CASE WHEN kind = 'audio' THEN sample_rate // {_DECIMATE} END AS sample_rate,
+  CAST(CASE WHEN kind = 'image' THEN {_RESIZE_W} * {_RESIZE_H}
+       ELSE (n_samples + {_DECIMATE} - 1) // {_DECIMATE} END AS BIGINT) AS n_units,
+  CAST(CASE WHEN kind = 'image' THEN (
+    SELECT SUM((media_id * 31 + (r2.r * height // {_RESIZE_H}) * 3 * width
+                + (c2.c * width // {_RESIZE_W}) * 3 + b.b) % {_PIX_MOD})
+    FROM (SELECT unnest(generate_series(0, {_RESIZE_H - 1})) AS r) r2,
+         (SELECT unnest(generate_series(0, {_RESIZE_W - 1})) AS c) c2,
+         (SELECT unnest(generate_series(0, 2)) AS b) b
+  ) ELSE (
+    SELECT SUM(((media_id * 7 + i.i * {_DECIMATE}) % {_SAMP_MOD}) - 254)
+    FROM (SELECT unnest(generate_series(0, (n_samples + {_DECIMATE} - 1) // {_DECIMATE} - 1)) AS i) i
+  ) END AS BIGINT) AS content_sum
+FROM spec
+ORDER BY media_id
+"""
+
+
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
 
 MULTIMODAL_QUERIES: dict[str, QuerySpec] = {
+    "media_resize": QuerySpec(media_resize, MEDIA_RESIZE_SQL),
     "media_features": QuerySpec(media_features, MEDIA_FEATURES_SQL),
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
     "media_decode": QuerySpec(media_decode, MEDIA_DECODE_SQL),

@@ -287,6 +287,7 @@ def registry() -> dict[str, QuerySpec]:
         "parameterized_sql_topn",
         "stream_snapshot_ingest",
         "media_resize",
+        "stream_sliding_counts",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -92,6 +92,23 @@ def windowed_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 1-hour/30-minute windows with a watermark — each event
+    lands in two windows; state per key-window evicts as the watermark
+    passes. Same NTZ↔TIMESTAMP round-trip contract as the tumbling
+    variant."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window").getField("start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Drop duplicate event_ids arriving within the watermark bound —
     streaming state stays bounded by the watermark (exactly-once-ish
@@ -652,6 +669,20 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.events import ( 
 )
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (driver-gated): the watermarked SLIDING-window
+    aggregation as a real streaming query, complete-mode memory drain;
+    oracle = the batch sliding-window SQL."""
+    out = sliding_counts_stream(events_stream_from_parquet(spark, sf_dir))
+    return run_stream_to_memory(out, "stream_sliding_sink", "complete")
+
+
+# identical to the batch sliding-window oracle
+from multi_attribute_join_search_with_mapreduce_spark.operators.events import (  # noqa: E402
+    SLIDING_SQL as STREAM_SLIDING_SQL,
+)
+
+
 def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming ingest INTO a snapshot-versioned table:
     the events fixture arrives as 4 micro-batches, each committed via
@@ -720,6 +751,7 @@ FROM events ORDER BY event_id
 
 STREAM_QUERIES: dict[str, QuerySpec] = {
     "stream_snapshot_ingest": QuerySpec(stream_snapshot_ingest, STREAM_SNAPSHOT_SQL),
+    "stream_sliding_counts": QuerySpec(stream_sliding_counts, STREAM_SLIDING_SQL),
     "stream_incremental_rollup": QuerySpec(
         stream_incremental_rollup, INCREMENTAL_ROLLUP_SQL
     ),

@@ -62,6 +62,7 @@ from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec,
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 from multi_attribute_join_search_with_mapreduce_spark.sources.layout import LAYOUT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.sources.sinks import SINK_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.sources.pysource import PYSOURCE_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import SNAPSHOT_QUERIES
 
 FLAGSHIP_ATTRS = ["p_brand", "p_type"]
@@ -211,6 +212,7 @@ def registry() -> dict[str, QuerySpec]:
         LAYOUT_QUERIES,
         SINK_QUERIES,
         SNAPSHOT_QUERIES,
+        PYSOURCE_QUERIES,
     )
     # Round-3 window (the driver checks the first ~50 entries): lead
     # with the 9 queries that have never had a driver correctness row
@@ -288,6 +290,7 @@ def registry() -> dict[str, QuerySpec]:
         "stream_snapshot_ingest",
         "media_resize",
         "stream_sliding_counts",
+        "python_datasource_scan",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -291,6 +291,7 @@ def registry() -> dict[str, QuerySpec]:
         "media_resize",
         "stream_sliding_counts",
         "python_datasource_scan",
+        "python_stream_source_scan",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -378,7 +378,7 @@ def pagerank_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     nodes = load_table(spark, "documents", sf).select("doc_id").persist()
 
     pr = nodes.select("doc_id", F.lit(_PR_SCALE).cast("long").alias("pr"))
-    for _ in range(_PR_ROUNDS):
+    for rnd in range(_PR_ROUNDS):
         contrib = (
             edges.join(pr.withColumnRenamed("doc_id", "src"), "src")
             .join(outdeg, "src")
@@ -397,7 +397,8 @@ def pagerank_near_dup(spark: SparkSession, sf: str) -> DataFrame:
             )
             .persist()
         )
-        pr.unpersist() if pr is not nodes else None
+        if rnd > 0:  # round 0's pr is the unpersisted init projection
+            pr.unpersist()
         pr = new_pr
 
     deg = outdeg.select(F.col("src").alias("doc_id"), F.col("k").alias("degree"))

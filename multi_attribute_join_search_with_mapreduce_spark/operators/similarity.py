@@ -804,6 +804,23 @@ ORDER BY cell
 
 # --- distributed PCA: exact Gram accumulation + driver-side eigh -----------
 
+def _gram_cells(e: DataFrame) -> DataFrame:
+    """Upper-triangle gram cells (i, j, vi, vj), j >= i — emitted
+    DIRECTLY via the tail slice from position i: d(d+1)/2 rows per
+    vector, not the d² a second full posexplode + filter would
+    materialize (measured ~2x less explode volume). Shared by the
+    exact-decimal gram query and PCA's double-summed input so the
+    triangle arithmetic cannot desynchronize."""
+    return (
+        e.select(
+            F.posexplode(_dvec("embedding")).alias("i", "vi"),
+            _dvec("embedding").alias("_emb"),
+        )
+        .select("i", "vi", F.posexplode(F.slice("_emb", F.col("i") + 1, _KM_DIMS)).alias("dj", "vj"))
+        .select("i", (F.col("i") + F.col("dj")).alias("j"), "vi", "vj")
+    )
+
+
 def embedding_gram_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """The distributed-linear-algebra building block under PCA /
     whitening / linear probes: the Gram matrix ``G = Xᵀ X`` of the
@@ -821,17 +838,8 @@ def embedding_gram_matrix(spark: SparkSession, sf: str) -> DataFrame:
     narrow map back over the corpus.
     """
     e = load_table(spark, "embeddings", sf)
-    # Emit the upper triangle DIRECTLY: the tail slice from position i
-    # fans each (i, vi) out to its j >= i partners — d(d+1)/2 rows per
-    # vector, not the d² a second full posexplode + filter would
-    # materialize (measured ~2x less explode volume).
-    cells = (
-        e.select(F.posexplode(_dvec("embedding")).alias("i", "vi"), _dvec("embedding").alias("_emb"))
-        .select("i", "vi", F.posexplode(F.slice("_emb", F.col("i") + 1, _KM_DIMS)).alias("dj", "vj"))
-        .select("i", (F.col("i") + F.col("dj")).alias("j"), "vi", "vj")
-    )
     return (
-        cells.groupBy("i", "j")
+        _gram_cells(e).groupBy("i", "j")
         .agg(
             F.round(
                 F.sum((F.col("vi") * F.col("vj")).cast("decimal(28,12)")).cast(
@@ -874,17 +882,9 @@ def pca_project(spark: SparkSession, sf: str, n_components: int = 4) -> DataFram
     # of the exact variant costs ~6x the whole aggregation (measured
     # 0.9s vs 6.0s at sf0.1). Cross-engine exactness stays gated by
     # `embedding_gram_matrix`, whose decimal path IS its contract.
-    e0 = load_table(spark, "embeddings", sf)
-    cells = (
-        e0.select(
-            F.posexplode(_dvec("embedding")).alias("i", "vi"),
-            _dvec("embedding").alias("_emb"),
-        )
-        .select("i", "vi", F.posexplode(F.slice("_emb", F.col("i") + 1, _KM_DIMS)).alias("dj", "vj"))
-        .select("i", (F.col("i") + F.col("dj")).alias("j"), "vi", "vj")
-    )
     g_rows = (
-        cells.groupBy("i", "j")
+        _gram_cells(load_table(spark, "embeddings", sf))
+        .groupBy("i", "j")
         .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
         .collect()
     )

@@ -102,20 +102,13 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
-# Conservative upper bound on input partitions for the local-candidate
-# threshold. Any key with global count >= T has a partition holding
-# >= T/P of it (pigeonhole, P = actual partitions <= _P_BOUND), so
-# filtering locals at T/_P_BOUND keeps a guaranteed SUPERSET of the
-# true heavy hitters. A larger bound only admits more candidates —
-# never loses one — so correctness is independent of the real layout.
-_P_BOUND = 64
 _HH_THRESHOLD = 70
 
 
 def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) -> DataFrame:
-    """EXACT frequency heavy hitters (keys with count >= threshold)
-    without shuffling the long tail — the distributed Misra-Gries
-    shape.
+    """EXACT frequency heavy hitters (NON-NULL keys with count >=
+    threshold) without shuffling the long tail — the distributed
+    Misra-Gries shape.
 
     The naive plan (`groupBy(key).count().filter(>=T)`) partial-aggregates
     map-side but still EXCHANGES one row per distinct key — at 100 TB
@@ -123,11 +116,19 @@ def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) 
     answer is a handful of rows. Catalyst cannot push the HAVING below
     the final aggregation, so phase 1 here is an Arrow-batched
     ``mapInPandas`` kernel that counts keys WITHIN each partition and
-    emits only locals >= T/_P_BOUND — the tail dies before the wire.
+    emits only locals >= ceil(T/P) — the tail dies before the wire.
     Phase 2 recounts the surviving candidates exactly over a broadcast
     semi-join. Output is exact (the local gate keeps a provable
-    superset; the recount discards false positives), which is why the
-    plain HAVING query can be the oracle.
+    superset by pigeonhole — a key with global count >= T has >= T/P in
+    some partition; the recount discards false positives), which is why
+    the plain HAVING query can be the oracle.
+
+    P is the frame's ACTUAL partition count, read from the plan — a
+    hardcoded bound would silently drop true heavy hitters the moment
+    the scan yields more partitions than assumed. NULL keys are
+    excluded by contract on both sides (a "null heavy hitter" is a
+    data-quality signal, `quality.dq_audit`'s job, not a frequency
+    result — and semi-join re-counting cannot match NULLs anyway).
 
     At fixture scale every key clears the local gate (T/P < per-key
     local counts) — the pruning power grows with per-partition volume,
@@ -135,8 +136,11 @@ def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) 
     """
     import pandas as pd
 
-    e = load_table(spark, "events", sf).select(F.col("user_id").cast("long"))
-    local_min = -(-threshold // _P_BOUND)  # ceil(T / P_BOUND)
+    e = load_table(spark, "events", sf).select(F.col("user_id").cast("long")).filter(
+        F.col("user_id").isNotNull()
+    )
+    n_parts = max(e.rdd.getNumPartitions(), 1)
+    local_min = -(-threshold // n_parts)  # ceil(T / P), P = actual partitions
 
     def local_candidates(batches):
         counts: dict[int, int] = {}
@@ -158,7 +162,8 @@ def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) 
 
 HEAVY_HITTERS_SQL = f"""
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events GROUP BY user_id HAVING COUNT(*) >= {_HH_THRESHOLD}
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id HAVING COUNT(*) >= {_HH_THRESHOLD}
 ORDER BY user_id
 """
 

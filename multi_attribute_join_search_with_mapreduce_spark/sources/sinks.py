@@ -233,6 +233,12 @@ def file_provenance(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # _metadata needs a direct read (load_table's projection would drop
+    # it), but the lake contract still applies: set the same legacy
+    # conf load_table sets, so NANOS-era fixtures don't make this the
+    # one query whose schema inference crashes order-dependently.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     def per_table(name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf}/{name}.parquet")
         return df.select(

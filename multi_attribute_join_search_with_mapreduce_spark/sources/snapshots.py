@@ -56,12 +56,14 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(table_dir: str, version: int, data_dirs: list[str]) -> None:
+def _commit(
+    table_dir: str, version: int, data_dirs: list[str], extra: dict | None = None
+) -> None:
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".v{version}.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"version": version, "data_dirs": data_dirs}, f)
+        json.dump({"version": version, "data_dirs": data_dirs, **(extra or {})}, f)
     # atomic on POSIX: the manifest appears fully-written or not at all
     os.rename(tmp, _manifest_path(table_dir, version))
 
@@ -99,15 +101,7 @@ def snapshot_append_batch(df: DataFrame, table_dir: str, batch_id: int) -> int |
     data_dir = f"data/commit-{version:06d}"
     df.write.parquet(os.path.join(table_dir, data_dir))
     prev = _read_manifest(table_dir, versions[-1])["data_dirs"] if versions else []
-    mdir = os.path.join(table_dir, _MANIFEST_DIR)
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".v{version}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(
-            {"version": version, "data_dirs": [*prev, data_dir], "batch_id": batch_id},
-            f,
-        )
-    os.rename(tmp, _manifest_path(table_dir, version))
+    _commit(table_dir, version, [*prev, data_dir], extra={"batch_id": batch_id})
     return version
 
 

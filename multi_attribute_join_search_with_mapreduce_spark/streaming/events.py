@@ -719,12 +719,9 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/src")
     )
     table_dir = f"{base}/snap_table"
-    first_batch = {"df": None}
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         snapshot_append_batch(batch_df, table_dir, batch_id)
-        if batch_id == 0:
-            first_batch["df"] = batch_df
 
     q = (
         stream.writeStream.foreachBatch(commit_batch)

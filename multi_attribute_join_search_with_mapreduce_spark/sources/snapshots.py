@@ -62,8 +62,18 @@ def _commit(
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".v{version}.json.tmp")
+    import time
+
     with open(tmp, "w") as f:
-        json.dump({"version": version, "data_dirs": data_dirs, **(extra or {})}, f)
+        json.dump(
+            {
+                "version": version,
+                "data_dirs": data_dirs,
+                "committed_at": time.time(),
+                **(extra or {}),
+            },
+            f,
+        )
     # atomic on POSIX: the manifest appears fully-written or not at all
     os.rename(tmp, _manifest_path(table_dir, version))
 
@@ -204,15 +214,40 @@ def snapshot_expire(table_dir: str, keep_last: int = 1) -> dict:
     return {"expired_versions": expired, "removed_dirs": removed}
 
 
+def snapshot_version_as_of(table_dir: str, ts: float) -> int:
+    """Timestamp time travel: the newest version committed at or before
+    ``ts`` (epoch seconds) — ``SELECT ... AS OF TIMESTAMP`` resolution.
+    Commit times come from the manifests themselves (written at commit
+    time), not file mtimes, so copies/rsyncs of the table keep history
+    resolution intact. Manifests from before this field existed count
+    as epoch 0 (always visible)."""
+    versions = snapshot_versions(table_dir)
+    eligible = [
+        v
+        for v in versions
+        if _read_manifest(table_dir, v).get("committed_at", 0.0) <= ts
+    ]
+    if not eligible:
+        raise ValueError(f"no version at or before ts={ts} in {table_dir}")
+    return eligible[-1]
+
+
 def snapshot_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
-    """Scan the table at ``version`` (default: latest). A plain
-    multi-path parquet read over the manifest's file-set — pushdown and
-    pruning intact."""
+    """Scan the table at ``version`` (default: latest), or AS OF an
+    epoch timestamp. A plain multi-path parquet read over the
+    manifest's file-set — pushdown and pruning intact."""
+    if version is not None and as_of_ts is not None:
+        raise ValueError("pass version or as_of_ts, not both")
     versions = snapshot_versions(table_dir)
     if not versions:
         raise ValueError(f"no snapshots at {table_dir}")
+    if as_of_ts is not None:
+        version = snapshot_version_as_of(table_dir, as_of_ts)
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")

@@ -190,3 +190,33 @@ def test_snapshot_append_batch_idempotent_on_redelivery(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 10
     assert snapshot_append_batch(df, t, batch_id=1) == 2
     assert snapshot_read(spark, t).count() == 20
+
+
+def test_snapshot_as_of_timestamp_resolution(spark, tmp_path):
+    """AS OF TIMESTAMP resolves to the newest commit at or before the
+    probe time; a probe before the first commit raises."""
+    import time
+
+    import pytest
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_version_as_of,
+    )
+
+    t = str(tmp_path / "tbl")
+    t0 = time.time()
+    snapshot_append(spark.range(5).withColumnRenamed("id", "k"), t)
+    mid = time.time()
+    time.sleep(0.05)
+    snapshot_append(spark.range(5, 12).withColumnRenamed("id", "k"), t)
+
+    assert snapshot_version_as_of(t, mid) == 1
+    assert snapshot_version_as_of(t, time.time()) == 2
+    assert snapshot_read(spark, t, as_of_ts=mid).count() == 5
+    assert snapshot_read(spark, t, as_of_ts=time.time()).count() == 12
+    with pytest.raises(ValueError):
+        snapshot_version_as_of(t, t0 - 10)
+    with pytest.raises(ValueError):
+        snapshot_read(spark, t, version=1, as_of_ts=mid)

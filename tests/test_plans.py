@@ -219,3 +219,26 @@ def test_dynamic_partition_pruning_arms_on_partitioned_fact(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         j.explain("formatted")
     assert "dynamicpruning" in buf.getvalue().lower()
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """Engine-control evidence: per-join strategy hints must select the
+    hinted physical operator — the manual override for when the 100 TB
+    operator knows better than the statistics (merge for pre-sorted
+    inputs, shuffle_hash to dodge a giant sort, broadcast to force a
+    map-side join)."""
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+
+    def plan(hint):
+        df = li.join(o.hint(hint), li["l_orderkey"] == o["o_orderkey"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    assert "SortMergeJoin" in plan("merge")
+    assert "ShuffledHashJoin" in plan("shuffle_hash")
+    assert "BroadcastHashJoin" in plan("broadcast")

@@ -55,6 +55,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
     multi_attribute_join_search,
     multi_attribute_join_search_batch,
 )
+from multi_attribute_join_search_with_mapreduce_spark.plans.rollup_router import ROUTER_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.plans.sql_surface import (
     join_search_sql_level,
 )
@@ -213,6 +214,7 @@ def registry() -> dict[str, QuerySpec]:
         SINK_QUERIES,
         SNAPSHOT_QUERIES,
         PYSOURCE_QUERIES,
+        ROUTER_QUERIES,
     )
     # Round-3 window (the driver checks the first ~50 entries): lead
     # with the 9 queries that have never had a driver correctness row
@@ -292,6 +294,7 @@ def registry() -> dict[str, QuerySpec]:
         "stream_sliding_counts",
         "python_datasource_scan",
         "python_stream_source_scan",
+        "rollup_router_weekly",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

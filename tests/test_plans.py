@@ -242,3 +242,36 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
     assert "SortMergeJoin" in plan("merge")
     assert "ShuffledHashJoin" in plan("shuffle_hash")
     assert "BroadcastHashJoin" in plan("broadcast")
+
+
+def test_rollup_router_reads_partials_not_facts(spark, sf_dir, tmp_path):
+    """View-matching contract: a weekly query routed through the rollup
+    catalog must scan ONLY the materialized day partials — the events
+    table never appears in the routed plan — and month routes from day
+    too, while an unregisterable grain raises."""
+    import pytest as _pytest
+
+    from multi_attribute_join_search_with_mapreduce_spark.plans.rollup_router import (
+        RollupCatalog,
+        answer_at_grain,
+        materialize_daily_rollup,
+    )
+
+    path = str(tmp_path / "daily")
+    materialize_daily_rollup(spark, sf_dir, path)
+    cat = RollupCatalog()
+    cat.register("day", path)
+
+    df = answer_at_grain(spark, cat, "week")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "daily" in plan and "events.parquet" not in plan
+
+    assert cat.route("month")[0] == "day"
+    # week partials cannot answer month (ISO weeks straddle months)
+    cat2 = RollupCatalog()
+    cat2.register("week", str(tmp_path / "weekly"))
+    with _pytest.raises(ValueError):
+        cat2.route("month")

@@ -295,6 +295,7 @@ def registry() -> dict[str, QuerySpec]:
         "python_datasource_scan",
         "python_stream_source_scan",
         "rollup_router_weekly",
+        "asof_cogrouped_pandas",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -110,6 +110,71 @@ FROM (
 """
 
 
+def purchase_click_attribution_cogrouped(spark: SparkSession, sf: str) -> DataFrame:
+    """The same last-touch as-of join through the COGROUPED-map API
+    (``groupBy().cogroup().applyInPandas``): per user, the purchase and
+    click groups meet in one pandas kernel running ``pd.merge_asof`` —
+    the surface for per-key logic that needs BOTH sides as local frames
+    (custom alignment, model scoring against per-key state). Gated
+    against the same oracle as the native `asof_purchase_click`, so the
+    two formulations are provably interchangeable.
+
+    Parity details: clicks sort by (ts, event_id) so merge_asof's
+    take-last-match rule reproduces the oracle's largest-event-id tie
+    break; the seconds delta is an exact integer-micros diff over one
+    IEEE division, identical to the native expression. Scale: one
+    shuffle on user_id for each side (the cogroup), Arrow-batched
+    kernels, per-key frames bounded by per-user activity.
+    """
+    import pandas as pd
+
+    e = load_table(spark, "events", sf)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+
+    out_cols = [
+        "event_id", "user_id", "ts", "click_event_id", "click_ts", "secs_since_click"
+    ]
+
+    def kernel(purch_pdf: pd.DataFrame, click_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(purch_pdf) == 0 or len(click_pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        p = purch_pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        c = (
+            click_pdf.sort_values(["ts", "event_id"])
+            .rename(columns={"event_id": "click_event_id", "ts": "click_ts"})
+            .reset_index(drop=True)
+        )
+        m = pd.merge_asof(
+            p,
+            c[["click_ts", "click_event_id"]],
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["click_event_id"])
+        ts_us = m["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        click_us = m["click_ts"].astype("datetime64[ns]").astype("int64") // 1000
+        m["secs_since_click"] = (ts_us - click_us) / 1_000_000.0
+        m["click_event_id"] = m["click_event_id"].astype("int64")
+        return m[out_cols]
+
+    schema = (
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "click_event_id long, click_ts timestamp_ntz, secs_since_click double"
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(kernel, schema)
+    )
+
+
 def lineitem_ship_window(spark: SparkSession, sf: str) -> DataFrame:
     """Range join: line items shipped within 30 days of their order date
     (equi key + interval predicate — Catalyst evaluates the band as a
@@ -289,6 +354,9 @@ FROM merged WHERE rn = 1 ORDER BY user_id
 
 TEMPORAL_QUERIES: dict[str, QuerySpec] = {
     "asof_purchase_click": QuerySpec(purchase_click_attribution, PURCHASE_CLICK_SQL),
+    "asof_cogrouped_pandas": QuerySpec(
+        purchase_click_attribution_cogrouped, PURCHASE_CLICK_SQL
+    ),
     "range_join_ship_window": QuerySpec(lineitem_ship_window, LINEITEM_SHIP_WINDOW_SQL),
     "scd2_user_state": QuerySpec(scd2_user_state, SCD2_SQL),
     "cdc_latest_state": QuerySpec(cdc_latest_state, CDC_LATEST_SQL),

@@ -296,6 +296,7 @@ def registry() -> dict[str, QuerySpec]:
         "python_stream_source_scan",
         "rollup_router_weekly",
         "asof_cogrouped_pandas",
+        "token_count_arrow",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

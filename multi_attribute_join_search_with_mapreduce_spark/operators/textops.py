@@ -115,6 +115,40 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def token_count_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """`token_count_by_source` re-expressed through ``mapInArrow`` with
+    a PURE-pyarrow kernel (``pc.split_pattern_regex`` +
+    ``list_value_length`` — vectorized C++, no Python row loop and no
+    pandas materialization): the lowest-overhead Python-boundary API,
+    for kernels already speaking Arrow (tokenizers, model runtimes).
+    Same oracle as the native twin, so the two are interchangeable; the
+    native expression path remains the default (JVM-side, codegen).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, "documents", sf).select("source", "text")
+
+    def kernel(batches):
+        for batch in batches:
+            txt = pc.utf8_trim_whitespace(batch.column("text"))
+            toks = pc.split_pattern_regex(txt, r"\s+")
+            n = pc.list_value_length(toks).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("source"), n], ["source", "n_tok"]
+            )
+
+    return (
+        d.mapInArrow(kernel, "source string, n_tok long")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- language identification (n-gram/stopword heuristic) -------------------
 
 # Tiny per-language function-word lists; the *heuristic* (argmax of
@@ -1177,6 +1211,7 @@ TEXT_QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL),
     "token_count_by_source": QuerySpec(token_count_by_source, TOKEN_COUNT_SQL),
+    "token_count_arrow": QuerySpec(token_count_arrow, TOKEN_COUNT_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
     "minhash_bands": QuerySpec(minhash_bands, MINHASH_BANDS_SQL),

@@ -123,18 +123,23 @@ FROM with_id GROUP BY user_id, session_id
 
 def native_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization via the BUILT-IN ``session_window`` operator —
-    the engine-native twin of the lag/cumsum `sessionize` plan, driver-
-    gated against the same session definition so the two formulations
-    are provably interchangeable (the built-in is also the streaming
-    sessionization operator, so this pins batch/streaming semantic
-    parity of the API itself).
+    the engine-native sibling of the lag/cumsum `sessionize` plan (the
+    built-in is also the streaming sessionization operator, so this
+    pins batch/streaming semantic parity of the API itself).
 
-    ``session_window(ts, gap)`` emits [start, last_event + gap); the
-    oracle derives the same intervals from the lag-based sessions
-    (`SESSIONIZE_SQL` + gap on the end). One shuffle on the session
-    key, merge-based window assembly inside the aggregate — no
-    per-user ordered window pass at all, which at 100 TB removes the
-    full per-key sort the lag plan pays.
+    Boundary semantics, pinned empirically in tests: an event exactly
+    ``gap`` after the previous one MERGES (the engine extends the
+    session when ``diff <= gap``; splits strictly ``> gap``) — same
+    split rule as `sessionize`, but session_window evaluates it at
+    exact MICROSECOND precision where the lag plan compares
+    floor-second epochs (so a 1800.5s gap splits here and merges
+    there; both contracts are tested). The oracle therefore rebuilds
+    the lag formulation with a strict ``>`` split on ``epoch_us``
+    diffs rather than reusing `SESSIONIZE_SQL`'s seconds-granularity
+    test. One shuffle on the session key, merge-based
+    window assembly inside the aggregate — no per-user ordered window
+    pass at all, which at 100 TB removes the full per-key sort the lag
+    plan pays.
     """
     e = load_table(spark, "events", sf)
     return (
@@ -151,8 +156,32 @@ def native_session_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _native_session_sql() -> str:
+    # strict > split at exact microsecond precision (see docstring) —
+    # not SESSIONIZE_SQL's floor-second date_diff test.
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     return f"""
-WITH sessions AS ({SESSIONIZE_SQL})
+WITH with_gap AS (
+  SELECT user_id, event_id, ts,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+            THEN 1 ELSE 0 END AS new_session
+  FROM with_gap
+),
+with_id AS (
+  SELECT *, CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+    MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM with_id GROUP BY user_id, session_id
+)
 SELECT user_id, session_start AS window_start,
   session_end + INTERVAL {SESSION_GAP_MIN} MINUTE AS window_end,
   CAST(n_events AS BIGINT) AS n_events

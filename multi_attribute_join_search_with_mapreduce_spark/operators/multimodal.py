@@ -219,8 +219,11 @@ _PIX_MOD = 251  # prime < 256: pixel byte j of media m = (m*31 + j) % 251
 _SAMP_MOD = 509  # sample i of media m = ((m*7 + i) % 509) - 254
 
 
-def _encode_bmp(media_id: int, width: int, height: int) -> bytes:
-    """24-bit bottom-up BMP with standard 4-byte row padding."""
+def _pack_bmp(width: int, height: int, pixel_rows: list[bytes]) -> bytes:
+    """24-bit bottom-up BMP container from raw per-row pixel bytes —
+    the ONE place the header/stride layout lives (generator encode and
+    the resize re-encode both pack through here, so the format cannot
+    drift between them)."""
     import struct
 
     row_bytes = 3 * width
@@ -229,22 +232,16 @@ def _encode_bmp(media_id: int, width: int, height: int) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
         "<IiihHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    rows = []
-    for row in range(height):
-        base = row * row_bytes
-        rows.append(
-            bytes((media_id * 31 + base + j) % _PIX_MOD for j in range(row_bytes))
-            + b"\x00" * (stride - row_bytes)
-        )
-    return header + b"".join(rows)
+    padded = [r + b"\x00" * (stride - row_bytes) for r in pixel_rows]
+    return header + b"".join(padded)
 
 
-def _encode_wav(media_id: int, sample_rate: int, n_samples: int) -> bytes:
-    """PCM16 mono RIFF/WAVE."""
+def _pack_wav(sample_rate: int, samples: "list[int] | tuple[int, ...]") -> bytes:
+    """PCM16 mono RIFF/WAVE container from raw samples — single home
+    for the RIFF/fmt/data layout (see `_pack_bmp`)."""
     import struct
 
-    samples = [((media_id * 7 + i) % _SAMP_MOD) - 254 for i in range(n_samples)]
-    data = struct.pack(f"<{n_samples}h", *samples)
+    data = struct.pack(f"<{len(samples)}h", *samples)
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     return (
         struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
@@ -253,6 +250,25 @@ def _encode_wav(media_id: int, sample_rate: int, n_samples: int) -> bytes:
         + struct.pack("<4sI", b"data", len(data))
         + data
     )
+
+
+def _encode_bmp(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic generator content packed as a real BMP."""
+    row_bytes = 3 * width
+    rows = [
+        bytes(
+            (media_id * 31 + row * row_bytes + j) % _PIX_MOD
+            for j in range(row_bytes)
+        )
+        for row in range(height)
+    ]
+    return _pack_bmp(width, height, rows)
+
+
+def _encode_wav(media_id: int, sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic generator samples packed as a real WAV."""
+    samples = [((media_id * 7 + i) % _SAMP_MOD) - 254 for i in range(n_samples)]
+    return _pack_wav(sample_rate, samples)
 
 
 def synthetic_raw_media(spark: SparkSession, n: int = N_DECODE_MEDIA) -> DataFrame:
@@ -383,42 +399,25 @@ def resize_media(media: DataFrame) -> DataFrame:
                     w = struct.unpack_from("<i", payload, 18)[0]
                     h = struct.unpack_from("<i", payload, 22)[0]
                     stride = (3 * w + 3) & ~3
-                    px = bytearray()
+                    rows = []
                     for r2 in range(_RESIZE_H):
                         src_row = r2 * h // _RESIZE_H
+                        row = bytearray()
                         for c2 in range(_RESIZE_W):
                             src_col = c2 * w // _RESIZE_W
                             off = 54 + src_row * stride + src_col * 3
-                            px += payload[off : off + 3]
-                    # re-encode as a real 8x8 BMP (stride = 24, already
-                    # 4-byte aligned for RESIZE_W=8)
-                    img = bytes(px)
-                    header = struct.pack(
-                        "<2sIHHI", b"BM", 54 + len(img), 0, 0, 54
-                    ) + struct.pack(
-                        "<IiihHIIiiII", 40, _RESIZE_W, _RESIZE_H, 1, 24, 0,
-                        len(img), 2835, 2835, 0, 0,
-                    )
-                    d = _parse_bmp(header + img)
+                            row += payload[off : off + 3]
+                        rows.append(bytes(row))
+                    d = _parse_bmp(_pack_bmp(_RESIZE_W, _RESIZE_H, rows))
                     out.append((r.media_id, r.kind, d["width"], d["height"], None,
                                 d["n_units"], d["content_sum"]))
                 else:
                     sr = struct.unpack_from("<I", payload, 24)[0]
                     n = struct.unpack_from("<I", payload, 40)[0] // 2
                     samples = struct.unpack_from(f"<{n}h", payload, 44)
-                    dec = samples[::_DECIMATE]
-                    data = struct.pack(f"<{len(dec)}h", *dec)
-                    fmt = struct.pack(
-                        "<HHIIHH", 1, 1, sr // _DECIMATE, sr // _DECIMATE * 2, 2, 16
+                    d = _parse_wav(
+                        _pack_wav(sr // _DECIMATE, samples[::_DECIMATE])
                     )
-                    wav = (
-                        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
-                        + struct.pack("<4sI", b"fmt ", len(fmt))
-                        + fmt
-                        + struct.pack("<4sI", b"data", len(data))
-                        + data
-                    )
-                    d = _parse_wav(wav)
                     out.append((r.media_id, r.kind, None, None, d["sample_rate"],
                                 d["n_units"], d["content_sum"]))
             yield pd.DataFrame(

@@ -216,9 +216,20 @@ def length_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
             F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
         )
     )
+    # Every FIXED bucket appears in the output, observed or not, and
+    # the Laplace divisor k is the constant bucket count — a bucket
+    # crossing zero must not shift every other bucket's shares (the
+    # stability fixed edges were chosen for).
+    n_buckets = len(_PSI_EDGES) - 1
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    counts = spine.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
     totals = counts.agg(
         F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"),
-        F.count(F.lit(1)).alias("k"),
+        F.lit(n_buckets).alias("k"),
     )
     j = counts.crossJoin(F.broadcast(totals))
     share_a = (F.col("n_a") + 1).cast("double") / (F.col("t_a") + F.col("k"))
@@ -236,14 +247,20 @@ def _psi_sql() -> str:
         f"WHEN length(text) >= {_PSI_EDGES[i]} AND length(text) < {_PSI_EDGES[i + 1]} THEN {i}"
         for i in range(len(_PSI_EDGES) - 1)
     )
+    n_buckets = len(_PSI_EDGES) - 1
     return f"""
-WITH counts AS (
+WITH observed AS (
   SELECT CASE {whens} END AS bucket,
     SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
     SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b
   FROM documents GROUP BY 1
 ),
-totals AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b, COUNT(*) AS k FROM counts)
+counts AS (
+  SELECT s.bucket, COALESCE(o.n_a, 0) AS n_a, COALESCE(o.n_b, 0) AS n_b
+  FROM (SELECT unnest(generate_series(0, {n_buckets} - 1)) AS bucket) s
+  LEFT JOIN observed o ON o.bucket = s.bucket
+),
+totals AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b, {n_buckets} AS k FROM counts)
 SELECT bucket,
   CAST(n_a AS BIGINT) AS n_even_half,
   CAST(n_b AS BIGINT) AS n_odd_half,

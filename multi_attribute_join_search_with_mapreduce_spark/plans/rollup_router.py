@@ -18,11 +18,12 @@ fact table and each one reading a few thousand partial rows.
 
 Router policy: grains form a containment chain (day ⊂ week ⊂ month —
 each coarser bucket is a union of finer buckets, using ISO week / date
-truncation semantics consistently on both engines); the finest
-registered grain at or below the requested one wins because it has the
-fewest rows to re-aggregate among the correct options. A grain with no
-registered ancestor raises — falling back to the facts silently would
-hide exactly the rescan this layer exists to prevent.
+truncation semantics consistently on both engines); among the
+registered grains that can answer the request, the COARSEST wins — it
+has the fewest partial rows to re-aggregate (an exact-match rollup is
+read as-is). A grain with no registered ancestor raises — falling back
+to the facts silently would hide exactly the rescan this layer exists
+to prevent.
 """
 
 from __future__ import annotations
@@ -55,8 +56,9 @@ class RollupCatalog:
         self._tables[grain] = path
 
     def route(self, requested: str) -> tuple[str, str]:
-        """(grain, path) of the finest registered rollup answering
-        ``requested``; raises if none can."""
+        """(grain, path) of the COARSEST registered rollup answering
+        ``requested`` (fewest partial rows to re-aggregate; an exact
+        match is read as-is); raises if none can."""
         candidates = [
             g for g, answers in _ANSWERS.items()
             if requested in answers and g in self._tables
@@ -66,8 +68,9 @@ class RollupCatalog:
                 f"no materialized rollup can answer grain {requested!r}; "
                 f"registered: {sorted(self._tables)}"
             )
-        # finest = the one answering the most grains (day > week > month)
-        best = max(candidates, key=lambda g: len(_ANSWERS[g]))
+        # coarsest = answers the fewest grains (week < day); an exact
+        # match always wins over re-aggregating a finer grain.
+        best = min(candidates, key=lambda g: len(_ANSWERS[g]))
         return best, self._tables[best]
 
 

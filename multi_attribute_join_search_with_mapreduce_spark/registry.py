@@ -30,6 +30,14 @@ class QuerySpec:
     sql: str | None
 
 
+# Queries whose PURPOSE is the Python-executed surface itself — the one
+# shared exemption list for the BatchEvalPython gates (tests/test_plans
+# and tools/plan_audit import this, so the two can never diverge). The
+# UDTF entry proves the @udtf + LATERAL machinery; its native twin
+# (chunk_documents) stays under the no-Python gate.
+PYTHON_EVAL_ALLOWED: frozenset[str] = frozenset({"chunk_documents_udtf"})
+
+
 def merge(*registries: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
     for r in registries:

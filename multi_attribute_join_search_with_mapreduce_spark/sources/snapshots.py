@@ -109,7 +109,12 @@ def snapshot_append_batch(df: DataFrame, table_dir: str, batch_id: int) -> int |
             return None
     version = (versions[-1] + 1) if versions else 1
     data_dir = f"data/commit-{version:06d}"
-    df.write.parquet(os.path.join(table_dir, data_dir))
+    # overwrite, not ErrorIfExists: a crash BETWEEN the data write and
+    # the manifest rename leaves an orphan data dir with this exact
+    # name (no manifest references it, so version re-derives the same
+    # number on redelivery) — the retry must be able to rewrite it
+    # instead of wedging on "path already exists".
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, data_dir))
     prev = _read_manifest(table_dir, versions[-1])["data_dirs"] if versions else []
     _commit(table_dir, version, [*prev, data_dir], extra={"batch_id": batch_id})
     return version

@@ -241,3 +241,46 @@ def test_ols_trend_closed_form(spark, tmp_path):
     assert out["click"].slope_per_hour == 2.0
     assert out["click"].intercept == 5.0
     assert out["click"].n_events == 10
+
+
+def test_native_session_window_gap_boundary_semantics(spark, tmp_path):
+    """Empirical boundary contract: at exactly gap the engine MERGES
+    (split is strict >); at gap + 0.5s session_window splits on exact
+    micros while the lag plan's floor-second test still merges — both
+    behaviours pinned so a fixture regeneration near the boundary can
+    never silently flip the oracle."""
+    import datetime as dt
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import (
+        native_session_window,
+        sessionize,
+    )
+
+    def lake_with(rows, name):
+        e = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        )
+        lake = tmp_path / name
+        e.write.parquet(str(lake / "events.parquet"))
+        return str(lake)
+
+    exact = lake_with(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0, 0), 7, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 10, 30, 0), 7, "click", 1.0, "{}"),
+        ],
+        "exact",
+    )
+    assert native_session_window(spark, exact).count() == 1  # merged at == gap
+    assert sessionize(spark, exact).count() == 1
+
+    over = lake_with(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0, 0), 7, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 10, 30, 0, 500000), 7, "click", 1.0, "{}"),
+        ],
+        "over",
+    )
+    assert native_session_window(spark, over).count() == 2  # exact-micros split
+    assert sessionize(spark, over).count() == 1  # floor-second test merges

@@ -80,11 +80,9 @@ def _plan_of(spark, name, sf_dir):
     return buf.getvalue()
 
 
-# Queries whose PURPOSE is the Python-executed surface itself: the UDTF
-# entry exists to prove the @udtf + LATERAL machinery and is documented
-# as the slow path next to its native twin (chunk_documents), which
-# stays under the no-Python gate.
-PYTHON_EVAL_ALLOWED = {"chunk_documents_udtf"}
+# Single source of truth for the BatchEvalPython exemption — shared
+# with tools/plan_audit.py via the package.
+from multi_attribute_join_search_with_mapreduce_spark.registry import PYTHON_EVAL_ALLOWED  # noqa: E402
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -275,3 +273,17 @@ def test_rollup_router_reads_partials_not_facts(spark, sf_dir, tmp_path):
     cat2.register("week", str(tmp_path / "weekly"))
     with _pytest.raises(ValueError):
         cat2.route("month")
+
+
+def test_rollup_router_prefers_exact_grain_match(tmp_path):
+    """With both day and week partials registered, a weekly request
+    must read the week rollup (coarsest sufficient = fewest rows), not
+    re-aggregate the day partials."""
+    from multi_attribute_join_search_with_mapreduce_spark.plans.rollup_router import RollupCatalog
+
+    cat = RollupCatalog()
+    cat.register("day", "/d")
+    cat.register("week", "/w")
+    assert cat.route("week") == ("week", "/w")
+    assert cat.route("day") == ("day", "/d")
+    assert cat.route("month") == ("day", "/d")  # week can't answer month

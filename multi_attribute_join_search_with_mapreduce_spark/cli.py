@@ -42,7 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--query-csv", help="query table CSV (path or URL)")
     p.add_argument("--query-table", help="lake table name to use as the query table")
-    p.add_argument("--attrs", required=True, help="comma-separated query column names")
+    p.add_argument(
+        "--run-query",
+        metavar="NAME",
+        help="run a named analytics query from the engine registry "
+        "(any queries() entry — TPC-H, dedup, streaming, pipeline, ...) "
+        "against the lake and print its head; --attrs is ignored",
+    )
+    p.add_argument("--list-queries", action="store_true",
+                   help="list every registered analytics query and exit")
+    p.add_argument("--attrs", default="", help="comma-separated query column names")
     p.add_argument("--rows", type=int, default=None, help="truncate query input to N rows")
     p.add_argument("--cores", type=int, default=None, help="local[N] parallelism")
     p.add_argument("--k", type=int, default=20, help="top-k tables (2k columns)")
@@ -77,6 +86,34 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    # Registry surface: the CLI exposes every driver-contract query, so
+    # a user of the reference CLI can also reach the engine's full
+    # analytics catalog from the shell.
+    if args.list_queries or args.run_query:
+        import __spark_entry__ as entry_mod
+
+        registry = entry_mod.queries()
+        if args.list_queries:
+            for name in sorted(registry):
+                print(name)
+            return 0
+        if args.run_query not in registry:
+            print(f"error: unknown query {args.run_query!r} "
+                  f"(see --list-queries)", file=sys.stderr)
+            return 2
+        from multi_attribute_join_search_with_mapreduce_spark.session import get_spark
+        from multi_attribute_join_search_with_mapreduce_spark.sources.lake import sf_dir_from_env
+
+        spark = get_spark("majs-cli")
+        sf_dir = args.sf_dir or sf_dir_from_env()
+        df = registry[args.run_query](spark, sf_dir)
+        df.show(args.rows or 20, truncate=False)
+        return 0
+
+    if not args.attrs:
+        print("error: --attrs is required for join search", file=sys.stderr)
+        return 2
     if bool(args.query_csv) == bool(args.query_table):
         print("error: exactly one of --query-csv / --query-table is required", file=sys.stderr)
         return 2

@@ -147,3 +147,19 @@ def test_cli_explain_prints_plan_without_executing(spark, capsys, query_csv):
     assert rc == 0
     assert "== Physical Plan ==" in out
     assert "== table scores ==" not in out  # plan only, no results
+
+
+def test_cli_run_query_and_list(spark, sf_dir, capsys):
+    """The CLI exposes the full registry: --list-queries enumerates it,
+    --run-query executes an entry against the lake."""
+    from multi_attribute_join_search_with_mapreduce_spark.cli import main
+
+    assert main(["--list-queries"]) == 0
+    listed = capsys.readouterr().out.split()
+    assert "tpch_q6_forecast_revenue" in listed and len(listed) > 150
+
+    assert main(["--run-query", "topk_orders", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "o_orderkey" in out or "o_totalprice" in out
+
+    assert main(["--run-query", "nope", "--sf-dir", sf_dir]) == 2

@@ -128,12 +128,25 @@ def purchase_click_attribution_cogrouped(spark: SparkSession, sf: str) -> DataFr
     """
     import pandas as pd
 
-    e = load_table(spark, "events", sf)
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    # Each side gets its OWN scan (two load_table calls, distinct
+    # attribute ids) — deliberately NOT two filters of one frame.
+    # When both cogroup children share one scan's attributes, a
+    # count()-style consumer lets the optimizer prune the right
+    # child's non-grouping columns out from under the kernel (the
+    # pandas UDF then receives a key-only frame and crashes; observed
+    # on Spark 4.1, full-value consumers like toPandas are unaffected,
+    # which is why only the bench's count() path tripped it).
+    # Independent scans keep the children's attributes distinct and
+    # the pruner honest; regression-pinned in tests/test_temporal.py.
+    purchases = (
+        load_table(spark, "events", sf)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
     )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+    clicks = (
+        load_table(spark, "events", sf)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
     )
 
     out_cols = [

@@ -38,3 +38,18 @@ def test_asof_join_semantics(spark):
     assert rows[200] == (None, None)  # right row is after -> unmatched
     assert rows[300] == (None, None)  # no right rows for the key
     assert out.count() == 4  # left join: every left row survives
+
+
+def test_cogrouped_asof_survives_count_pruning(spark, sf_dir):
+    """Regression: a count()-style consumer must not prune the cogroup
+    kernel's input columns (it did when both sides shared one scan's
+    attributes — key-only right frame, KeyError in the kernel). The
+    count path and the full-value path must agree."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.temporal import (
+        purchase_click_attribution_cogrouped,
+    )
+
+    df = purchase_click_attribution_cogrouped(spark, sf_dir)
+    n_count_path = df.count()
+    n_value_path = len(df.collect())
+    assert n_count_path == n_value_path > 0

@@ -41,6 +41,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import 
 from multi_attribute_join_search_with_mapreduce_spark.operators.quality import QUALITY_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.redact import REDACT_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.skew import SKEW_QUERIES
+from multi_attribute_join_search_with_mapreduce_spark.operators.stats import STATS_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.subqueries import (
     SUBQUERY_QUERIES,
 )
@@ -215,6 +216,7 @@ def registry() -> dict[str, QuerySpec]:
         SNAPSHOT_QUERIES,
         PYSOURCE_QUERIES,
         ROUTER_QUERIES,
+        STATS_QUERIES,
     )
     # Round-3 window (the driver checks the first ~50 entries): lead
     # with the 9 queries that have never had a driver correctness row
@@ -297,6 +299,10 @@ def registry() -> dict[str, QuerySpec]:
         "rollup_router_weekly",
         "asof_cogrouped_pandas",
         "token_count_arrow",
+        # round-3 continuation session
+        "bitmap_distinct_rollup",
+        "welch_ttest_value",
+        "corr_matrix_lineitem",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

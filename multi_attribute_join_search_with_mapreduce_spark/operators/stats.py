@@ -1,0 +1,259 @@
+"""Distributed statistics: exact mergeable distinct counts, A/B test
+inference, and moment-based correlation — the aggregate patterns a
+100 TB experimentation/metrics stack runs daily.
+
+Common scale shape: every query here is ONE map-side-combinable
+aggregation pass over the fact table (no joins, no windows, no Python),
+with the statistical formula applied as a scalar expression over the
+exact aggregate moments. That keeps the shuffle payload at
+O(groups), not O(rows), and keeps results independent of partition
+count and row order.
+
+Determinism: sums are accumulated in DECIMAL (exact, associative);
+the closing float formula is ONE double expression written with the
+same association on the Spark and DuckDB sides, so both engines
+perform the identical sequence of correctly-rounded IEEE ops
+(pattern: `events.value_trend_ols`, `events.rolling_zscore_anomalies`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+DEC = "decimal(18,2)"
+DEC_SQ = "decimal(38,4)"
+
+
+def bitmap_distinct_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distinct users per event type AND overall, from mergeable
+    bitmap partials in one pass (`bitmap_construct_agg` /
+    `bitmap_count`, the RoaringBitmap-style surface Spark 3.5+ ships).
+
+    Why bitmaps and not `countDistinct`: a plain COUNT(DISTINCT) must
+    shuffle every distinct (group, user) pair; bitmap partials compress
+    each 32k-id bucket to a fixed 4 KB bitmap that merges with OR — the
+    partial aggregate is bounded by id-space/32k per group regardless
+    of row count, and the SAME partials serve every grain (per-type and
+    global here, daily→weekly→all-time in a rollup pyramid) because OR
+    is lossless, unlike summing per-group distinct counts.
+
+    One scan feeds both grains via GROUPING SETS ((type, bucket),
+    (bucket)): Expand duplicates rows map-side, partial
+    bitmap_construct_agg runs before the single shuffle, and the global
+    row is built from per-bucket OR-merged bitmaps — never by a second
+    scan of the fact table. Contrast `mergeable_hll_rollup`
+    (approximate, fixed 1.5 KB regardless of id space); bitmaps are the
+    exact variant for bounded integer key spaces.
+    """
+    e = load_table(spark, "events", sf).select(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+        F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+    )
+    per_bucket = e.groupingSets(
+        [["event_type", "bucket"], ["bucket"]], "event_type", "bucket"
+    ).agg(F.bitmap_construct_agg(F.col("pos")).alias("bmp"))
+    return (
+        per_bucket.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type")
+        )
+        .agg(F.sum(F.bitmap_count(F.col("bmp"))).cast("long").alias("distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+BITMAP_DISTINCT_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+GROUP BY GROUPING SETS ((event_type), ())
+ORDER BY event_type
+"""
+
+
+def welch_ttest_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Welch's t-test of `value` between deterministic A/B
+    arms (user_id parity), per event type — the experimentation-stack
+    readout (unequal variances, unequal n).
+
+    Distributed shape: six moments per group (n, Σy, Σy² per arm) in
+    one map-side-combinable aggregate; mean, unbiased variance, the
+    t statistic, and the Welch–Satterthwaite degrees of freedom are
+    scalar expressions over those exact moments. No pow(): squares are
+    spelled x*x (libm pow differs in the last ulp across engines;
+    sqrt/mul/div are IEEE-exact — the hash-gate convention).
+    """
+    e = load_table(spark, "events", sf)
+    y = F.col("value").cast(DEC)
+    a = (F.col("user_id") % 2) == 0
+    ysq = (y * y).cast(DEC_SQ)
+    g = e.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.sum(F.when(a, y)).alias("s_a"),
+        F.sum(F.when(a, ysq)).alias("ss_a"),
+        F.count(F.when(~a, 1)).alias("n_b"),
+        F.sum(F.when(~a, y)).alias("s_b"),
+        F.sum(F.when(~a, ysq)).alias("ss_b"),
+    )
+    na, sa, ssa = [F.col(c).cast("double") for c in ("n_a", "s_a", "ss_a")]
+    nb, sb, ssb = [F.col(c).cast("double") for c in ("n_b", "s_b", "ss_b")]
+    ma, mb = sa / na, sb / nb
+    va = (ssa - sa * sa / na) / (na - F.lit(1.0))
+    vb = (ssb - sb * sb / nb) / (nb - F.lit(1.0))
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    df = ((sea + seb) * (sea + seb)) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    return g.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+    ).orderBy("event_type")
+
+
+WELCH_TTEST_SQL = """
+WITH m AS (
+  SELECT event_type,
+    COUNT(*) FILTER (user_id % 2 = 0) AS n_a,
+    SUM(CAST(value AS DECIMAL(18,2))) FILTER (user_id % 2 = 0) AS s_a,
+    SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        AS DECIMAL(38,4))) FILTER (user_id % 2 = 0) AS ss_a,
+    COUNT(*) FILTER (user_id % 2 = 1) AS n_b,
+    SUM(CAST(value AS DECIMAL(18,2))) FILTER (user_id % 2 = 1) AS s_b,
+    SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        AS DECIMAL(38,4))) FILTER (user_id % 2 = 1) AS ss_b
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n_a, n_b,
+    CAST(n_a AS DOUBLE) AS na, CAST(s_a AS DOUBLE) AS sa, CAST(ss_a AS DOUBLE) AS ssa,
+    CAST(n_b AS DOUBLE) AS nb, CAST(s_b AS DOUBLE) AS sb, CAST(ss_b AS DOUBLE) AS ssb
+  FROM m
+),
+v AS (
+  SELECT event_type, n_a, n_b, sa / na AS ma, sb / nb AS mb,
+    ((ssa - sa * sa / na) / (na - 1.0)) / na AS sea,
+    ((ssb - sb * sb / nb) / (nb - 1.0)) / nb AS seb,
+    na, nb
+  FROM d
+)
+SELECT event_type,
+  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+  ROUND((ma - mb) / SQRT(sea + seb), 4) AS t_stat,
+  ROUND(((sea + seb) * (sea + seb))
+        / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 2) AS welch_df
+FROM v ORDER BY event_type
+"""
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem measures in ONE
+    aggregation pass: all C(3,2) cross-moments (Σx, Σx², Σxy) are
+    columns of a single map-side-combinable aggregate, then each
+    correlation is a scalar expression over the exact moments — the
+    feature-correlation scan a training pipeline runs before pruning
+    redundant features.
+
+    At 100 TB this is the only viable shape: one scan, O(k²) aggregate
+    state per partition (k = column count), one 1-row shuffle. Never a
+    per-pair pass (k² scans) and never `df.stat.corr` in a loop (same).
+    The 1-row moment frame unpivots to (col_x, col_y, corr) rows via
+    stack() — driver-hashable long form.
+    """
+    e = load_table(spark, "lineitem", sf)
+    cols = {c: F.col(c).cast(DEC) for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, x in cols.items():
+        aggs.append(F.sum(x).alias(f"s_{c}"))
+        aggs.append(F.sum((x * x).cast(DEC_SQ)).alias(f"ss_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum((cols[a] * cols[b]).cast(DEC_SQ)).alias(f"sx_{a}_{b}"))
+    m = e.agg(*aggs)
+
+    n = F.col("n").cast("double")
+
+    def corr_expr(a: str, b: str):
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        ssa = F.col(f"ss_{a}").cast("double")
+        ssb = F.col(f"ss_{b}").cast("double")
+        sab = F.col(f"sx_{a}_{b}").cast("double")
+        return (n * sab - sa * sb) / (
+            F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+        )
+
+    # stack() needs the corr expressions as named columns first; build
+    # them, then unpivot the 1-row frame to long form.
+    wide = m.select(
+        *[F.round(corr_expr(a, b), 6).alias(f"corr_{a}_{b}") for a, b in pairs]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', corr_{a}_{b}" for a, b in pairs)
+    return wide.select(
+        F.expr(f"stack({len(pairs)}, {stack_args})").alias("col_x", "col_y", "corr")
+    ).orderBy("col_x", "col_y")
+
+
+def _corr_sql() -> str:
+    moment_cols = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        moment_cols.append(f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c}")
+        moment_cols.append(
+            f"SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))"
+            f" AS DECIMAL(38,4))) AS ss_{c}"
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        moment_cols.append(
+            f"SUM(CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))"
+            f" AS DECIMAL(38,4))) AS sx_{a}_{b}"
+        )
+    selects = []
+    for a, b in pairs:
+        expr = (
+            f"(CAST(n AS DOUBLE) * CAST(sx_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / (SQRT(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * SQRT(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, ROUND({expr}, 6) AS corr FROM m"
+        )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(moment_cols)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+CORR_MATRIX_SQL = _corr_sql()
+
+
+STATS_QUERIES: dict[str, QuerySpec] = {
+    "bitmap_distinct_rollup": QuerySpec(bitmap_distinct_rollup, BITMAP_DISTINCT_SQL),
+    "welch_ttest_value": QuerySpec(welch_ttest_value, WELCH_TTEST_SQL),
+    "corr_matrix_lineitem": QuerySpec(corr_matrix_lineitem, CORR_MATRIX_SQL),
+}

@@ -1,0 +1,63 @@
+"""Closed-form checks for operators/stats.py beyond the differential
+oracle: exactness of the bitmap distinct counts, agreement of the
+moment-based Welch t / Pearson r with an independent pandas
+recomputation, and range invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.operators.stats import (
+    bitmap_distinct_rollup,
+    corr_matrix_lineitem,
+    welch_ttest_value,
+)
+from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+
+def test_bitmap_rollup_is_exact(spark, sf_dir):
+    rows = {r.event_type: r.distinct_users for r in bitmap_distinct_rollup(spark, sf_dir).collect()}
+    e = load_table(spark, "events", sf_dir)
+    exact_all = e.select(F.countDistinct("user_id")).first()[0]
+    assert rows.pop("ALL") == exact_all
+    exact_types = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert rows == exact_types
+    # distinct counts don't sum across overlapping groups — the reason
+    # the rollup merges bitmaps instead of adding per-type counts
+    assert sum(exact_types.values()) >= exact_all
+
+
+def test_welch_t_matches_pandas_recompute(spark, sf_dir):
+    out = {r.event_type: r for r in welch_ttest_value(spark, sf_dir).collect()}
+    pdf = load_table(spark, "events", sf_dir).select("event_type", "user_id", "value").toPandas()
+    for et, g in pdf.groupby("event_type"):
+        a = g[g.user_id % 2 == 0].value
+        b = g[g.user_id % 2 == 1].value
+        sea = a.var(ddof=1) / len(a)
+        seb = b.var(ddof=1) / len(b)
+        t = (a.mean() - b.mean()) / math.sqrt(sea + seb)
+        df = (sea + seb) ** 2 / (sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1))
+        r = out[et]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert abs(r.t_stat - t) < 1e-3
+        assert abs(r.welch_df - df) < 0.5
+        # parity split => both arms populated and df between the naive bounds
+        assert min(len(a), len(b)) - 1 <= r.welch_df <= len(a) + len(b) - 2
+
+
+def test_corr_matrix_matches_pandas(spark, sf_dir):
+    out = corr_matrix_lineitem(spark, sf_dir).collect()
+    pdf = load_table(spark, "lineitem", sf_dir).select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    ).toPandas()
+    expected = pdf.corr()
+    assert len(out) == 3
+    for r in out:
+        assert -1.0 <= r.corr <= 1.0
+        assert abs(r.corr - expected.loc[r.col_x, r.col_y]) < 1e-6

@@ -303,6 +303,9 @@ def registry() -> dict[str, QuerySpec]:
         "bitmap_distinct_rollup",
         "welch_ttest_value",
         "corr_matrix_lineitem",
+        "chi_square_arms",
+        "mann_whitney_value",
+        "ks_value_drift",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

@@ -252,8 +252,258 @@ def _corr_sql() -> str:
 CORR_MATRIX_SQL = _corr_sql()
 
 
+def chi_square_arms(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square test of independence between event type and A/B arm
+    (user parity) — "did assignment skew by segment", the guardrail
+    check run before trusting any experiment readout.
+
+    The contingency table is one map-side-combinable count pass; grand
+    totals ride a broadcast 1-row aggregate. The only float reduction —
+    summing the per-type (o-e)²/e contributions — runs as an ORDERED
+    cumulative sum over event_type: float addition is not associative,
+    so a plain distributed SUM of doubles would depend on partition
+    order, while an ordered window accumulates left-to-right
+    identically in Spark and DuckDB (the k rows are one tiny sorted
+    partition; k = event-type count, scalar at any data scale).
+    """
+    e = load_table(spark, "events", sf)
+    a = (F.col("user_id") % 2) == 0
+    g = e.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(~a, 1)).alias("n_b"),
+    )
+    totals = g.agg(
+        F.sum("n_a").alias("t_a"),
+        F.sum("n_b").alias("t_b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(totals))
+    row_t = (F.col("n_a") + F.col("n_b")).cast("double")
+    n = (F.col("t_a") + F.col("t_b")).cast("double")
+    ea = row_t * F.col("t_a").cast("double") / n
+    eb = row_t * F.col("t_b").cast("double") / n
+    oa, ob = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    contrib = (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = j.select(
+        "event_type",
+        F.sum(contrib).over(w).alias("chi2_cum"),
+        F.col("k").cast("long").alias("k"),
+        (F.col("t_a") + F.col("t_b")).cast("long").alias("n_events"),
+    )
+    return (
+        cum.orderBy(F.desc("event_type"))
+        .limit(1)
+        .select(
+            F.round("chi2_cum", 4).alias("chi2"),
+            (F.col("k") - 1).alias("dof"),
+            "n_events",
+        )
+    )
+
+
+CHI_SQUARE_SQL = """
+WITH g AS (
+  SELECT event_type,
+    CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+    CAST(COUNT(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_b
+  FROM events GROUP BY event_type
+),
+t AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+),
+c AS (
+  SELECT g.event_type, t.k, t.t_a + t.t_b AS n_events,
+    (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(t_a AS DOUBLE) / CAST(t_a + t_b AS DOUBLE))
+      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(t_a AS DOUBLE) / CAST(t_a + t_b AS DOUBLE))
+      / (CAST(n_a + n_b AS DOUBLE) * CAST(t_a AS DOUBLE) / CAST(t_a + t_b AS DOUBLE))
+    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(t_b AS DOUBLE) / CAST(t_a + t_b AS DOUBLE))
+      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(t_b AS DOUBLE) / CAST(t_a + t_b AS DOUBLE))
+      / (CAST(n_a + n_b AS DOUBLE) * CAST(t_b AS DOUBLE) / CAST(t_a + t_b AS DOUBLE))
+    AS contrib
+  FROM g CROSS JOIN t
+),
+cum AS (
+  SELECT event_type,
+    SUM(contrib) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS chi2_cum,
+    k, n_events
+  FROM c
+)
+SELECT ROUND(chi2_cum, 4) AS chi2, k - 1 AS dof, CAST(n_events AS BIGINT) AS n_events
+FROM cum ORDER BY event_type DESC LIMIT 1
+"""
+
+
+def mann_whitney_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test of `value` between A/B arms per
+    event type — the non-parametric companion to `welch_ttest_value`
+    for skewed metrics.
+
+    Scale-first formulation: rank statistics WITHOUT ranking rows.
+    Rows reduce to a per-(type, value) histogram (map-side combinable);
+    tied-average ranks come from a cumulative count over the DISTINCT
+    values of each type (bounded by value cardinality — fixed-precision
+    metrics cap it — not by row count); the rank sum is then
+    Σ cnt_a(v)·avgrank(v). Everything stays integer until the final
+    z expression: avg ranks are half-integers, so the engine carries
+    rank×2 in BIGINT and halves at the very end — exact at any scale,
+    immune to float summation order. Tie correction included:
+    var = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+    """
+    e = load_table(spark, "events", sf)
+    a = (F.col("user_id") % 2) == 0
+    h = e.groupBy("event_type", "value").agg(
+        F.count(F.when(a, 1)).alias("cnt_a"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = h.select(
+        "event_type",
+        "cnt_a",
+        "cnt",
+        # avg rank of a tie group, doubled to stay integral:
+        # 2·cum_before + cnt + 1
+        (F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + F.lit(1)).alias(
+            "rank_x2"
+        ),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.sum("cnt_a").alias("n_a"),
+        (F.sum("cnt") - F.sum("cnt_a")).alias("n_b"),
+        F.sum(F.col("cnt_a") * F.col("rank_x2")).alias("r_a_x2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias("tie_sum"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a_x2 = F.col("r_a_x2") - F.col("n_a") * (F.col("n_a") + 1)  # exact BIGINT
+    mu_x2 = (F.col("n_a") * F.col("n_b")).cast("double")
+    var = (na * nb / F.lit(12.0)) * (
+        (n + F.lit(1.0)) - F.col("tie_sum").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    z = (u_a_x2.cast("double") - mu_x2) / F.lit(2.0) / F.sqrt(var)
+    return g.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (u_a_x2.cast("double") / F.lit(2.0)).alias("u_a"),
+        F.round(z, 4).alias("z_stat"),
+    ).orderBy("event_type")
+
+
+MANN_WHITNEY_SQL = """
+WITH h AS (
+  SELECT event_type, value,
+    CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS cnt_a,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, value
+),
+ranked AS (
+  SELECT event_type, cnt_a, cnt,
+    2 * (SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS rank_x2
+  FROM h
+),
+g AS (
+  SELECT event_type,
+    CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+    CAST(SUM(cnt) - SUM(cnt_a) AS BIGINT) AS n_b,
+    CAST(SUM(cnt_a * rank_x2) AS BIGINT) AS r_a_x2,
+    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+  CAST(r_a_x2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+  ROUND((CAST(r_a_x2 - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a * n_b AS DOUBLE)) / 2.0
+    / SQRT((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+      * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+         - CAST(tie_sum AS DOUBLE)
+           / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+              * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))), 4) AS z_stat
+FROM g ORDER BY event_type
+"""
+
+
+def ks_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Kolmogorov–Smirnov statistic of `value` between the two
+    user-parity halves of the corpus — distribution drift as the max
+    ECDF gap, sharper than binned PSI (`length_psi_drift`) because it
+    needs no bucket edges.
+
+    Exact ECDFs without sorting rows: reduce to a per-value histogram,
+    cumulate counts over distinct values, divide by the (exact) totals.
+    The final reduction is MAX over per-value gaps — unlike a float
+    SUM, max is order-independent (exact comparisons), so the result
+    is deterministic under any partitioning. Distinct-value count
+    bounds the window input, row count doesn't.
+    """
+    e = load_table(spark, "events", sf)
+    a = (F.col("user_id") % 2) == 0
+    h = e.groupBy("value").agg(
+        F.count(F.when(a, 1)).alias("cnt_a"),
+        F.count(F.when(~a, 1)).alias("cnt_b"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = h.select(
+        F.sum("cnt_a").over(w).alias("c_a"),
+        F.sum("cnt_b").over(w).alias("c_b"),
+    )
+    totals = cum.agg(F.max("c_a").alias("t_a"), F.max("c_b").alias("t_b"))
+    j = cum.crossJoin(F.broadcast(totals))
+    gap = F.abs(
+        F.col("c_a").cast("double") / F.col("t_a").cast("double")
+        - F.col("c_b").cast("double") / F.col("t_b").cast("double")
+    )
+    return j.agg(
+        F.round(F.max(gap), 6).alias("ks_stat"),
+        F.max("t_a").cast("long").alias("n_a"),
+        F.max("t_b").cast("long").alias("n_b"),
+    )
+
+
+KS_DRIFT_SQL = """
+WITH h AS (
+  SELECT value,
+    CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS cnt_a,
+    CAST(COUNT(*) FILTER (user_id % 2 = 1) AS BIGINT) AS cnt_b
+  FROM events GROUP BY value
+),
+cum AS (
+  SELECT
+    SUM(cnt_a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c_a,
+    SUM(cnt_b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c_b
+  FROM h
+),
+t AS (SELECT MAX(c_a) AS t_a, MAX(c_b) AS t_b FROM cum)
+SELECT
+  ROUND(MAX(ABS(CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+             - CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE))), 6) AS ks_stat,
+  CAST(MAX(t_a) AS BIGINT) AS n_a,
+  CAST(MAX(t_b) AS BIGINT) AS n_b
+FROM cum CROSS JOIN t
+"""
+
+
 STATS_QUERIES: dict[str, QuerySpec] = {
     "bitmap_distinct_rollup": QuerySpec(bitmap_distinct_rollup, BITMAP_DISTINCT_SQL),
     "welch_ttest_value": QuerySpec(welch_ttest_value, WELCH_TTEST_SQL),
     "corr_matrix_lineitem": QuerySpec(corr_matrix_lineitem, CORR_MATRIX_SQL),
+    "chi_square_arms": QuerySpec(chi_square_arms, CHI_SQUARE_SQL),
+    "mann_whitney_value": QuerySpec(mann_whitney_value, MANN_WHITNEY_SQL),
+    "ks_value_drift": QuerySpec(ks_value_drift, KS_DRIFT_SQL),
 }

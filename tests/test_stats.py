@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from multi_attribute_join_search_with_mapreduce_spark.operators.stats import (
     bitmap_distinct_rollup,
+    chi_square_arms,
     corr_matrix_lineitem,
+    ks_value_drift,
+    mann_whitney_value,
     welch_ttest_value,
 )
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
@@ -49,6 +52,52 @@ def test_welch_t_matches_pandas_recompute(spark, sf_dir):
         assert abs(r.welch_df - df) < 0.5
         # parity split => both arms populated and df between the naive bounds
         assert min(len(a), len(b)) - 1 <= r.welch_df <= len(a) + len(b) - 2
+
+
+def test_chi_square_matches_pandas_recompute(spark, sf_dir):
+    r = chi_square_arms(spark, sf_dir).first()
+    pdf = load_table(spark, "events", sf_dir).select("event_type", "user_id").toPandas()
+    ct = pd.crosstab(pdf.event_type, pdf.user_id % 2)
+    n = ct.values.sum()
+    expected = ct.sum(axis=1).values[:, None] * ct.sum(axis=0).values[None, :] / n
+    chi2 = ((ct.values - expected) ** 2 / expected).sum()
+    assert r.dof == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert r.n_events == n
+    assert abs(r.chi2 - chi2) < 1e-3
+
+
+def test_mann_whitney_matches_pandas_ranks(spark, sf_dir):
+    out = {r.event_type: r for r in mann_whitney_value(spark, sf_dir).collect()}
+    pdf = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id", "value"
+    ).toPandas()
+    for et, g in pdf.groupby("event_type"):
+        ranks = g.value.rank(method="average")
+        is_a = (g.user_id % 2 == 0).to_numpy()
+        n_a, n_b = int(is_a.sum()), int((~is_a).sum())
+        u_a = ranks[is_a].sum() - n_a * (n_a + 1) / 2
+        r = out[et]
+        assert r.n_a == n_a and r.n_b == n_b
+        assert abs(r.u_a - u_a) < 1e-9  # exact rank arithmetic
+        # U + U' = n_a * n_b partition identity
+        u_b = (ranks[~is_a].sum()) - n_b * (n_b + 1) / 2
+        assert abs((r.u_a + u_b) - n_a * n_b) < 1e-9
+
+
+def test_ks_drift_matches_manual_ecdf(spark, sf_dir):
+    r = ks_value_drift(spark, sf_dir).first()
+    pdf = load_table(spark, "events", sf_dir).select("user_id", "value").toPandas()
+    a = pdf[pdf.user_id % 2 == 0].value.sort_values().to_numpy()
+    b = pdf[pdf.user_id % 2 == 1].value.sort_values().to_numpy()
+    import numpy as np
+
+    grid = np.unique(pdf.value.to_numpy())
+    ecdf_a = np.searchsorted(a, grid, side="right") / len(a)
+    ecdf_b = np.searchsorted(b, grid, side="right") / len(b)
+    ks = float(np.abs(ecdf_a - ecdf_b).max())
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert abs(r.ks_stat - ks) < 1e-6
+    assert 0.0 <= r.ks_stat <= 1.0
 
 
 def test_corr_matrix_matches_pandas(spark, sf_dir):

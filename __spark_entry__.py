@@ -306,6 +306,7 @@ def registry() -> dict[str, QuerySpec]:
         "chi_square_arms",
         "mann_whitney_value",
         "ks_value_drift",
+        "triangle_count_near_dup",
     ]
     front = [*never_checked, *red_r02, *new_r03]
     ordered = {name: merged[name] for name in front}

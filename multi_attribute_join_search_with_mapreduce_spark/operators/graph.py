@@ -451,6 +451,112 @@ ORDER BY f.doc_id
 """
 
 
+def triangle_count_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document triangle participation in the LSH near-dup graph —
+    the local clustering signal that separates tight duplicate cliques
+    (every member pairs with every other) from weak star-shaped
+    accidental-collision clusters a canonicalizer should not collapse.
+
+    Degree-oriented wedge counting, the standard distributed algorithm
+    (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, generate wedges only
+    between a node's ORIENTED out-neighbors, and close them against the
+    oriented edge set. Orientation caps every node's out-degree at
+    O(√m), so total wedge volume is O(m^1.5) even with hub nodes —
+    id-oriented or unoriented wedge joins explode quadratically on the
+    hubs ("the last reducer"). Three hash joins on narrow (long, long)
+    rows, all map-side-combinable counts; exact integers, so the value
+    hash needs no float care.
+    """
+    return triangle_counts(_candidate_edges(spark, sf)).withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, triangles) for every node of an undirected graph (given
+    one-directional ``(src, dst)`` pairs) that participates in at least
+    one triangle. See :func:`triangle_count_near_dup` for the algorithm
+    and scale analysis."""
+    pairs = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+    # orient each undirected edge exactly once: lower (degree, id) first
+    e = (
+        sym.join(deg.select(F.col("node").alias("src"), F.col("k").alias("ks")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("k").alias("kd")), "dst")
+        .filter(
+            (F.col("ks") < F.col("kd"))
+            | ((F.col("ks") == F.col("kd")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst", "kd")
+        .persist()
+    )
+    # wedges between oriented out-neighbors, canonicalized by the same
+    # (degree, id) order so each wedge is generated once
+    e1 = e.select("src", F.col("dst").alias("a"), F.col("kd").alias("ka"))
+    e2 = e.select("src", F.col("dst").alias("b"), F.col("kd").alias("kb"))
+    wedges = e1.join(e2, "src").filter(
+        (F.col("ka") < F.col("kb"))
+        | ((F.col("ka") == F.col("kb")) & (F.col("a") < F.col("b")))
+    )
+    closed = wedges.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"]
+    ).select(F.col("src").alias("u"), F.col("a").alias("v"), F.col("b").alias("w"))
+    corners = (
+        closed.select(F.col("u").alias("node"))
+        .unionAll(closed.select(F.col("v").alias("node")))
+        .unionAll(closed.select(F.col("w").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+        .orderBy("node")
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH cand AS (
+{NEAR_DUP_SQL}
+),
+pairs AS (SELECT doc_a AS src, doc_b AS dst FROM cand WHERE est_jaccard >= {_EDGE_THRESHOLD}),
+sym AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst, src FROM pairs
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY src),
+e AS (
+  SELECT s.src, s.dst, dd.k AS kd
+  FROM sym s
+  JOIN deg ds ON ds.node = s.src
+  JOIN deg dd ON dd.node = s.dst
+  WHERE ds.k < dd.k OR (ds.k = dd.k AND s.src < s.dst)
+),
+wedges AS (
+  SELECT e1.src, e1.dst AS a, e2.dst AS b
+  FROM e e1 JOIN e e2 ON e1.src = e2.src
+  WHERE e1.kd < e2.kd OR (e1.kd = e2.kd AND e1.dst < e2.dst)
+),
+closed AS (
+  SELECT w.src AS u, w.a AS v, w.b AS w_node
+  FROM wedges w JOIN e ON e.src = w.a AND e.dst = w.b
+),
+corners AS (
+  SELECT u AS doc_id FROM closed
+  UNION ALL SELECT v FROM closed
+  UNION ALL SELECT w_node FROM closed
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _cc_ctes() -> str:
     """Shared recursive-CTE prefix: candidate pairs -> edges -> exact
     transitive closure -> per-node component min."""
@@ -498,4 +604,5 @@ GRAPH_QUERIES: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_canonical": QuerySpec(dedup_canonical, DEDUP_CANONICAL_SQL),
     "semantic_dedup": QuerySpec(semantic_dedup, _semantic_dedup_sql()),
+    "triangle_count_near_dup": QuerySpec(triangle_count_near_dup, TRIANGLE_SQL),
 }

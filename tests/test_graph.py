@@ -216,3 +216,34 @@ def test_pagerank_fixed_point_matches_python_simulation(spark, sf_dir):
     # isolated docs pin at the damping base exactly
     isolated = [n for n in nodes if n not in edges]
     assert all(got[n][0] == _PR_BASE for n in isolated)
+
+
+def test_triangle_counts_hand_graphs(spark):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import triangle_counts
+
+    # K4: C(4,3)=4 triangles, every node in exactly 3
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r.node: r.triangles for r in triangle_counts(
+        spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # star K1,5: the hub is the degree-skew adversary; zero triangles
+    star = [(100, i) for i in range(5)]
+    assert triangle_counts(
+        spark.createDataFrame(star, "src long, dst long")).count() == 0
+
+    # triangle + pendant edge: pendant node absent from output
+    tri = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    got = {r.node: r.triangles for r in triangle_counts(
+        spark.createDataFrame(tri, "src long, dst long")).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_handshake_identity(spark, sf_dir):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import (
+        triangle_count_near_dup,
+    )
+
+    rows = triangle_count_near_dup(spark, sf_dir).collect()
+    total_corners = sum(r.triangles for r in rows)
+    assert total_corners % 3 == 0  # every triangle contributes 3 corners

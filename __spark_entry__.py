@@ -218,97 +218,37 @@ def registry() -> dict[str, QuerySpec]:
         ROUTER_QUERIES,
         STATS_QUERIES,
     )
-    # Round-3 window (the driver checks the first ~50 entries): lead
-    # with the 9 queries that have never had a driver correctness row
-    # across r01+r02 (VERDICT r2 "What's missing" #2), then the two r02
-    # reds (fixed this round: scalar sketch quantiles; dtype-stable
-    # SCD2 output), then the queries new in r3. Everything already
-    # driver-green in r01/r02 rotates behind them in registry order.
-    never_checked = [
-        "chunk_documents", "cohort_retention", "dq_audit",
-        "listagg_part_types", "media_frame_sample", "near_dup_delta",
-        "rare_token_stats", "stream_stream_attrib", "window_range_trailing",
-    ]
-    red_r02 = ["approx_sketches", "scd2_user_state"]
-    new_r03 = [
-        "mjs_search_bucketed_index",
-        "stream_dedup_watermark",
-        "semantic_dedup",
-        "stratified_sample_exact",
-        "lake_join_graph",
-        "gap_fill_hourly",
-        "doc_length_quartiles",
-        "incremental_rollup",
-        "source_overlap",
-        "word_entropy",
-        "rolling_active_users",
-        "winsorize_doc_lengths",
-        "bucketed_fact_join",
-        "stream_incremental_rollup",
-        "hierarchical_rollup",
-        "event_transition_matrix",
-        "equi_depth_histogram",
-        "user_value_ewma",
-        "snapshot_time_travel",
-        "conversion_within_window",
-        "profile_columns",
-        "jsonl_roundtrip",
-        "partitioned_scan_prune",
-        "schema_evolution_merge",
-        "zorder_clustered_scan",
-        "window_value_functions",
-        "hof_vector_stats",
-        "variant_props_stats",
-        "mjs_index_incremental",
-        "snapshot_diff_audit",
-        "mergeable_hll_rollup",
-        "lateral_topn_orders",
-        "nation_revenue_share",
-        # late round-3 additions (this session) — equally never-checked
-        "set_similarity_join",
-        "stream_stream_left_outer",
-        "gap_fill_linear",
-        "rolling_zscore_anomalies",
-        "heavy_hitters",
-        "temperature_rebalance",
-        "pagerank_near_dup",
-        "kmeans_lloyd",
-        "chunk_documents_udtf",
-        "recursive_hierarchy_walk",
-        "incremental_join_rollup",
-        "file_provenance",
-        "bpe_pair_stats",
-        "embedding_gram_matrix",
-        "pca_project",
-        "bm25_search",
-        "part_pair_cooccurrence",
-        "top_event_paths",
-        "length_psi_drift",
-        "native_session_window",
-        "weighted_sample_docs",
-        "value_trend_ols",
-        "er_resolve_types",
-        "unpivot_part_metrics",
-        "try_arithmetic_ratios",
-        "parameterized_sql_topn",
-        "stream_snapshot_ingest",
-        "media_resize",
-        "stream_sliding_counts",
-        "python_datasource_scan",
-        "python_stream_source_scan",
-        "rollup_router_weekly",
-        "asof_cogrouped_pandas",
-        "token_count_arrow",
-        # round-3 continuation session
-        "bitmap_distinct_rollup",
-        "welch_ttest_value",
-        "corr_matrix_lineitem",
-        "chi_square_arms",
-        "mann_whitney_value",
+    # Round-4 window (the driver checks the first ~50 entries): lead
+    # with the 38 queries that have never had a GREEN driver row across
+    # r01-r03 (VERDICT r3 "Next round" #3) — the 3 reds first (the two
+    # no_oracle sketches, now self-validating; SCD2, oracle window-SUM
+    # cast to BIGINT), then the 35 never-checked, statistics family
+    # leading because float-reduction hash gates break there first.
+    # Everything already driver-green in r01-r03 rotates behind in
+    # registry order.
+    never_green_r4 = [
+        # r3 reds
+        "approx_sketches", "mergeable_hll_rollup", "scd2_user_state",
+        # statistics family (VERDICT r3 task 5)
+        "bitmap_distinct_rollup", "welch_ttest_value",
+        "corr_matrix_lineitem", "chi_square_arms", "mann_whitney_value",
         "ks_value_drift",
-        "triangle_count_near_dup",
+        # iterative-ML / graph family
+        "pagerank_near_dup", "kmeans_lloyd", "embedding_gram_matrix",
+        "pca_project", "triangle_count_near_dup",
+        # remaining never-checked, registry order
+        "chunk_documents_udtf", "recursive_hierarchy_walk",
+        "incremental_join_rollup", "file_provenance", "bpe_pair_stats",
+        "bm25_search", "part_pair_cooccurrence", "top_event_paths",
+        "length_psi_drift", "native_session_window",
+        "weighted_sample_docs", "value_trend_ols", "er_resolve_types",
+        "unpivot_part_metrics", "try_arithmetic_ratios",
+        "parameterized_sql_topn", "stream_snapshot_ingest",
+        "media_resize", "stream_sliding_counts", "python_datasource_scan",
+        "python_stream_source_scan", "rollup_router_weekly",
+        "asof_cogrouped_pandas", "token_count_arrow",
     ]
-    front = [*never_checked, *red_r02, *new_r03]
+    front = never_green_r4
     ordered = {name: merged[name] for name in front}
     ordered.update((n, s) for n, s in merged.items() if n not in ordered)
     return ordered

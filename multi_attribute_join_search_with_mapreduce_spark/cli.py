@@ -23,8 +23,11 @@ Flag parity notes:
   round-trips the Vertica probe took; a Catalyst plan has no
   round-trips). ``--strategy sql`` runs the ``spark.sql`` surface
   (entry point C); ``dataframe`` the DataFrame API (entry point A).
-- ``-read/-write`` map to ``--read-index/--write-index``: the posting
-  index cached as Parquet (``Par_Search.py:92-99,124-134``).
+- ``-read/-write`` map to ``--read-index/--write-index`` (the posting
+  index cached as Parquet) AND ``--read-probed/--write-probed`` (the
+  per-query probed intermediate + query input, the reference's
+  ``df_unsorted_data``/``df_input_data`` cache,
+  ``Par_Search.py:92-99,124-134``).
 """
 
 from __future__ import annotations
@@ -75,6 +78,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf-dir", default=None, help="lake directory (default $SPARK_GRAFT_SF_DIR)")
     p.add_argument("--write-index", metavar="DIR", help="persist the posting index as parquet")
     p.add_argument("--read-index", metavar="DIR", help="load a previously persisted index")
+    p.add_argument(
+        "--write-probed",
+        metavar="DIR",
+        help="persist the per-query probed intermediate + query input "
+        "(the reference's -write of df_unsorted_data/df_input_data, "
+        "Par_Search.py:124-134); dataframe strategy only",
+    )
+    p.add_argument(
+        "--read-probed",
+        metavar="DIR",
+        help="reload a --write-probed intermediate, skipping the import "
+        "and index-probe phases (the reference's -read, "
+        "Par_Search.py:92-99); must be the same query/attrs",
+    )
     p.add_argument(
         "--explain",
         action="store_true",
@@ -167,18 +184,43 @@ def main(argv: list[str] | None = None) -> int:
             tables = join_search_sql_level(spark, sf_dir, args.query_table, attrs, args.k, "tables")
             columns = join_search_sql_level(spark, sf_dir, args.query_table, attrs, args.k, "columns")
     else:
-        if args.query_csv:
+        if args.read_probed:
+            # Reference parity (-read, Par_Search.py:92-99): reload the
+            # probed intermediate AND the cached query input; the probe
+            # below re-semi-joins the already-probed frame with the same
+            # key set — idempotent, so downstream plans are unchanged.
+            postings = spark.read.parquet(f"{args.read_probed}/probed")
+            q = spark.read.parquet(f"{args.read_probed}/query")
+        elif args.query_csv:
             q = read_csv_source(spark, args.query_csv)
         else:
             q = load_table(spark, args.query_table, sf_dir)
-        if args.rows:
+        if args.rows and not args.read_probed:
             q = q.limit(args.rows)
+        if args.write_probed and not args.explain:
+            # Reference parity (-write, Par_Search.py:124-134): persist
+            # the probed intermediate + query input, then run the search
+            # off the materialized copy (like --write-index does).
+            from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+                search_stages,
+            )
+
+            st = search_stages(postings, q, attrs, args.k)
+            st.probed.write.mode("overwrite").parquet(f"{args.write_probed}/probed")
+            q.write.mode("overwrite").parquet(f"{args.write_probed}/query")
+            postings = spark.read.parquet(f"{args.write_probed}/probed")
+            q = spark.read.parquet(f"{args.write_probed}/query")
         tables, columns = multi_attribute_join_search(
             postings, q, attrs, args.k, strategy=args.plan
         )
 
     if args.explain:
+        # Both result plans, labeled — an unlabeled single plan silently
+        # dropped the columns query (r3 advice).
+        print("== tables plan ==")
         tables.explain("formatted")
+        print("== columns plan ==")
+        columns.explain("formatted")
         return 0
 
     print("== table scores ==")

@@ -330,25 +330,70 @@ def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch aggregates per event type: HLL++ distinct users and
     approximate value quantiles. One partial/final pass — at 100 TB the
     sketches merge map-side; no exact-distinct shuffle of user ids.
-    Genuinely approximate => no SQL oracle (driver rows-only check);
-    bounded-error assertions live in tests/test_pipeline.py.
 
-    Quantiles come back as scalar ``q50``/``q95``/``q99`` double columns
-    rather than one array column: the driver's rows+hash canonicalizer
-    sorts pandas frames and cannot hash Python lists, so an array output
-    crashed the r02 check before any comparison ran."""
+    Self-validating output (r3 verdict #4): the same job computes the
+    exact counterparts and emits BOOLEAN bound checks instead of the
+    raw approximations, so the DuckDB oracle is plain exact SQL with
+    literal TRUE columns — a sketch drifting out of bound turns the
+    driver row red. Bounds: ``approx_count_distinct`` rsd=0.02 → allow
+    10 % relative error (5 sigma); ``percentile_approx`` accuracy=10000
+    → the approx value's exact ECDF interval [count<(v)/n, count<=(v)/n]
+    must intersect [phi−0.005, phi+0.005]. The exact pass exists only to
+    *grade* the sketch — the sketch path itself stays one map-combinable
+    scan, and the grading join broadcasts the tiny per-type agg."""
     e = load_table(spark, "events", sf)
     q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            q.getItem(0).alias("q50"),
-            q.getItem(1).alias("q95"),
-            q.getItem(2).alias("q99"),
-        )
-        .orderBy("event_type")
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        q.getItem(0).alias("q50"),
+        q.getItem(1).alias("q95"),
+        q.getItem(2).alias("q99"),
     )
+    graded = (
+        e.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n"),
+            F.first("approx_users").alias("approx_users"),
+            *[
+                agg
+                for tag in ("q50", "q95", "q99")
+                for agg in (
+                    F.sum((F.col("value") < F.col(tag)).cast("long")).alias(f"lt_{tag}"),
+                    F.sum((F.col("value") <= F.col(tag)).cast("long")).alias(f"le_{tag}"),
+                )
+            ],
+        )
+    )
+    eps = F.lit(0.005)
+
+    def q_ok(tag: str, phi: float):
+        n = F.col("n").cast("double")
+        lo = F.col(f"lt_{tag}").cast("double") / n
+        hi = F.col(f"le_{tag}").cast("double") / n
+        return (lo <= F.lit(phi) + eps) & (hi >= F.lit(phi) - eps)
+
+    users_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+        <= F.lit(0.10) * F.col("exact_users").cast("double")
+    )
+    return graded.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        users_ok.alias("users_ok"),
+        q_ok("q50", 0.5).alias("q50_ok"),
+        q_ok("q95", 0.95).alias("q95_ok"),
+        q_ok("q99", 0.99).alias("q99_ok"),
+    ).orderBy("event_type")
+
+
+APPROX_SKETCHES_SQL = """
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS users_ok, TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def mergeable_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
@@ -361,23 +406,59 @@ def mergeable_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
     distinct counts don't sum across groups, but their sketches union
     losslessly (register-wise max), so daily sketches roll to weekly to
     global with no second pass over raw data.
-    ``tests/test_pipeline.py`` asserts the union-of-parts estimate
-    equals the direct whole-table sketch exactly and is within HLL
-    error of the exact count. Approximate output => no SQL oracle
-    (driver rows-only check).
+    Self-validating output (r3 verdict #4): each row carries the exact
+    distinct count plus two BOOLEANs — ``within_bound`` (sketch estimate
+    within 10 % of exact; lgk=12 → rsd ≈ 1.6 %, so 10 % is > 6 sigma)
+    and, on the ALL row, ``union_consistent`` (estimate of the union of
+    per-group sketches EQUALS the direct whole-table sketch estimate —
+    register-wise max is lossless, so this is exact equality, the merge
+    property itself). Oracle = exact distinct SQL + literal TRUEs; any
+    sketch regression turns the driver row red.
     """
     e = load_table(spark, "events", sf)
     per = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
+
+    def ok(est, exact):
+        return F.abs(est - exact).cast("double") <= F.lit(0.10) * exact.cast("double")
+
     groups = per.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias("within_bound"),
+        F.lit(True).alias("union_consistent"),
     )
-    total = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+    union_est = per.agg(
+        F.hll_union_agg("sk").alias("usk"),
+        F.sum(F.lit(1)).alias("_one"),  # keeps a single-row agg shape
+    )
+    direct = e.agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("dsk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    total = union_est.crossJoin(F.broadcast(direct)).select(
         F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        ok(F.hll_sketch_estimate("usk"), F.col("exact_users")).alias("within_bound"),
+        (
+            F.hll_sketch_estimate("usk") == F.hll_sketch_estimate("dsk")
+        ).alias("union_consistent"),
     )
     return groups.unionByName(total).orderBy("event_type")
+
+
+MERGEABLE_HLL_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS within_bound, TRUE AS union_consistent
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS within_bound, TRUE AS union_consistent
+FROM events
+ORDER BY event_type
+"""
 
 
 # Tokenizer-aware chunking: fixed token window with overlap, the unit
@@ -836,8 +917,8 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_SQL),
     "pack_shards": QuerySpec(pack_shards, PACK_SHARDS_SQL),
     "quantile_gate": QuerySpec(quantile_gate, QUANTILE_GATE_SQL),
-    "approx_sketches": QuerySpec(approx_sketches, None),
-    "mergeable_hll_rollup": QuerySpec(mergeable_hll_rollup, None),
+    "approx_sketches": QuerySpec(approx_sketches, APPROX_SKETCHES_SQL),
+    "mergeable_hll_rollup": QuerySpec(mergeable_hll_rollup, MERGEABLE_HLL_SQL),
     "chunk_documents": QuerySpec(chunk_documents, CHUNK_SQL),
     "chunk_documents_udtf": QuerySpec(chunk_documents_udtf, CHUNK_SQL),
     "rare_token_stats": QuerySpec(rare_token_stats, RARE_TOKEN_SQL),

@@ -123,12 +123,21 @@ def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) 
     some partition; the recount discards false positives), which is why
     the plain HAVING query can be the oracle.
 
-    P is the frame's ACTUAL partition count, read from the plan — a
-    hardcoded bound would silently drop true heavy hitters the moment
-    the scan yields more partitions than assumed. NULL keys are
-    excluded by contract on both sides (a "null heavy hitter" is a
-    data-quality signal, `quality.dq_audit`'s job, not a frequency
-    result — and semi-join re-counting cannot match NULLs anyway).
+    P is the frame's partition count read from the plan, but the gate's
+    soundness is VERIFIED at execution time, not assumed: the kernel
+    emits one marker row per non-empty partition alongside its
+    candidates, and the plan carries a ``raise_error`` guard over the
+    marker count — if the action ever executes with more (non-empty)
+    partitions than the estimate (e.g. ``maxPartitionBytes`` changed
+    between planning this DataFrame and running it), the query FAILS
+    LOUDLY instead of silently dropping true heavy hitters. Pigeonhole
+    over non-empty partitions: a key with global count >= T has a local
+    count >= ceil(T/P_nonempty) somewhere, so the gate is exact iff
+    local_min <= ceil(T/P_actual), i.e. (local_min-1)·P_actual < T.
+    NULL keys are excluded by contract on both sides (a "null heavy
+    hitter" is a data-quality signal, `quality.dq_audit`'s job, not a
+    frequency result — and semi-join re-counting cannot match NULLs
+    anyway).
 
     At fixture scale every key clears the local gate (T/P < per-key
     local counts) — the pruning power grows with per-partition volume,
@@ -148,14 +157,49 @@ def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) 
             for k, c in pdf["user_id"].value_counts().items():
                 counts[k] = counts.get(k, 0) + int(c)
         keep = [k for k, c in counts.items() if c >= local_min]
-        yield pd.DataFrame({"user_id": pd.Series(keep, dtype="int64")})
+        out = {"user_id": pd.Series(keep, dtype="int64")}
+        yield pd.DataFrame(out).assign(is_marker=False)
+        if counts:  # one marker per NON-EMPTY partition (the pigeonhole set)
+            yield pd.DataFrame({"user_id": pd.Series([-1], dtype="int64"), "is_marker": [True]})
 
-    cands = e.mapInPandas(local_candidates, "user_id long").distinct()
+    emitted = e.mapInPandas(local_candidates, "user_id long, is_marker boolean")
+    # Guard shape matters: it is UNIONED into the result (contributing
+    # zero rows when sound, raising when not), NOT cross-joined — a
+    # cross join evaluates per result row, so the exact failure mode it
+    # exists to catch (true heavy hitters silently pruned to an EMPTY
+    # result) would leave no row to evaluate it on.
+    guard_sentinel = (
+        emitted.filter(F.col("is_marker"))
+        .agg(F.count(F.lit(1)).alias("p_actual"))
+        .select(
+            F.when(
+                F.lit(local_min - 1) * F.col("p_actual") < F.lit(threshold),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"heavy_hitters: local gate {local_min} unsound for "
+                        ),
+                        F.col("p_actual").cast("string"),
+                        F.lit(f" executed partitions (threshold {threshold}); "
+                              "partitioning drifted since planning"),
+                    ).cast("long")
+                )
+            )
+            .alias("user_id")
+        )
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.lit(0).cast("long").alias("n_events"))
+    )
+    cands = emitted.filter(~F.col("is_marker")).select("user_id").distinct()
     return (
         e.join(F.broadcast(cands), "user_id", "left_semi")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .filter(F.col("n_events") >= threshold)
+        .unionByName(guard_sentinel)
         .orderBy("user_id")
     )
 

@@ -49,10 +49,18 @@ def bitmap_distinct_rollup(spark: SparkSession, sf: str) -> DataFrame:
     (approximate, fixed 1.5 KB regardless of id space); bitmaps are the
     exact variant for bounded integer key spaces.
     """
-    e = load_table(spark, "events", sf).select(
-        "event_type",
-        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
-        F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+    # NULL event_type is dropped explicitly: the grouping-sets global
+    # row surfaces as NULL→'ALL', so a GENUINE NULL group would silently
+    # merge into the global row (and desync the oracle) the day fixtures
+    # gain NULLs.
+    e = (
+        load_table(spark, "events", sf)
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
     )
     per_bucket = e.groupingSets(
         [["event_type", "bucket"], ["bucket"]], "event_type", "bucket"
@@ -70,6 +78,7 @@ BITMAP_DISTINCT_SQL = """
 SELECT COALESCE(event_type, 'ALL') AS event_type,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
 FROM events
+WHERE event_type IS NOT NULL
 GROUP BY GROUPING SETS ((event_type), ())
 ORDER BY event_type
 """
@@ -357,7 +366,10 @@ def mann_whitney_value(spark: SparkSession, sf: str) -> DataFrame:
     immune to float summation order. Tie correction included:
     var = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))).
     """
-    e = load_table(spark, "events", sf)
+    # NULL values are dropped explicitly: the rank cumulation orders by
+    # `value`, and Spark sorts NULLS FIRST while DuckDB sorts NULLS LAST
+    # — a NULL row would silently desync the two rank assignments.
+    e = load_table(spark, "events", sf).filter(F.col("value").isNotNull())
     a = (F.col("user_id") % 2) == 0
     h = e.groupBy("event_type", "value").agg(
         F.count(F.when(a, 1)).alias("cnt_a"),
@@ -409,7 +421,7 @@ WITH h AS (
   SELECT event_type, value,
     CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS cnt_a,
     CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY event_type, value
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, value
 ),
 ranked AS (
   SELECT event_type, cnt_a, cnt,
@@ -450,7 +462,10 @@ def ks_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     is deterministic under any partitioning. Distinct-value count
     bounds the window input, row count doesn't.
     """
-    e = load_table(spark, "events", sf)
+    # Same NULL-ordering hazard as mann_whitney_value: the ECDF window
+    # orders by `value` (Spark NULLS FIRST, DuckDB NULLS LAST), so NULL
+    # values are dropped before cumulation.
+    e = load_table(spark, "events", sf).filter(F.col("value").isNotNull())
     a = (F.col("user_id") % 2) == 0
     h = e.groupBy("value").agg(
         F.count(F.when(a, 1)).alias("cnt_a"),
@@ -481,7 +496,7 @@ WITH h AS (
   SELECT value,
     CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS cnt_a,
     CAST(COUNT(*) FILTER (user_id % 2 = 1) AS BIGINT) AS cnt_b
-  FROM events GROUP BY value
+  FROM events WHERE value IS NOT NULL GROUP BY value
 ),
 cum AS (
   SELECT

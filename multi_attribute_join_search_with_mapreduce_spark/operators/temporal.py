@@ -298,7 +298,7 @@ WITH flagged AS (
 ),
 runs AS (
   SELECT user_id,
-    SUM(changed) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS version,
+    CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS version,
     event_type, ts
   FROM flagged
 ),

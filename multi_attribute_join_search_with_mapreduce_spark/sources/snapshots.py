@@ -195,6 +195,18 @@ def snapshot_expire(table_dir: str, keep_last: int = 1) -> dict:
     prior dirs) is always retained — liveness is computed over the
     union of survivors' file-sets, not per-version.
 
+    Concurrency contract: GC removes ONLY dirs referenced by the
+    manifests being expired (minus the live set) — never "every dir
+    no surviving manifest mentions". ``snapshot_append`` writes data
+    first and commits the manifest second, so at expire time an
+    in-flight append's data dir exists but is referenced by nothing;
+    scanning the data root would delete it out from under the racing
+    writer and break the documented snapshot isolation. Dirs orphaned
+    by a writer CRASH (data written, manifest never committed) are
+    therefore not collected here — that is deliberate; a separate
+    offline sweep with a quiesced-writers guarantee is the place for
+    orphan cleanup.
+
     Returns ``{"expired_versions": [...], "removed_dirs": [...]}``.
     """
     import shutil
@@ -206,16 +218,17 @@ def snapshot_expire(table_dir: str, keep_last: int = 1) -> dict:
     live: set[str] = set()
     for v in survivors:
         live.update(_read_manifest(table_dir, v)["data_dirs"])
+    dead: set[str] = set()
+    for v in expired:
+        dead.update(_read_manifest(table_dir, v)["data_dirs"])
     for v in expired:
         os.remove(_manifest_path(table_dir, v))
     removed = []
-    data_root = os.path.join(table_dir, "data")
-    if os.path.isdir(data_root):
-        for name in sorted(os.listdir(data_root)):
-            rel = f"data/{name}"
-            if rel not in live:
-                shutil.rmtree(os.path.join(data_root, name))
-                removed.append(rel)
+    for rel in sorted(dead - live):
+        path = os.path.join(table_dir, rel)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            removed.append(rel)
     return {"expired_versions": expired, "removed_dirs": removed}
 
 

@@ -502,7 +502,26 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     src = f"{base}/src"
-    e.unionByName(sent).write.parquet(src)
+    src_df = e.unionByName(sent)
+    src_df.write.parquet(src)
+    # Exact expected sink cardinality, computed batch-side over the SAME
+    # source (sentinels included): the settle loop below waits for this
+    # count, not for a wall-clock "looks stable" heuristic — on a loaded
+    # host the old 4×0.25s-stable poll could declare victory before the
+    # watermark no-data batch flushed the unmatched purchases.
+    clicks_b = src_df.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purch_b = src_df.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "event_id"
+    )
+    expected_rows = purch_b.join(
+        clicks_b,
+        (purch_b.user_id == clicks_b.user_id)
+        & (F.col("c_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    ).count()
 
     stream = spark.readStream.schema(e.schema).parquet(src)
     out = purchase_click_join_stream(stream, how="leftOuter")
@@ -522,13 +541,25 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
             # The NULL-padded rows are emitted by the watermark-advance
             # no-data batch, which can run just after processAllAvailable
-            # returns — settle until the sink row count is stable.
-            last, stable, deadline = -1, 0, time.monotonic() + 30
-            while stable < 4 and time.monotonic() < deadline:
+            # returns — wait for the EXACT expected row count (computed
+            # batch-side above), failing loudly on timeout rather than
+            # returning a silently incomplete left-outer result.
+            deadline = time.monotonic() + 120
+            n = -1
+            while time.monotonic() < deadline:
                 n = spark.sql("SELECT COUNT(*) FROM stream_louter_sink").first()[0]
-                stable = stable + 1 if n == last else 0
-                last = n
+                if n == expected_rows:
+                    break
+                if n > expected_rows:
+                    raise RuntimeError(
+                        f"stream_louter_sink overshot: {n} rows, expected {expected_rows}"
+                    )
                 time.sleep(0.25)
+            else:
+                raise RuntimeError(
+                    "stream_louter_sink incomplete after 120s: "
+                    f"{n}/{expected_rows} rows (watermark no-data batch never flushed)"
+                )
         finally:
             q.stop()
     finally:

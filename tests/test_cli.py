@@ -147,6 +147,55 @@ def test_cli_explain_prints_plan_without_executing(spark, capsys, query_csv):
     assert rc == 0
     assert "== Physical Plan ==" in out
     assert "== table scores ==" not in out  # plan only, no results
+    # BOTH result plans are shown — r3 advice: a single unlabeled plan
+    # silently dropped the columns query.
+    assert "== tables plan ==" in out and "== columns plan ==" in out
+
+
+def test_cli_explain_with_write_index_writes_nothing(spark, capsys, query_csv, tmp_path):
+    """--explain is a dry run: combined with --write-index it must show
+    the plans WITHOUT materializing the index to disk (r3 verdict #6)."""
+    import os
+
+    idx = tmp_path / "idx"
+    rc, out = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001,
+         "--explain", "--write-index", str(idx)],
+    )
+    assert rc == 0
+    assert "== Physical Plan ==" in out
+    assert not os.path.exists(idx), "--explain --write-index wrote the index"
+
+
+def test_cli_probed_cache_roundtrip(spark, capsys, query_csv, tmp_path):
+    """Reference parity for -read/-write (Par_Search.py:92-99,124-134):
+    --write-probed persists the probed intermediate + query input;
+    --read-probed replays the SAME search from the cache with identical
+    scores and no --query-csv needed."""
+    import os
+
+    cache = str(tmp_path / "probe_cache")
+    rc, direct = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001],
+    )
+    assert rc == 0
+    rc, written = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001,
+         "--write-probed", cache],
+    )
+    assert rc == 0
+    assert written == direct
+    assert os.path.isdir(f"{cache}/probed") and os.path.isdir(f"{cache}/query")
+    rc, replayed = _run(
+        capsys,
+        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001,
+         "--read-probed", cache],
+    )
+    assert rc == 0
+    assert replayed == direct
 
 
 def test_cli_run_query_and_list(spark, sf_dir, capsys):

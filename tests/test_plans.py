@@ -69,6 +69,11 @@ SMJ_ALLOWED = {
     # 100 TB); AQE broadcasts at runtime when the fixture vocabulary
     # is small.
     "er_resolve_types",
+    # wedge-closing joins: edge and wedge frames are both corpus-derived
+    # and fact-sized at 100 TB (same rationale as dedup_clusters); the
+    # O(m^1.5) bound comes from degree orientation, not join strategy.
+    # AQE broadcasts at runtime when the fixture edge list is small.
+    "triangle_count_near_dup",
 }
 
 

@@ -172,6 +172,39 @@ def test_snapshot_expire_keeps_shared_dirs(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 15
 
 
+def test_snapshot_expire_spares_uncommitted_append_dirs(spark, tmp_path):
+    """Snapshot isolation under a racing writer: a data dir that an
+    in-flight append has WRITTEN but not yet COMMITTED (data first,
+    manifest rename second) is referenced by no manifest — expire must
+    not GC it, or the racing writer commits a manifest pointing at
+    deleted files. GC scope = expired manifests' dirs minus live set,
+    never 'everything the survivors don't mention'."""
+    import os
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_expire,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(2):
+        snapshot_append(spark.range(i * 5, i * 5 + 5).withColumnRenamed("id", "k"), t)
+    snapshot_compact(spark, t)
+    # Simulate the racing append's phase 1: data written, no manifest.
+    inflight = os.path.join(t, "data", "commit-000099")
+    spark.range(100, 105).withColumnRenamed("id", "k").write.parquet(inflight)
+
+    out = snapshot_expire(t, keep_last=1)
+    assert out["expired_versions"] == [1, 2]
+    assert "data/commit-000099" not in out["removed_dirs"]
+    assert os.path.isdir(inflight), "expire deleted an uncommitted append's data"
+    # The expired pre-compaction dirs WERE collected (GC still works).
+    assert sorted(out["removed_dirs"]) == ["data/commit-000001", "data/commit-000002"]
+    assert snapshot_read(spark, t).count() == 10
+
+
 def test_snapshot_append_batch_idempotent_on_redelivery(spark, tmp_path):
     """The exactly-once contract: committing the same batch id twice
     produces ONE version; a new batch id appends normally."""

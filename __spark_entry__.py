@@ -233,9 +233,14 @@ def registry() -> dict[str, QuerySpec]:
         "bitmap_distinct_rollup", "welch_ttest_value",
         "corr_matrix_lineitem", "chi_square_arms", "mann_whitney_value",
         "ks_value_drift",
-        # iterative-ML / graph family
+        # iterative-ML / graph family (pca_validate is new in r4:
+        # self-validating booleans tying the distributed projection to
+        # the driver eigensolve — the sketch-pair recipe)
         "pagerank_near_dup", "kmeans_lloyd", "embedding_gram_matrix",
-        "pca_project", "triangle_count_near_dup",
+        "pca_project", "pca_validate", "triangle_count_near_dup",
+        # new in r4: exact cross-doc substring spans (suffix-array dedup
+        # signal as a relational plan)
+        "duplicate_span_stats",
         # remaining never-checked, registry order
         "chunk_documents_udtf", "recursive_hierarchy_walk",
         "incremental_join_rollup", "file_provenance", "bpe_pair_stats",

@@ -907,9 +907,85 @@ def pca_project(spark: SparkSession, sf: str, n_components: int = 4) -> DataFram
     return e.select("vec_id", *proj).orderBy("vec_id")
 
 
+def pca_validate(spark: SparkSession, sf: str, n_components: int = 4) -> DataFrame:
+    """Self-validating companion to :func:`pca_project` (the projection
+    itself stays sign/order-ambiguous per LAPACK, so IT carries no
+    oracle): per component, emit BOOLEAN invariants that tie the
+    DISTRIBUTED projection back to the driver-side eigensolve —
+
+    - ``energy_matches_eigenvalue``: Σ_rows pc_c² == λ_c within 1e-6
+      relative (Σ (x·v_c)² = v_cᵀ G v_c = λ_c exactly in real
+      arithmetic; the tolerance absorbs the double-sum fold order),
+      computed by actually projecting every row in Spark — a sign flip,
+      a wrong loading, or a desynchronized gram would all break it;
+    - ``variance_descending``: λ_c <= λ_{c-1};
+    - ``orthonormal``: |v_cᵀv_c - 1| and max_{c'<c} |v_cᵀv_{c'}| < 1e-9.
+
+    Oracle = literal TRUE rows, so the driver hash-gates what was
+    previously pytest-only evidence (the r3 sketch-pair recipe).
+    """
+    import numpy as np
+
+    g_rows = (
+        _gram_cells(load_table(spark, "embeddings", sf))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
+        .collect()
+    )
+    d = max(r["j"] for r in g_rows) + 1
+    G = np.zeros((d, d))
+    for r in g_rows:
+        G[r["i"], r["j"]] = r["g"]
+        G[r["j"], r["i"]] = r["g"]
+    vals, vecs = np.linalg.eigh(G)
+    vals = vals[::-1][:n_components]
+    comps = vecs[:, ::-1][:, :n_components]
+
+    e = load_table(spark, "embeddings", sf)
+    emb = _dvec("embedding")
+    def _sq(c: int):  # x*x, not pow(): stays in codegen, no libm
+        p = _dot(emb, F.array(*[F.lit(float(v)) for v in comps[:, c]]))
+        return F.sum(p * p).alias(f"e{c}")
+
+    energies = e.agg(*[_sq(c) for c in range(n_components)])
+    checks = []
+    for c in range(n_components):
+        lam = float(vals[c])
+        energy_ok = (
+            F.abs(F.col(f"e{c}") - F.lit(lam)) <= F.lit(max(abs(lam), 1.0) * 1e-6)
+        )
+        desc_ok = F.lit(c == 0 or float(vals[c]) <= float(vals[c - 1]) + 1e-9)
+        v = comps[:, c]
+        ortho = abs(float(v @ v) - 1.0) < 1e-9 and all(
+            abs(float(v @ comps[:, c2])) < 1e-9 for c2 in range(c)
+        )
+        checks.append(
+            F.struct(
+                F.lit(c).alias("component"),
+                energy_ok.alias("energy_matches_eigenvalue"),
+                desc_ok.alias("variance_descending"),
+                F.lit(bool(ortho)).alias("orthonormal"),
+            )
+        )
+    return (
+        energies.select(F.explode(F.array(*checks)).alias("s"))
+        .select("s.component", "s.energy_matches_eigenvalue",
+                "s.variance_descending", "s.orthonormal")
+        .orderBy("component")
+    )
+
+
+PCA_VALIDATE_SQL = """
+SELECT c AS component, TRUE AS energy_matches_eigenvalue,
+  TRUE AS variance_descending, TRUE AS orthonormal
+FROM (VALUES (0),(1),(2),(3)) t(c) ORDER BY c
+"""
+
+
 SIMILARITY_QUERIES: dict[str, QuerySpec] = {
     "embedding_gram_matrix": QuerySpec(embedding_gram_matrix, GRAM_SQL),
     "pca_project": QuerySpec(pca_project, None),
+    "pca_validate": QuerySpec(pca_validate, PCA_VALIDATE_SQL),
     "kmeans_lloyd": QuerySpec(kmeans_lloyd, _kmeans_sql()),
     "hof_vector_stats": QuerySpec(hof_vector_stats, HOF_VECTOR_STATS_SQL),
     "embedding_near_dup": QuerySpec(embedding_near_dup, EMB_NEAR_DUP_SQL),

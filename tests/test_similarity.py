@@ -227,3 +227,15 @@ def test_pca_projection_invariants(spark, sf_dir):
     vs = [var[c] for c in cols]
     assert all(vs[i] >= vs[i + 1] - 1e-6 for i in range(len(vs) - 1))
     out.unpersist()
+
+
+def test_pca_validate_all_booleans_true(spark, sf_dir):
+    """The self-validating companion query must come back all-TRUE: the
+    distributed Σ pc² energies match the driver eigenvalues (Σ (x·v)² =
+    vᵀGv = λ), variances descend, loadings orthonormal."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import pca_validate
+
+    rows = pca_validate(spark, sf_dir).collect()
+    assert [r.component for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert r.energy_matches_eigenvalue and r.variance_descending and r.orthonormal, r

@@ -135,6 +135,40 @@ def test_source_overlap_synthetic_containment(spark, tmp_path):
     assert r.n_shingles_b == 3 + 3
 
 
+def test_duplicate_span_stats_closed_form(spark, tmp_path):
+    """Two docs sharing one exact 10-token run (w=8 → 3 duplicated gram
+    positions each, merging into ONE span of 10 tokens), plus a doc with
+    no cross-doc 8-gram: span arithmetic must be exact and the clean doc
+    absent."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        _SPAN_W,
+        duplicate_span_stats,
+    )
+
+    assert _SPAN_W == 8
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10 tokens
+    docs = [
+        (1, f"a1 a2 a3 {shared} a4 a5", "en", "srcA", 0),
+        (2, f"{shared} b1 b2 b3 b4 b5 b6", "en", "srcB", 0),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11", "en", "srcA", 0),
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    lake = tmp_path / "lake"
+    d.write.parquet(str(lake / "documents.parquet"))
+    out = {r.doc_id: r for r in duplicate_span_stats(spark, str(lake)).collect()}
+    assert set(out) == {1, 2}  # doc 3 shares no 8-gram
+    # The shared run spans 3 gram positions (10 - 8 + 1) in each doc →
+    # one merged span covering last - first + w = 2 + 8 = 10 tokens.
+    for doc_id, n_tokens in ((1, 15), (2, 16)):
+        r = out[doc_id]
+        assert r.n_spans == 1
+        assert r.dup_tokens == 10
+        assert r.n_tokens == n_tokens
+        assert abs(r.dup_frac - 10 / n_tokens) < 5e-4
+
+
 def test_word_entropy_closed_form(spark, tmp_path):
     import math
 

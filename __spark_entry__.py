@@ -239,8 +239,10 @@ def registry() -> dict[str, QuerySpec]:
         "pagerank_near_dup", "kmeans_lloyd", "embedding_gram_matrix",
         "pca_project", "pca_validate", "triangle_count_near_dup",
         # new in r4: exact cross-doc substring spans (suffix-array dedup
-        # signal as a relational plan)
+        # signal as a relational plan); full greedy BPE merge loop
         "duplicate_span_stats",
+        "bpe_train_merges",
+        "median_mad_value",
         # remaining never-checked, registry order
         "chunk_documents_udtf", "recursive_hierarchy_walk",
         "incremental_join_rollup", "file_provenance", "bpe_pair_stats",

@@ -514,7 +514,106 @@ FROM cum CROSS JOIN t
 """
 
 
+def median_mad_value(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT median and MAD (median absolute deviation — the robust
+    spread estimator outlier pipelines prefer over stddev) of `value`
+    per event type, WITHOUT sorting rows.
+
+    Convention: the LOWER median (rank ceil(n/2)) — an actual data
+    value, no interpolation — so every output is exact and the hash
+    gate has no float-arithmetic surface at all beyond one subtraction
+    (|value − median|, a single correctly-rounded IEEE op identical in
+    both engines).
+
+    Scale shape (same as `mann_whitney_value`): rows reduce to a
+    per-(type, value) histogram (map-side combinable, bounded by value
+    cardinality, not row count); the rank-ceil(n/2) element comes from
+    a cumulative count over DISTINCT values; the deviation pass rebuilds
+    a histogram of |value − median| from the FIRST histogram (weighted,
+    never re-scanning the fact table) and applies the same rank pick.
+    """
+    e = load_table(spark, "events", sf).filter(F.col("value").isNotNull())
+    h = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+
+    from pyspark.sql import Window
+
+    def lower_median(hist: DataFrame, val_col: str) -> DataFrame:
+        """(event_type, med, n) from a (event_type, <val_col>, cnt) histogram."""
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.select(
+            "event_type",
+            F.col(val_col).alias("v"),
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+        )
+        # lower median = min v with 2*cum >= n  (cum >= ceil(n/2))
+        return (
+            cum.filter(F.lit(2) * F.col("cum") >= F.col("n"))
+            .groupBy("event_type")
+            .agg(F.min("v").alias("med"), F.max("n").cast("long").alias("n"))
+        )
+
+    med = lower_median(h, "value")
+    dev_h = (
+        h.join(F.broadcast(med.select("event_type", "med")), "event_type")
+        .groupBy("event_type", F.abs(F.col("value") - F.col("med")).alias("dev"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = lower_median(dev_h, "dev").select(
+        "event_type", F.col("med").alias("mad")
+    )
+    return (
+        med.join(mad, "event_type")
+        .select("event_type", "n", F.col("med").alias("median"), "mad")
+        .orderBy("event_type")
+    )
+
+
+MEDIAN_MAD_SQL = """
+WITH h AS (
+  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, value
+),
+cum AS (
+  SELECT event_type, value AS v,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+med AS (
+  SELECT event_type, MIN(v) AS med, CAST(MAX(n) AS BIGINT) AS n
+  FROM cum WHERE 2 * cum >= n GROUP BY event_type
+),
+dev_h AS (
+  SELECT h.event_type, ABS(h.value - m.med) AS dev,
+    CAST(SUM(h.cnt) AS BIGINT) AS cnt
+  FROM h JOIN med m ON h.event_type = m.event_type
+  GROUP BY h.event_type, ABS(h.value - m.med)
+),
+dcum AS (
+  SELECT event_type, dev,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM dev_h
+),
+mad AS (
+  SELECT event_type, MIN(dev) AS mad
+  FROM dcum WHERE 2 * cum >= n GROUP BY event_type
+)
+SELECT m.event_type, m.n, m.med AS median, mad.mad
+FROM med m JOIN mad ON m.event_type = mad.event_type
+ORDER BY m.event_type
+"""
+
+
 STATS_QUERIES: dict[str, QuerySpec] = {
+    "median_mad_value": QuerySpec(median_mad_value, MEDIAN_MAD_SQL),
     "bitmap_distinct_rollup": QuerySpec(bitmap_distinct_rollup, BITMAP_DISTINCT_SQL),
     "welch_ttest_value": QuerySpec(welch_ttest_value, WELCH_TTEST_SQL),
     "corr_matrix_lineitem": QuerySpec(corr_matrix_lineitem, CORR_MATRIX_SQL),

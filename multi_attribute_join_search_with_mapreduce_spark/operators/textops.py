@@ -1220,6 +1220,151 @@ ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOP}
 BM25_SQL = _bm25_sql()
 
 
+# --- Multi-round BPE training ------------------------------------------
+# Unit separator inside the merge representation: each unit is wrapped
+# '\x1f u \x1f', adjacent units abut ('\x1f\x1f' between) — chosen so ONE
+# string replace per round implements greedy leftmost non-overlapping
+# merging exactly (both engines' replace() is leftmost non-overlapping,
+# and the wrapped pattern '\x1fa\x1f\x1fb\x1f' consumes both full units,
+# so an overlapping second occurrence cannot match — the BPE semantics).
+_BPE_SEP = "\x1f"
+_BPE_ROUNDS = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL multi-round BPE tokenizer training (greedy merge loop), not
+    just one pair count (`bpe_pair_stats` is the single inner step):
+    ``_BPE_ROUNDS`` rounds of count-pairs → pick top pair → merge it
+    everywhere → recount, returning one row per round with the chosen
+    pair and its pre-merge weighted count.
+
+    Fully declarative — NO driver-side collect anywhere: each round's
+    winning pair is a 1-row TakeOrdered subtree cross-joined (broadcast)
+    into the next round's merge expression, and the merge itself is one
+    ``replace()`` over the wrapped-unit representation (see `_BPE_SEP`;
+    the wrapping makes leftmost non-overlapping string replace EXACTLY
+    greedy BPE merging, verified on the `aaa`/`aaaa` overlap cases in
+    tests). The whole k-round loop is a single lazy DAG.
+
+    Scale shape: the corpus collapses to the weighted VOCABULARY first
+    (one corpus-sized shuffle, the same trick production BPE trainers
+    use) — every merge round then runs over distinct tokens with
+    occurrence weights, so round cost is vocab-bounded regardless of
+    corpus size; pair counts are weighted sums (map-side combinable).
+    """
+    d = load_table(spark, "documents", sf)
+    vocab = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("t")), lambda i: F.col("t").substr(i, F.lit(1))
+    )
+    rep = vocab.select(
+        "w",
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.array_join(chars, _BPE_SEP + _BPE_SEP),
+            F.lit(_BPE_SEP),
+        ).alias("rep"),
+    )
+
+    def top_pair(rep_df: DataFrame) -> DataFrame:
+        units = F.split(
+            F.expr("substring(rep, 2, length(rep) - 2)"), _BPE_SEP + _BPE_SEP
+        )
+        pairs = rep_df.select(
+            "w",
+            F.explode(
+                F.zip_with(
+                    units,
+                    F.slice(units, 2, F.greatest(F.size(units) - 1, F.lit(1))),
+                    lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                )
+            ).alias("p"),
+        ).filter(F.col("p.r").isNotNull())
+        return (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("w").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+        )
+
+    S = _BPE_SEP
+    rounds = []
+    cur = rep
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        best = top_pair(cur)
+        rounds.append(best.select(F.lit(rnd).alias("round"), "l", "r", "pair_count"))
+        pattern = F.concat(F.lit(S), F.col("l"), F.lit(S + S), F.col("r"), F.lit(S))
+        merged = F.concat(F.lit(S), F.col("l"), F.col("r"), F.lit(S))
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "w", F.replace(F.col("rep"), pattern, merged).alias("rep")
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")
+
+
+def _bpe_train_sql() -> str:
+    S = _BPE_SEP
+    SS = S + S
+
+    def units_cte(src: str, n: int) -> str:
+        """pairs_{n}: weighted adjacent unit pairs of rep column in {src}."""
+        return f"""
+pairs_{n} AS (
+  SELECT w, u[i] AS l, u[i + 1] AS r
+  FROM (SELECT w, string_split(substr(rep, 2, length(rep) - 2), '{SS}') AS u
+        FROM {src}),
+       LATERAL UNNEST(generate_series(1, greatest(len(u) - 1, 0))) t(i)
+),
+top_{n} AS (
+  SELECT l, r, CAST(SUM(w) AS BIGINT) AS pair_count
+  FROM pairs_{n} GROUP BY l, r
+  ORDER BY pair_count DESC, l, r LIMIT 1
+)"""
+
+    merges = []
+    for n in range(1, _BPE_ROUNDS):
+        merges.append(
+            f"""
+rep_{n + 1} AS (
+  SELECT w, replace(rep, '{S}' || t.l || '{SS}' || t.r || '{S}',
+                    '{S}' || t.l || t.r || '{S}') AS rep
+  FROM rep_{n} CROSS JOIN top_{n} t
+)"""
+        )
+
+    ctes = f"""
+WITH vocab AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT unnest({_TOKENS_SQL}) AS t FROM documents) GROUP BY t
+),
+rep_1 AS (
+  SELECT w,
+    '{S}' || array_to_string(
+      list_transform(generate_series(1, length(t)), i -> substr(t, i, 1)),
+      '{SS}') || '{S}' AS rep
+  FROM vocab
+)"""
+    body = ctes
+    for n in range(1, _BPE_ROUNDS + 1):
+        body += "," + units_cte(f"rep_{n}", n)
+        if n < _BPE_ROUNDS:
+            body += "," + merges[n - 1]
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {n} AS round, l, r, pair_count FROM top_{n}"
+        for n in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"{body}\n{selects}\nORDER BY round"
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+
+
 # Exact cross-document substring spans: window width in tokens. 8 is
 # the classic exact-substring-dedup granularity scaled down to the
 # fixture corpus (production systems use 50 BPE tokens; the plan shape
@@ -1258,10 +1403,16 @@ def duplicate_span_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.posexplode(_ngrams(F.col("text"), _SPAN_W)).alias("pos", "gram"),
     ).select("doc_id", "n_tokens", "pos", F.md5(F.col("gram")).alias("g"))
 
+    # "occurs in more than one distinct doc" ⟺ min(doc_id) < max(doc_id):
+    # two plain map-side-combinable aggregates; count_distinct would
+    # carry a per-gram distinct expansion through the same shuffle for
+    # no extra information. (Wall-clock here is dominated by the w-gram
+    # fan-out itself — w string concats per token position — not by the
+    # aggregate choice.)
     dup = (
         grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") < F.col("hi"))
         .select("g")
     )
     marked = grams.join(dup, "g", "left_semi")
@@ -1345,6 +1496,7 @@ FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id
 
 TEXT_QUERIES: dict[str, QuerySpec] = {
     "duplicate_span_stats": QuerySpec(duplicate_span_stats, DUPLICATE_SPAN_SQL),
+    "bpe_train_merges": QuerySpec(bpe_train_merges, BPE_TRAIN_SQL),
     "bm25_search": QuerySpec(bm25_search, BM25_SQL),
     "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIR_SQL),
     "set_similarity_join": QuerySpec(set_similarity_join, SET_SIMILARITY_SQL),

@@ -110,3 +110,48 @@ def test_corr_matrix_matches_pandas(spark, sf_dir):
     for r in out:
         assert -1.0 <= r.corr <= 1.0
         assert abs(r.corr - expected.loc[r.col_x, r.col_y]) < 1e-6
+
+
+def test_median_mad_matches_numpy_lower_median(spark, sf_dir):
+    """Lower-median convention: rank ceil(n/2) of the sorted values —
+    recompute per event type with a plain numpy sort and compare both
+    the median and the MAD (lower median of |x - median|)."""
+    import numpy as np
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.stats import median_mad_value
+
+    out = {r.event_type: r for r in median_mad_value(spark, sf_dir).collect()}
+    pdf = load_table(spark, "events", sf_dir).select("event_type", "value").toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        x = np.sort(grp.value.to_numpy())
+        n = len(x)
+        med = x[(n + 1) // 2 - 1]  # lower median, 0-based rank ceil(n/2)-1
+        dev = np.sort(np.abs(grp.value.to_numpy() - med))
+        mad = dev[(n + 1) // 2 - 1]
+        r = out[et]
+        assert r.n == n
+        assert r.median == med
+        assert r.mad == mad
+
+
+def test_median_mad_even_count_planted(spark, tmp_path):
+    """n=4 planted values [1, 3, 7, 100]: lower median must be 3 (an
+    actual data value, NOT the interpolated 5), deviations {2,0,4,97} →
+    lower MAD = 2."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.stats import median_mad_value
+
+    rows = [(i, float(v)) for i, v in enumerate((1, 3, 7, 100))]
+    d = spark.createDataFrame(rows, "event_id long, value double").select(
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    lake = tmp_path / "lake"
+    d.write.parquet(str(lake / "events.parquet"))
+    r = median_mad_value(spark, str(lake)).collect()[0]
+    assert (r.event_type, r.n, r.median, r.mad) == ("click", 4, 3.0, 2.0)

@@ -169,6 +169,32 @@ def test_duplicate_span_stats_closed_form(spark, tmp_path):
         assert abs(r.dup_frac - 10 / n_tokens) < 5e-4
 
 
+def test_bpe_train_merges_greedy_overlap_semantics(spark, tmp_path):
+    """Planted corpus where greedy non-overlapping merging is the whole
+    game: 'aaaa' ×3 + 'aab' ×2. Round 1 must pick (a,a) with the
+    OVERLAP-counted weight 3·3 + 2·1 = 11, and after merging greedily
+    ('aaaa' → 'aa aa', 'aab' → 'aa b'), round 2 must see (aa,aa) from
+    the three 'aaaa' and (aa,b) from the two 'aab' — NOT any residual
+    (a,·) pair, which would mean replace() merged overlapping pairs."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import bpe_train_merges
+
+    docs = [
+        (1, "aaaa aaaa aaaa aab aab", "en", "srcA", 0),
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    lake = tmp_path / "lake"
+    d.write.parquet(str(lake / "documents.parquet"))
+    rows = {r.round: r for r in bpe_train_merges(spark, str(lake)).collect()}
+    r1 = rows[1]
+    assert (r1.l, r1.r, r1.pair_count) == ("a", "a", 11)
+    r2 = rows[2]
+    assert (r2.l, r2.r, r2.pair_count) == ("aa", "aa", 3)
+    r3 = rows[3]
+    assert (r3.l, r3.r, r3.pair_count) == ("aa", "b", 2)
+
+
 def test_word_entropy_closed_form(spark, tmp_path):
     import math
 

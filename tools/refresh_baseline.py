@@ -1,0 +1,53 @@
+"""Min-merge BENCH_BASELINE.json from the latest bench_queries.json.
+
+Baseline policy: per-query minimum of (existing baseline, latest run) —
+the baseline tracks the best observed time per query so the bench's
+regression guard compares against known-good, not against a possibly
+noisy previous round. Queries new in the latest run enter at their
+first measured time; queries removed from the registry are dropped.
+
+Usage: python tools/refresh_baseline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    with open(os.path.join(REPO, "bench_queries.json")) as f:
+        latest = json.load(f)
+    base_path = os.path.join(REPO, "BENCH_BASELINE.json")
+    base = {"sf": latest["sf"], "queries": {}, "phases": {}}
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == latest["sf"]:
+            base = prev
+    merged = {
+        name: round(min(dt, base["queries"].get(name, dt)), 4)
+        for name, dt in latest["queries"].items()
+    }
+    phases = {
+        ph: round(min(dt, base.get("phases", {}).get(ph, dt)), 4)
+        for ph, dt in latest["phases"].items()
+    }
+    dropped = sorted(set(base["queries"]) - set(merged))
+    with open(base_path, "w") as f:
+        json.dump({"sf": latest["sf"], "queries": merged, "phases": phases}, f, indent=1)
+    print(
+        json.dumps(
+            {
+                "n_queries": len(merged),
+                "new": sorted(set(merged) - set(base["queries"])),
+                "dropped": dropped,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -131,7 +131,25 @@ def main(argv: list[str] | None = None) -> int:
     if not args.attrs:
         print("error: --attrs is required for join search", file=sys.stderr)
         return 2
-    if bool(args.query_csv) == bool(args.query_table):
+    # --read-probed REPLAYS a cached (query, probe) pair: the query
+    # input comes from the cache, so combining it with a fresh query
+    # source, a row limit, or the SQL strategy would silently answer a
+    # different question than the flags claim — reject loudly instead.
+    if args.read_probed:
+        if args.query_csv or args.query_table:
+            print(
+                "error: --read-probed replays the CACHED query input; "
+                "--query-csv/--query-table must not be given",
+                file=sys.stderr,
+            )
+            return 2
+        if args.rows:
+            print("error: --rows cannot apply to a --read-probed cache", file=sys.stderr)
+            return 2
+        if args.strategy == "sql":
+            print("error: --read-probed supports the dataframe strategy only", file=sys.stderr)
+            return 2
+    elif bool(args.query_csv) == bool(args.query_table):
         print("error: exactly one of --query-csv / --query-table is required", file=sys.stderr)
         return 2
 

@@ -340,8 +340,16 @@ def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     → the approx value's exact ECDF interval [count<(v)/n, count<=(v)/n]
     must intersect [phi−0.005, phi+0.005]. The exact pass exists only to
     *grade* the sketch — the sketch path itself stays one map-combinable
-    scan, and the grading join broadcasts the tiny per-type agg."""
-    e = load_table(spark, "events", sf)
+    scan, and the grading join broadcasts the tiny per-type agg.
+
+    NULL hygiene (same class as the stats family): a NULL value would be
+    excluded by percentile_approx and the lt_/le_ sums but counted in
+    ``n``, deflating the ECDF bounds into a false red; a NULL event_type
+    group would survive the oracle's GROUP BY but vanish from the inner
+    grading join. Both filtered up front, mirrored in the oracle."""
+    e = load_table(spark, "events", sf).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     approx = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
@@ -392,7 +400,9 @@ APPROX_SKETCHES_SQL = """
 SELECT event_type,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
   TRUE AS users_ok, TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events
+WHERE value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """
 
 

@@ -866,22 +866,21 @@ FROM cells GROUP BY i, j ORDER BY i, j
 """
 
 
-def pca_project(spark: SparkSession, sf: str, n_components: int = 4) -> DataFrame:
-    """PCA projection of the embedding corpus: eigendecompose the
-    driver-held Gram matrix (d x d — a model parameter, like the IVF
-    codebook) and project every vector onto the top components as a
-    narrow map with literal loadings. No oracle entry — LAPACK
-    eigenvector signs/order are library-specific — but the invariants
-    (orthonormal loadings, descending explained variance, projection
-    norms bounded by vector norms) are pytest-gated.
+def _pca_components(spark: SparkSession, sf: str, n_components: int):
+    """Shared driver-side eigensolve for `pca_project` AND
+    `pca_validate` — ONE code path, so the validator grades the exact
+    components the projection uses (a parallel copy could drift green
+    while the projection broke). Returns ``(eigenvalues, components)``,
+    both in descending-eigenvalue order, components shaped (d, k).
+
+    PCA consumes a DOUBLE-summed gram: the eigensolve is tolerance-
+    bounded anyway (LAPACK), while the per-row BigDecimal conversion
+    of the exact variant costs ~6x the whole aggregation (measured
+    0.9s vs 6.0s at sf0.1). Cross-engine exactness stays gated by
+    `embedding_gram_matrix`, whose decimal path IS its contract.
     """
     import numpy as np
 
-    # PCA consumes a DOUBLE-summed gram: the eigensolve is tolerance-
-    # bounded anyway (LAPACK), while the per-row BigDecimal conversion
-    # of the exact variant costs ~6x the whole aggregation (measured
-    # 0.9s vs 6.0s at sf0.1). Cross-engine exactness stays gated by
-    # `embedding_gram_matrix`, whose decimal path IS its contract.
     g_rows = (
         _gram_cells(load_table(spark, "embeddings", sf))
         .groupBy("i", "j")
@@ -893,8 +892,22 @@ def pca_project(spark: SparkSession, sf: str, n_components: int = 4) -> DataFram
     for r in g_rows:
         G[r["i"], r["j"]] = r["g"]
         G[r["j"], r["i"]] = r["g"]
-    _, vecs = np.linalg.eigh(G)
-    comps = vecs[:, ::-1][:, :n_components]  # descending eigenvalue order
+    vals, vecs = np.linalg.eigh(G)
+    return vals[::-1][:n_components], vecs[:, ::-1][:, :n_components]
+
+
+def pca_project(spark: SparkSession, sf: str, n_components: int = 4) -> DataFrame:
+    """PCA projection of the embedding corpus: eigendecompose the
+    driver-held Gram matrix (d x d — a model parameter, like the IVF
+    codebook) and project every vector onto the top components as a
+    narrow map with literal loadings. No oracle entry — LAPACK
+    eigenvector signs/order are library-specific — but the invariants
+    (orthonormal loadings, descending explained variance, projection
+    norms bounded by vector norms) are pytest-gated, and
+    `pca_validate` hash-gates the SAME components (shared
+    `_pca_components` path) against the driver eigenvalues.
+    """
+    _, comps = _pca_components(spark, sf, n_components)
 
     e = load_table(spark, "embeddings", sf)
     emb = _dvec("embedding")
@@ -923,23 +936,11 @@ def pca_validate(spark: SparkSession, sf: str, n_components: int = 4) -> DataFra
 
     Oracle = literal TRUE rows, so the driver hash-gates what was
     previously pytest-only evidence (the r3 sketch-pair recipe).
+    Components come from the SAME `_pca_components` call as
+    `pca_project` — the validator grades the projection's actual code
+    path, not a parallel copy that could drift independently.
     """
-    import numpy as np
-
-    g_rows = (
-        _gram_cells(load_table(spark, "embeddings", sf))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
-        .collect()
-    )
-    d = max(r["j"] for r in g_rows) + 1
-    G = np.zeros((d, d))
-    for r in g_rows:
-        G[r["i"], r["j"]] = r["g"]
-        G[r["j"], r["i"]] = r["g"]
-    vals, vecs = np.linalg.eigh(G)
-    vals = vals[::-1][:n_components]
-    comps = vecs[:, ::-1][:, :n_components]
+    vals, comps = _pca_components(spark, sf, n_components)
 
     e = load_table(spark, "embeddings", sf)
     emb = _dvec("embedding")

@@ -163,20 +163,33 @@ def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) 
             yield pd.DataFrame({"user_id": pd.Series([-1], dtype="int64"), "is_marker": [True]})
 
     emitted = e.mapInPandas(local_candidates, "user_id long, is_marker boolean")
-    # Guard shape matters: it is UNIONED into the result (contributing
-    # zero rows when sound, raising when not), NOT cross-joined — a
-    # cross join evaluates per result row, so the exact failure mode it
-    # exists to catch (true heavy hitters silently pruned to an EMPTY
-    # result) would leave no row to evaluate it on.
+    # ONE aggregation keyed on (is_marker, user_id) feeds BOTH the
+    # candidate set and the marker count: the two downstream filters
+    # read the SAME exchange, so ReuseExchange executes the pandas
+    # kernel once (plan-asserted in tests/test_skew.py) — splitting
+    # them into a distinct() and a separate count() re-ran the full
+    # corpus scan twice. Guard shape matters too: it is UNIONED into
+    # the result (contributing zero rows when sound, raising when not),
+    # NOT cross-joined — a cross join evaluates per result row, so the
+    # exact failure mode it exists to catch (true heavy hitters
+    # silently pruned to an EMPTY result) would leave no row to
+    # evaluate it on.
+    counted = emitted.groupBy("is_marker", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     guard_sentinel = (
-        emitted.filter(F.col("is_marker"))
-        .agg(F.count(F.lit(1)).alias("p_actual"))
+        counted.filter(F.col("is_marker"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("p_actual"))
         .select(
             F.when(
                 F.lit(local_min - 1) * F.col("p_actual") < F.lit(threshold),
                 F.lit(None).cast("long"),
             )
             .otherwise(
+                # The cast sits on raise_error's RESULT (NullType), not
+                # on the message — casting the message would throw a
+                # misleading ANSI CAST_INVALID_INPUT before raise_error
+                # ever ran.
                 F.raise_error(
                     F.concat(
                         F.lit(
@@ -185,15 +198,15 @@ def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) 
                         F.col("p_actual").cast("string"),
                         F.lit(f" executed partitions (threshold {threshold}); "
                               "partitioning drifted since planning"),
-                    ).cast("long")
-                )
+                    )
+                ).cast("long")
             )
             .alias("user_id")
         )
         .filter(F.col("user_id").isNotNull())
         .select("user_id", F.lit(0).cast("long").alias("n_events"))
     )
-    cands = emitted.filter(~F.col("is_marker")).select("user_id").distinct()
+    cands = counted.filter(~F.col("is_marker")).select("user_id")
     return (
         e.join(F.broadcast(cands), "user_id", "left_semi")
         .groupBy("user_id")

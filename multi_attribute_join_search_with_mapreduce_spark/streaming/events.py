@@ -445,10 +445,12 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_STREAM_SQL = """
 WITH clicks AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
 ),
 purch AS (
-  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
 )
 SELECT p.user_id AS purchase_user, p.event_id AS purchase_id, p.ts AS purchase_ts,
        p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts
@@ -486,8 +488,16 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
     base = tempfile.mkdtemp(prefix="majs_stream_louter_")
-    e = load_table(spark, "events", sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    # NULL event times never pass a watermark operator (Structured
+    # Streaming drops them at the watermark node), so they are filtered
+    # from the source — and, critically, from the batch-side expected
+    # count below, which would otherwise include unmatched NULL-ts
+    # purchases the stream can never emit and stall the settle loop
+    # into its 120 s timeout. Oracle carries the same predicate.
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", "user_id", "event_type", "value")
     )
     max_ts = e.agg(F.max("ts").alias("m")).first()["m"]
     sent = spark.createDataFrame(
@@ -572,10 +582,12 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_LEFT_OUTER_SQL = """
 WITH clicks AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
 ),
 purch AS (
-  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
 )
 SELECT p.user_id AS purchase_user, p.event_id AS purchase_id, p.ts AS purchase_ts,
        p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts

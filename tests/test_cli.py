@@ -189,13 +189,21 @@ def test_cli_probed_cache_roundtrip(spark, capsys, query_csv, tmp_path):
     assert rc == 0
     assert written == direct
     assert os.path.isdir(f"{cache}/probed") and os.path.isdir(f"{cache}/query")
+    # Replay takes the query from the CACHE — no --query-csv.
     rc, replayed = _run(
         capsys,
-        ["--query-csv", query_csv, "--attrs", "brand,type", "--sf-dir", SF001,
-         "--read-probed", cache],
+        ["--attrs", "brand,type", "--sf-dir", SF001, "--read-probed", cache],
     )
     assert rc == 0
     assert replayed == direct
+    # Contradictory flags are rejected loudly: a fresh query source, a
+    # row limit, or the SQL strategy cannot apply to a replayed cache.
+    for extra in (["--query-csv", query_csv], ["--rows", "5"], ["--strategy", "sql"]):
+        rc, _ = _run(
+            capsys,
+            ["--attrs", "brand,type", "--sf-dir", SF001, "--read-probed", cache, *extra],
+        )
+        assert rc == 2, f"expected rejection with {extra}"
 
 
 def test_cli_run_query_and_list(spark, sf_dir, capsys):

@@ -43,11 +43,16 @@ def main() -> None:
 
     import __spark_entry__ as e
 
-    spark = get_spark("majs-scaling")
+    # 537 query executions in one JVM: the default ~1g driver heap dies
+    # late in the sf0.1 phase (GCLocker allocation retries -> hard
+    # crash, artifact never written). Size the heap like driver_sim and
+    # drop the previous scale factor's persisted frames between phases.
+    spark = get_spark("majs-scaling", extra_conf={"spark.driver.memory": "24g"})
     qs = e.queries()
 
     results: dict[str, dict[str, float]] = {name: {} for name in qs}
     for sf_dir in SF_DIRS:
+        spark.catalog.clearCache()
         # same warmup policy as bench.py: index build is ingest-time,
         # first-job codegen + Python-worker fork are one-time
         cached_posting_index(spark, sf_dir).count()
@@ -57,9 +62,13 @@ def main() -> None:
             best = float("inf")
             for _ in range(max(1, reps)):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                try:
+                    fn(spark, sf_dir).count()
+                except Exception as exc:  # one red query must not kill the artifact
+                    print(f"# ERROR {sf_dir} {name}: {exc}", file=sys.stderr)
+                    break
                 best = min(best, time.perf_counter() - t0)
-            results[name][sf_dir] = round(best, 4)
+            results[name][sf_dir] = round(best, 4) if best != float("inf") else -1.0
             print(f"# {sf_dir.rsplit('/',1)[-1]} {name}: {best:.3f}s", file=sys.stderr)
 
     rows = []

@@ -227,6 +227,15 @@ def registry() -> dict[str, QuerySpec]:
     # Everything already driver-green in r01-r03 rotates behind in
     # registry order.
     never_green_r4 = [
+        # new in late r4 (no driver row yet): unigram-LM quality scorer,
+        # k-anonymity residual-risk audit, PQ-ADC compressed-domain ANN,
+        # count-min-sketch frequency estimates (self-validating)
+        "lm_cross_entropy", "k_anonymity_audit", "pq_adc_search",
+        "cms_heavy_hitters", "kcore_near_dup",
+        # graph/statistics batch 2: LPA communities, contamination BFS,
+        # exact ROC-AUC + calibration, weekly-seasonality ACF
+        "lpa_communities", "contamination_radius", "roc_auc_quality",
+        "acf_daily_revenue",
         # r3 reds
         "approx_sketches", "mergeable_hll_rollup", "scd2_user_state",
         # statistics family (VERDICT r3 task 5)

@@ -44,6 +44,8 @@ from pyspark.sql import functions as F
 
 from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
     NEAR_DUP_SQL,
+    decontaminate,
+    decontaminate_sql,
     near_dup_candidates,
 )
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
@@ -599,7 +601,370 @@ ORDER BY d.doc_id
 """
 
 
+_KC_ROUNDS = 8
+
+
+def kcore_values(edges: DataFrame, rounds: int = _KC_ROUNDS) -> DataFrame:
+    """Core numbers for every node of an undirected graph (given
+    one-directional ``(src, dst)`` pairs) via the distributed H-INDEX
+    iteration (Lü et al., "The H-index of a network node", Nature
+    Communications 2016): start every node at its degree, then
+    repeatedly set ``c(v) ← min(c(v), H({c(u) : u ∈ N(v)}))`` — the
+    h-index of the neighbor values. Starting from degrees the sequence
+    is non-increasing, stays ≥ coreness, and converges TO the coreness
+    vector, so a fixed synchronous round count is the k-core analogue
+    of `pagerank_near_dup`'s unrolled fixpoint.
+
+    Per round: one equi-join of the (node, core) frame against the
+    edge list + one degree-bounded window (h-index = max rank r with
+    r-th-largest neighbor value ≥ r) + one aggregate — shuffles carry
+    (long, long) pairs only. All-integer arithmetic, so the DuckDB
+    oracle (the same rounds as chained CTEs) matches on values with no
+    float care; h is tie-order-independent (the multiset of neighbor
+    values determines it), so the non-deterministic row_number order
+    among ties cannot desync the engines.
+
+    Output carries ``converged``: one extra half-round computes the
+    next h and checks ``h ≥ core`` (no further decrease). BOTH engines
+    compute it — the hash gate proves trajectory equality at round R
+    regardless, and the pytest closed-form test asserts it is TRUE on
+    the fixtures (rounds sized with margin: near-dup graphs converge
+    in ~3).
+    """
+    from pyspark.sql import Window
+
+    pairs = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).persist()
+
+    def h_pass(core: DataFrame) -> DataFrame:
+        """(node, h) = h-index of each node's neighbors' current cores."""
+        nb = sym.join(
+            core.select(F.col("node").alias("dst"), F.col("core").alias("nc")),
+            "dst",
+        ).select("src", "nc")
+        w = Window.partitionBy("src").orderBy(F.desc("nc"))
+        return (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.max(
+                    F.when(F.col("nc") >= F.col("rn"), F.col("rn")).otherwise(0)
+                ).cast("long").alias("h")
+            )
+        )
+
+    core = deg.select("node", F.col("degree").alias("core"))
+    for rnd in range(rounds):
+        stepped = core.join(h_pass(core), "node").select(
+            "node", F.least(F.col("core"), F.col("h")).cast("long").alias("core")
+        )
+        # every node has >= 1 neighbor by construction, so the inner
+        # join is total; localCheckpoint every few rounds truncates the
+        # per-round doubling lineage (connected_components discipline)
+        core = stepped.localCheckpoint() if rnd % 4 == 3 else stepped.persist()
+
+    final_h = h_pass(core)
+    return (
+        core.join(deg, "node")
+        .join(final_h, "node")
+        .select(
+            "node",
+            "degree",
+            "core",
+            (F.col("h") >= F.col("core")).alias("converged"),
+        )
+        .orderBy("node")
+    )
+
+
+def kcore_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Core numbers over the LSH near-dup graph — the density signal
+    between `triangle_count_near_dup` (local cliquishness) and
+    `dedup_clusters` (mere reachability): a document's coreness is the
+    largest k for which it survives iterated pruning of sub-k-degree
+    neighbors, separating genuinely dense duplicate cliques from
+    chains/stars that connected components cannot tell apart."""
+    return kcore_values(_candidate_edges(spark, sf)).withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+def _kcore_sql() -> str:
+    # Every round's CTE references the previous one TWICE (as the carry
+    # frame and inside the h-index subquery). DuckDB inlines plain CTEs,
+    # so 8 rounds would expand to 2^8 copies of the NEAR_DUP_SQL scan —
+    # thousands of parquet opens (observed: "Too many open files") and
+    # exponential planning. MATERIALIZED pins each round to run once,
+    # making the oracle linear in rounds like the Spark side.
+    its = [
+        "c0 AS MATERIALIZED (SELECT node, degree AS core FROM deg)"
+    ]
+    h_from = """
+    SELECT src AS node, CAST(MAX(CASE WHEN nc >= rn THEN rn ELSE 0 END) AS BIGINT) AS h
+    FROM (
+      SELECT s.src, p.core AS nc,
+             ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY p.core DESC) AS rn
+      FROM sym s JOIN {prev} p ON p.node = s.dst
+    )
+    GROUP BY src
+"""
+    for i in range(1, _KC_ROUNDS + 1):
+        its.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT p.node, CAST(LEAST(p.core, h.h) AS BIGINT) AS core
+  FROM c{i - 1} p JOIN ({h_from.format(prev=f"c{i - 1}")}) h ON h.node = p.node)"""
+        )
+    return f"""
+WITH cand AS MATERIALIZED (
+{NEAR_DUP_SQL}
+),
+pairs AS (SELECT doc_a AS src, doc_b AS dst FROM cand WHERE est_jaccard >= {_EDGE_THRESHOLD}),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst, src FROM pairs
+),
+deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src),
+{",".join(its)}
+SELECT c.node AS doc_id, d.degree, c.core, (h.h >= c.core) AS converged
+FROM c{_KC_ROUNDS} c
+JOIN deg d ON d.node = c.node
+JOIN ({h_from.format(prev=f"c{_KC_ROUNDS}")}) h ON h.node = c.node
+ORDER BY doc_id
+"""
+
+
+_LPA_ROUNDS = 6
+
+
+def lpa_labels(edges: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
+    """Community labels for an undirected graph via synchronous label
+    propagation (Raghavan et al. 2007), made deterministic: every node
+    starts labeled with its own id, and each round adopts the most
+    frequent label among its neighbors AND itself, ties broken by the
+    smallest label. Self-inclusion damps the 2-coloring oscillation of
+    pure synchronous LPA, and the (count DESC, label ASC) tie-break
+    makes the trajectory a pure function of the graph — so the DuckDB
+    oracle (the same rounds as MATERIALIZED chained CTEs) matches on
+    values with no float care, like `kcore_values`.
+
+    Per round: one equi-join of the (node, label) frame against the
+    edge list, one (node, label) count aggregate, one degree-bounded
+    window — shuffles carry (long, long) pairs only, never anything
+    corpus-sized. ``converged`` = one extra vote pass changes nothing.
+
+    Community detection sits between `dedup_clusters` (pure
+    reachability — one bridge edge merges two crawl mirrors) and
+    `kcore_near_dup` (local density): LPA splits bridge-connected
+    components into their dense cores, the granularity you actually
+    want for "near-duplicate families" in corpus curation.
+    """
+    from pyspark.sql import Window
+
+    pairs = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+
+    def vote(lab: DataFrame) -> DataFrame:
+        """(node, label) = the plurality label among self + neighbors."""
+        votes = sym.join(
+            lab.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label").unionByName(lab)
+        cnt = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        return (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+
+    lab = nodes.select("node", F.col("node").alias("label"))
+    for rnd in range(rounds):
+        stepped = vote(lab)
+        # localCheckpoint every few rounds truncates the per-round
+        # doubling lineage (connected_components discipline)
+        lab = stepped.localCheckpoint() if rnd % 4 == 3 else stepped.persist()
+
+    nxt = vote(lab).withColumnRenamed("label", "next_label")
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        lab.join(nxt, "node")
+        .join(sizes, "label")
+        .select(
+            "node",
+            F.col("label").alias("community"),
+            "community_size",
+            (F.col("next_label") == F.col("label")).alias("converged"),
+        )
+        .orderBy("node")
+    )
+
+
+def lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-propagation communities over the LSH near-dup graph."""
+    return lpa_labels(_candidate_edges(spark, sf)).withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+def _lpa_sql() -> str:
+    # Like _kcore_sql: each round references the previous one twice
+    # (neighbor join + self-inclusion union), so the CTEs MUST be
+    # MATERIALIZED or DuckDB's inlining goes exponential in rounds.
+    vote_from = """
+    SELECT node, label FROM (
+      SELECT node, label,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+      FROM (
+        SELECT node, label, COUNT(*) AS c FROM (
+          SELECT s.src AS node, p.label FROM sym s JOIN {prev} p ON p.node = s.dst
+          UNION ALL
+          SELECT node, label FROM {prev}
+        )
+        GROUP BY node, label
+      )
+    ) WHERE rn = 1
+"""
+    its = ["l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"]
+    for i in range(1, _LPA_ROUNDS + 1):
+        its.append(
+            f"l{i} AS MATERIALIZED ({vote_from.format(prev=f'l{i - 1}')})"
+        )
+    return f"""
+WITH cand AS MATERIALIZED (
+{NEAR_DUP_SQL}
+),
+pairs AS (SELECT doc_a AS src, doc_b AS dst FROM cand WHERE est_jaccard >= {_EDGE_THRESHOLD}),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst, src FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+{",".join(its)},
+nxt AS MATERIALIZED ({vote_from.format(prev=f"l{_LPA_ROUNDS}")}),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size FROM l{_LPA_ROUNDS} GROUP BY label)
+SELECT l.node AS doc_id, l.label AS community, z.community_size,
+       (x.label = l.label) AS converged
+FROM l{_LPA_ROUNDS} l
+JOIN nxt x ON x.node = l.node
+JOIN sizes z ON z.label = l.label
+ORDER BY doc_id
+"""
+
+
+_BFS_ROUNDS = 4
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = _BFS_ROUNDS) -> DataFrame:
+    """Exact hop distance (≤ ``rounds``) from a seed node set over an
+    undirected graph: unrolled min-plus rounds. The reached frame
+    starts at the seeds and each round unions one-hop extensions and
+    re-minimizes — the frame never exceeds (reached nodes) rows and
+    every shuffle carries (long, long) pairs. Nodes beyond ``rounds``
+    hops are absent by contract (the radius cap IS the semantics: at
+    100 TB an unbounded closure is `connected_components`' job).
+    """
+    pairs = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    d = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .join(nodes, "node")
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .persist()
+    )
+    for _ in range(rounds):
+        step = sym.join(
+            d.select(F.col("node").alias("dst"), "hops"), "dst"
+        ).select(F.col("src").alias("node"), (F.col("hops") + 1).alias("hops"))
+        d = (
+            d.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("hops").cast("long").alias("hops"))
+            .persist()
+        )
+    return d.orderBy("node")
+
+
+_RADIUS_W = 3  # coarser than DECON_W=4: the quarantine sweep wants recall
+
+
+def contamination_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination blast radius: hop distance from the
+    `decontaminate`-flagged training docs through the near-dup graph.
+    A doc sharing no eval n-gram but sitting one LSH hop from a flagged
+    doc is a near-copy of contaminated text — the transitive suspect
+    set a curation pipeline quarantines, not just the direct hits.
+    Seeds use a coarser screening width (w=3) than the precision-tuned
+    `decontaminate` query (w=4): a quarantine sweep is recall-first,
+    and the wider flag set is what actually intersects the dup graph.
+    Output is every doc within ``_BFS_ROUNDS`` hops with its exact
+    distance.
+    """
+    seeds = decontaminate(spark, sf, w=_RADIUS_W).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_hops(_candidate_edges(spark, sf), seeds).withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+def _bfs_sql() -> str:
+    # d{i} references d{i-1} twice (carry + one-hop extension) →
+    # MATERIALIZED, same exponential-inlining hazard as _kcore_sql.
+    its = [
+        """d0 AS MATERIALIZED (
+  SELECT s.node, CAST(0 AS BIGINT) AS hops
+  FROM seeds s JOIN nodes n ON n.node = s.node)"""
+    ]
+    for i in range(1, _BFS_ROUNDS + 1):
+        its.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+    SELECT node, hops FROM d{i - 1}
+    UNION ALL
+    SELECT s.src AS node, p.hops + 1 AS hops
+    FROM sym s JOIN d{i - 1} p ON p.node = s.dst
+  )
+  GROUP BY node)"""
+        )
+    return f"""
+WITH cand AS MATERIALIZED (
+{NEAR_DUP_SQL}
+),
+gpairs AS (SELECT doc_a AS src, doc_b AS dst FROM cand WHERE est_jaccard >= {_EDGE_THRESHOLD}),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM gpairs
+  UNION ALL
+  SELECT dst, src FROM gpairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+seeds AS MATERIALIZED (SELECT doc_id AS node FROM ({decontaminate_sql(_RADIUS_W)})),
+{",".join(its)}
+SELECT node AS doc_id, hops FROM d{_BFS_ROUNDS} ORDER BY doc_id
+"""
+
+
 GRAPH_QUERIES: dict[str, QuerySpec] = {
+    "kcore_near_dup": QuerySpec(kcore_near_dup, _kcore_sql()),
+    "lpa_communities": QuerySpec(lpa_communities, _lpa_sql()),
+    "contamination_radius": QuerySpec(contamination_radius, _bfs_sql()),
     "pagerank_near_dup": QuerySpec(pagerank_near_dup, _pagerank_sql()),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_canonical": QuerySpec(dedup_canonical, DEDUP_CANONICAL_SQL),

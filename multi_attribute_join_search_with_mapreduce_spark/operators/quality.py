@@ -274,7 +274,66 @@ ORDER BY bucket
 PSI_SQL = _psi_sql()
 
 
+_K_ANON = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over the event stream: group by the
+    quasi-identifier pair (event_type, activity day) and flag every
+    group whose DISTINCT-user population is below ``k`` — the groups
+    where releasing the "anonymized" aggregate would still let an
+    attacker with the quasi-identifiers re-identify users. Complements
+    `redact.anonymize_events` (which transforms; this one measures
+    residual risk).
+
+    Scale shape: one groupBy on the quasi-identifier with a distinct
+    count — at 100 TB this is the standard two-level exact
+    count-distinct aggregate (partial per (qid, user), then per qid);
+    no joins, no window. Day is emitted as a formatted STRING so both
+    engines hash identical values (date objects round-trip differently
+    through pandas).
+
+    NULL hygiene (convention, ADVICE r3): NULL event_type / ts rows are
+    excluded up front — a NULL quasi-identifier is a data-quality
+    finding (`dq_audit`'s job), not an anonymity group.
+    """
+    e = load_table(spark, "events", sf).filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    return (
+        e.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.countDistinct("user_id").alias("user_ct"),
+            F.count(F.lit(1)).alias("event_ct"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("user_ct").cast("long").alias("user_ct"),
+            F.col("event_ct").cast("long").alias("event_ct"),
+            (F.col("user_ct") < _K_ANON).alias("at_risk"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT event_type,
+  strftime(ts, '%Y-%m-%d') AS day,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_ct,
+  CAST(COUNT(*) AS BIGINT) AS event_ct,
+  COUNT(DISTINCT user_id) < {_K_ANON} AS at_risk
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+ORDER BY event_type, day
+"""
+
+
 QUALITY_QUERIES: dict[str, QuerySpec] = {
+    "k_anonymity_audit": QuerySpec(k_anonymity_audit, K_ANONYMITY_SQL),
     "length_psi_drift": QuerySpec(length_psi_drift, PSI_SQL),
     "dq_audit": QuerySpec(dq_audit, DQ_AUDIT_SQL),
     "profile_columns": QuerySpec(profile_columns, PROFILE_SQL),

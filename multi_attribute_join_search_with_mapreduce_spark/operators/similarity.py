@@ -983,7 +983,218 @@ FROM (VALUES (0),(1),(2),(3)) t(c) ORDER BY c
 """
 
 
+# --- product quantization (PQ) ADC search ----------------------------------
+
+# M/C tuned empirically on the synthetic fixtures (near-isotropic
+# vectors, PQ's worst case): M=4/C=50 recalled 4/10 at sf0.1; M=16
+# subspaces + 100 ADC candidates recalls 8-10/10 at every fixture
+# scale, a >=2 margin over the gate.
+_PQ_M = 16  # subspaces
+_PQ_SUBDIM = _KM_DIMS // _PQ_M  # dims per subspace
+_PQ_K = 16  # codes per subspace (codebook = M x K x SUBDIM model params)
+_PQ_ROUNDS = 2
+_PQ_CANDIDATES = 100
+_PQ_RECALL_MIN = 6  # recall@TOP_K bound: >= 6/10 of the true top-10
+
+
+def _pq_codes(e: DataFrame, books: dict[int, list[list[float]]]) -> DataFrame:
+    """All-subspace nearest-code encoding in ONE narrow map:
+    ``codes[s] = argmin_k ‖emb_sub(s) − c_sk‖²`` (numpy ``argmin`` ties
+    to the FIRST minimal index = smallest code). This is the sanctioned
+    Arrow kernel path, chosen after measuring both native formulations:
+    the ``F.aggregate`` HOF fold was ~7x slower (256 interpreted folds
+    per row), and fully UNROLLED literal arithmetic blows the JVM's
+    64 KB generated-method limit (janino ``Code grows beyond 64 KB`` →
+    silent fallback to interpreted Projection) while shipping the
+    M·K·SUBDIM codebook as a 2.6 MiB expression tree in every task
+    binary. The numpy kernel vectorizes the full (batch, M, K, SUBDIM)
+    distance tensor per Arrow batch and carries the codebook once in
+    the 1 KB UDF closure. No explode, no shuffle; input is
+    ``(vec_id, emb double-array)``."""
+    import numpy as np
+
+    C = np.array(
+        [books[s] for s in range(_PQ_M)], dtype=np.float64
+    )  # (M, K, SUBDIM)
+
+    def kernel(emb):
+        import numpy as np
+        import pandas as pd
+
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy()).astype("float64")
+        sub = X.reshape(len(X), _PQ_M, _PQ_SUBDIM)
+        d2 = ((sub[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+        return pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+
+    encode = F.pandas_udf(kernel, "array<int>")
+    return e.select("vec_id", "emb", encode("emb").alias("codes"))
+
+
+def _pq_train(e: DataFrame, seed_rows: list) -> dict[int, list[list[float]]]:
+    """Per-subspace Lloyd codebooks: seeds = subvectors of the K lowest
+    vec_ids, then `_PQ_ROUNDS` refinement rounds. ALL subspaces train in
+    the same job per round — one (sub, code, dim) aggregate whose row
+    count is M·K·SUBDIM (model-sized, never corpus-sized); centroid
+    means accumulate in DECIMAL then round like `kmeans_lloyd`, so
+    training is partition-order-deterministic. Empty cells carry their
+    previous centroid forward."""
+    books = {
+        s: [
+            [float(v) for v in r["embedding"][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]]
+            for r in seed_rows
+        ]
+        for s in range(_PQ_M)
+    }
+    for _ in range(_PQ_ROUNDS):
+        assigned = _pq_codes(e, books)
+        means = {
+            (r["sub"], r["code"], r["dim"]): r["mv"]
+            for r in assigned.select(
+                "emb", F.posexplode("codes").alias("sub", "code")
+            )
+            .select(
+                "sub",
+                "code",
+                F.posexplode(
+                    F.slice("emb", F.col("sub") * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                ).alias("dim", "v"),
+            )
+            .groupBy("sub", "code", "dim")
+            .agg(
+                F.round(
+                    F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("mv")
+            )
+            .collect()
+        }
+        books = {
+            s: [
+                [
+                    means.get((s, k, j), books[s][k][j])
+                    for j in range(_PQ_SUBDIM)
+                ]
+                for k in range(_PQ_K)
+            ]
+            for s in range(_PQ_M)
+        }
+    return books
+
+
+def pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    the IVF-PQ memory-scale path (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"): vectors compress to M 1-byte codes
+    (64 floats → 16 bytes here), the query scans CODES, not floats, and
+    only the top-`_PQ_CANDIDATES` by ADC distance are reranked exactly.
+
+    Pipeline (one lazy DAG + bounded model-parameter collects, the
+    `kmeans_lloyd` discipline): per-subspace codebooks train
+    decimal-exact on the corpus; every vector encodes to its nearest
+    code per subspace (narrow map, no shuffle); the driver precomputes
+    the M×K table of ``‖q_sub − c‖²`` so ADC distance is M literal
+    lookups + a sum per vector; top-C candidates come off a
+    TakeOrdered; candidates rerank against the true vectors.
+
+    Self-validation (the sketch-pair recipe): the SAME job computes the
+    exact brute-force top-10 — those exact rows ARE the output (oracle:
+    plain SQL) — plus ``recall_ok``: the PQ-reranked top-10 must hit at
+    least `_PQ_RECALL_MIN`/10 of the true top-10. If quantization
+    quality ever drifts, the boolean flips and the driver row turns
+    red. At 100 TB the brute pass is dropped and the served path is
+    encode→ADC→rerank: codes are 16× smaller than the vectors, the ADC
+    scan is shuffle-free, and the only sort is a global top-C
+    (TakeOrderedAndProject).
+    """
+    e = load_table(spark, "embeddings", sf)
+    seed_rows = e.orderBy("vec_id").limit(_PQ_K).collect()
+    base = e.select("vec_id", _dvec("embedding").alias("emb")).persist()
+    books = _pq_train(base, seed_rows)
+
+    q = [float(v) for v in next(
+        iter(e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect())
+    )["embedding"]]
+
+    # Driver-side ADC table: adc_tbl[s][k] = ||q_sub - c_sk||^2.
+    def _d2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    adc_tbl = [
+        [
+            _d2(q[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM], books[s][k])
+            for k in range(_PQ_K)
+        ]
+        for s in range(_PQ_M)
+    ]
+    tbl_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in adc_tbl])
+
+    # ADC distance = M literal table lookups + a fixed-length sum per
+    # vector — a pure map over the codes, then one global top-C
+    # (TakeOrderedAndProject). No explode, no groupBy.
+    codes = _pq_codes(base.filter(F.col("vec_id") != QUERY_VEC_ID), books)
+    adc = None
+    for s in range(_PQ_M):
+        term = F.element_at(
+            F.element_at(tbl_lit, s + 1), F.col("codes").getItem(s) + 1
+        )
+        adc = term if adc is None else adc + term
+    cands = (
+        codes.select("vec_id", adc.alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(_PQ_CANDIDATES)
+        .select("vec_id")
+    )
+
+    exact = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", F.round(_km_dist2(_dvec("embedding"), q), 4).alias("l2_d2")
+    )
+    brute10 = exact.orderBy(F.asc("l2_d2"), F.asc("vec_id")).limit(TOP_K)
+    rerank10 = (
+        exact.join(F.broadcast(cands), "vec_id")
+        .orderBy(F.asc("l2_d2"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+    hits = brute10.join(
+        rerank10.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    return (
+        brute10.crossJoin(F.broadcast(hits))
+        .select(
+            "vec_id",
+            "l2_d2",
+            (F.col("hits") >= _PQ_RECALL_MIN).alias("recall_ok"),
+        )
+        .orderBy(F.asc("l2_d2"), F.asc("vec_id"))
+    )
+
+
+PQ_ADC_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id,
+  ROUND(list_sum(list_transform(generate_series(1, {_KM_DIMS}),
+    i -> (ev[i] - qv[i]) * (ev[i] - qv[i]))), 4) AS l2_d2,
+  TRUE AS recall_ok
+FROM e, q
+ORDER BY l2_d2 ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, QuerySpec] = {
+    "pq_adc_search": QuerySpec(pq_adc_search, PQ_ADC_SQL),
     "embedding_gram_matrix": QuerySpec(embedding_gram_matrix, GRAM_SQL),
     "pca_project": QuerySpec(pca_project, None),
     "pca_validate": QuerySpec(pca_validate, PCA_VALIDATE_SQL),

@@ -124,20 +124,24 @@ def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) 
     the plain HAVING query can be the oracle.
 
     P is the frame's partition count read from the plan, but the gate's
-    soundness is VERIFIED at execution time, not assumed: the kernel
-    emits one marker row per non-empty partition alongside its
-    candidates, and the plan carries a ``raise_error`` guard over the
-    marker count — if the action ever executes with more (non-empty)
-    partitions than the estimate (e.g. ``maxPartitionBytes`` changed
-    between planning this DataFrame and running it), the query FAILS
-    LOUDLY instead of silently dropping true heavy hitters. Pigeonhole
-    over non-empty partitions: a key with global count >= T has a local
-    count >= ceil(T/P_nonempty) somewhere, so the gate is exact iff
-    local_min <= ceil(T/P_actual), i.e. (local_min-1)·P_actual < T.
-    NULL keys are excluded by contract on both sides (a "null heavy
-    hitter" is a data-quality signal, `quality.dq_audit`'s job, not a
-    frequency result — and semi-join re-counting cannot match NULLs
-    anyway).
+    soundness is VERIFIED at execution time, not assumed: a SECOND,
+    near-free probe pass over the same scan counts the non-empty
+    partitions the action actually executes with (its kernel peeks at
+    the FIRST Arrow batch and stops — it never counts values, so its
+    cost is one batch read per partition, not a corpus scan), and the
+    plan carries a ``raise_error`` guard over that count — if the
+    action ever executes with more (non-empty) partitions than the
+    estimate (e.g. ``maxPartitionBytes`` changed between planning this
+    DataFrame and running it), the query FAILS LOUDLY instead of
+    silently dropping true heavy hitters. Both passes sit in ONE
+    physical plan, so they are planned with the same conf snapshot and
+    see the same file splits. Pigeonhole over non-empty partitions: a
+    key with global count >= T has a local count >= ceil(T/P_nonempty)
+    somewhere, so the gate is exact iff local_min <= ceil(T/P_actual),
+    i.e. (local_min-1)·P_actual < T. NULL keys are excluded by
+    contract on both sides (a "null heavy hitter" is a data-quality
+    signal, `quality.dq_audit`'s job, not a frequency result — and
+    semi-join re-counting cannot match NULLs anyway).
 
     At fixture scale every key clears the local gate (T/P < per-key
     local counts) — the pruning power grows with per-partition volume,
@@ -157,29 +161,27 @@ def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) 
             for k, c in pdf["user_id"].value_counts().items():
                 counts[k] = counts.get(k, 0) + int(c)
         keep = [k for k, c in counts.items() if c >= local_min]
-        out = {"user_id": pd.Series(keep, dtype="int64")}
-        yield pd.DataFrame(out).assign(is_marker=False)
-        if counts:  # one marker per NON-EMPTY partition (the pigeonhole set)
-            yield pd.DataFrame({"user_id": pd.Series([-1], dtype="int64"), "is_marker": [True]})
+        yield pd.DataFrame({"user_id": pd.Series(keep, dtype="int64")})
 
-    emitted = e.mapInPandas(local_candidates, "user_id long, is_marker boolean")
-    # ONE aggregation keyed on (is_marker, user_id) feeds BOTH the
-    # candidate set and the marker count: the two downstream filters
-    # read the SAME exchange, so ReuseExchange executes the pandas
-    # kernel once (plan-asserted in tests/test_skew.py) — splitting
-    # them into a distinct() and a separate count() re-ran the full
-    # corpus scan twice. Guard shape matters too: it is UNIONED into
-    # the result (contributing zero rows when sound, raising when not),
-    # NOT cross-joined — a cross join evaluates per result row, so the
-    # exact failure mode it exists to catch (true heavy hitters
-    # silently pruned to an EMPTY result) would leave no row to
-    # evaluate it on.
-    counted = emitted.groupBy("is_marker", "user_id").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    def partition_marker(batches):
+        # Emit ONE row iff this partition has any input, then stop —
+        # the early return leaves the remaining Arrow batches unread
+        # (they stream lazily), so this pass costs one batch per
+        # partition, not a second corpus scan.
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame({"one": pd.Series([1], dtype="int64")})
+                return
+
+    cands = e.mapInPandas(local_candidates, "user_id long").distinct()
+    # Guard shape matters: it is UNIONED into the result (contributing
+    # zero rows when sound, raising when not), NOT cross-joined — a
+    # cross join evaluates per result row, so the exact failure mode it
+    # exists to catch (true heavy hitters silently pruned to an EMPTY
+    # result) would leave no row to evaluate it on.
     guard_sentinel = (
-        counted.filter(F.col("is_marker"))
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("p_actual"))
+        e.mapInPandas(partition_marker, "one long")
+        .agg(F.coalesce(F.sum("one"), F.lit(0)).alias("p_actual"))
         .select(
             F.when(
                 F.lit(local_min - 1) * F.col("p_actual") < F.lit(threshold),
@@ -206,7 +208,6 @@ def heavy_hitters(spark: SparkSession, sf: str, threshold: int = _HH_THRESHOLD) 
         .filter(F.col("user_id").isNotNull())
         .select("user_id", F.lit(0).cast("long").alias("n_events"))
     )
-    cands = counted.filter(~F.col("is_marker")).select("user_id")
     return (
         e.join(F.broadcast(cands), "user_id", "left_semi")
         .groupBy("user_id")
@@ -225,7 +226,105 @@ ORDER BY user_id
 """
 
 
+_CMS_D = 3  # hash rows
+_CMS_W = 1024  # counters per row
+_CMS_TOP = 10
+# Overshoot allowance for the self-check: a CMS estimate exceeds the
+# exact count by the collision mass in its least-loaded cell; E[mass] =
+# N/w per cell, and min-of-d pushes the tail far below Markov's 1/e per
+# row. 8x the expectation is a wide deterministic margin on the
+# fixtures (measured overshoot: 0 at sf0.01/sf0.1 — distinct keys <~ w)
+# while still tight enough that a broken hash/merge flips the boolean.
+_CMS_SLACK = 8
+
+
+def cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the top event producers
+    — the MERGEABLE approximate counterpart of :func:`heavy_hitters`
+    (Cormode & Muthukrishnan; the sketch family's third member next to
+    HLL `mergeable_hll_rollup` and KLL `approx_sketches`).
+
+    Sketch build is ONE map-side-combinable aggregate: each event lands
+    in ``d`` (row, col) cells via seeded xxhash64, and the groupBy
+    output is MODEL-sized (d*w = 3072 cells), never key-cardinality-
+    sized — the 100 TB contrast with exact counting, whose exchange
+    carries one row per distinct key. Shard merge = cell-wise SUM
+    (counters are linear), so per-day/per-source sketches fold into a
+    global one without touching raw data. Estimation joins the
+    candidate keys against the BROADCAST cell table (3072 rows) and
+    takes min-over-d.
+
+    Self-validation (the sketch-pair recipe, `__spark_entry__` r3/r4
+    convention): the SAME job computes exact counts for the top-10
+    keys — those exact rows ARE the output (oracle: plain SQL) — plus
+    two booleans the driver value-hashes: ``cms_ge_exact`` (CMS never
+    undercounts — a structural guarantee; FALSE means the sketch is
+    broken) and ``cms_within_bound`` (overshoot <= ceil(8N/w) — FALSE
+    means collision behavior drifted). Hashes are Spark-side xxhash64:
+    engine-agnosticism is NOT needed because the oracle never
+    recomputes the sketch, only the exact side.
+    """
+    e = load_table(spark, "events", sf).select(
+        F.col("user_id").cast("long")
+    ).filter(F.col("user_id").isNotNull())
+
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.pmod(F.xxhash64("user_id", F.lit(j)), F.lit(_CMS_W)).alias("col"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    cells = (
+        e.select(F.explode(cell_structs).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    total = e.agg(F.count(F.lit(1)).alias("n_total"))
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(_CMS_TOP)
+    )
+    est = (
+        top.select("user_id", "n_events", F.explode(cell_structs).alias("c"))
+        .select("user_id", "n_events", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .join(F.broadcast(cells), ["row", "col"])
+        .groupBy("user_id", "n_events")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("cms_est") >= F.col("n_events")).alias("cms_ge_exact"),
+            (
+                F.col("cms_est")
+                <= F.col("n_events")
+                + F.ceil(F.lit(_CMS_SLACK) * F.col("n_total") / F.lit(_CMS_W))
+            ).alias("cms_within_bound"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS cms_ge_exact, TRUE AS cms_within_bound
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT {_CMS_TOP}
+"""
+
+
 SKEW_QUERIES: dict[str, QuerySpec] = {
+    "cms_heavy_hitters": QuerySpec(cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
     "heavy_hitters": QuerySpec(heavy_hitters, HEAVY_HITTERS_SQL),
     "salted_event_counts": QuerySpec(salted_event_counts, SALTED_EVENT_COUNTS_SQL),
     "salted_user_event_join": QuerySpec(

@@ -612,7 +612,255 @@ ORDER BY m.event_type
 """
 
 
+def roc_auc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ROC-AUC + decile calibration table for a document-quality
+    classifier: score = `quality_score`'s BPE-ish token count, label =
+    "all four quality criteria pass" (``quality >= 0.9``; the ≥3-of-4
+    `keep` verdict is degenerate on the fixtures — every doc passes —
+    and a one-class AUC is 0/0) — the model-eval pass a data pipeline
+    runs on every heuristic filter before trusting it at corpus scale.
+
+    AUC is the tie-corrected rank-sum form: with per-score counts
+    ``cnt`` and positives ``pos``, the average rank of a tie group is
+    ``less + (cnt+1)/2``, so ``2·Σ ranks_pos = Σ pos·(2·less+cnt+1)``
+    stays INTEGER, and
+    ``AUC = (2·Σranks_pos − n⁺(n⁺+1)) / (2·n⁺·n⁻)`` is one division of
+    exact integers (the documented tolerance class).
+
+    100 TB shape: ONE corpus scan reduces to a per-score histogram —
+    the score domain is bounded (token counts), so the cumulative
+    window and every downstream step run on a domain-sized frame, never
+    a corpus-sized sort. Calibration bins are derived from the SAME
+    histogram (equi-depth up to tie granularity: a tie group lands
+    wholly in the bin of its cumulative position — deterministic, and
+    at scale the honest alternative to a global per-row NTILE sort).
+    """
+    from pyspark.sql import Window
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        quality_score,
+    )
+
+    q = quality_score(spark, sf).select(
+        F.col("n_bpe_tokens").alias("s"),
+        (F.col("quality") >= 0.9).cast("int").alias("pos"),
+    )
+    hist = q.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos"),
+    )
+    # cumulative count of strictly-smaller scores; the window runs on
+    # the domain-sized histogram (see docstring), not on the corpus
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "less", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    ).persist()
+    totals = cum.agg(
+        F.sum(F.col("pos") * (2 * F.col("less") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("two_rank_pos"),
+        F.sum("pos").cast("long").alias("npos"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    auc = totals.select(
+        F.round(
+            (
+                F.col("two_rank_pos").cast("double")
+                - F.col("npos").cast("double") * (F.col("npos") + 1).cast("double")
+            )
+            / (
+                2.0
+                * F.col("npos").cast("double")
+                * (F.col("n") - F.col("npos")).cast("double")
+            ),
+            6,
+        ).alias("auc"),
+        F.col("n").alias("_n"),
+    )
+    # decile of a tie group = bin of its lower cumulative position
+    cal = (
+        cum.join(F.broadcast(auc), how="inner", on=F.lit(True))
+        # FLOOR explicitly: DuckDB CAST(double AS INT) rounds-half-even
+        # while Spark's cast truncates — floor is the one both agree on
+        .withColumn(
+            "decile",
+            (F.floor(F.lit(10) * F.col("less") / F.col("_n")) + 1).cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.round(F.sum("pos") / F.sum("cnt"), 6).alias("pos_rate"),
+            F.min("s").cast("long").alias("lo_score"),
+            F.max("s").cast("long").alias("hi_score"),
+            F.first("auc").alias("auc"),
+        )
+        .orderBy("decile")
+    )
+    return cal
+
+
+def _roc_auc_sql() -> str:
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        QUALITY_SQL,
+    )
+
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT n_bpe_tokens AS s, CASE WHEN quality >= 0.9 THEN 1 ELSE 0 END AS pos
+  FROM ({QUALITY_SQL})
+),
+hist AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(pos) AS BIGINT) AS pos
+  FROM q GROUP BY s
+),
+cum AS MATERIALIZED (
+  SELECT s, cnt, pos,
+    CAST(COALESCE(SUM(cnt) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS less
+  FROM hist
+),
+totals AS (
+  SELECT CAST(SUM(pos * (2 * less + cnt + 1)) AS BIGINT) AS two_rank_pos,
+         CAST(SUM(pos) AS BIGINT) AS npos,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM cum
+),
+auc AS (
+  SELECT ROUND(
+    (CAST(two_rank_pos AS DOUBLE) - CAST(npos AS DOUBLE) * CAST(npos + 1 AS DOUBLE))
+    / (2.0 * CAST(npos AS DOUBLE) * CAST(n - npos AS DOUBLE)), 6) AS auc,
+    n AS _n
+  FROM totals
+)
+SELECT CAST(FLOOR(10 * less / _n) + 1 AS INT) AS decile,
+  CAST(SUM(cnt) AS BIGINT) AS n,
+  CAST(SUM(pos) AS BIGINT) AS n_pos,
+  ROUND(CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS pos_rate,
+  CAST(MIN(s) AS BIGINT) AS lo_score,
+  CAST(MAX(s) AS BIGINT) AS hi_score,
+  ANY_VALUE(auc) AS auc
+FROM cum CROSS JOIN auc
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+_ACF_MAX_LAG = 7
+
+
+def acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample autocorrelation of the daily revenue series at lags 1..7
+    (the weekly-seasonality detector for metric monitoring).
+
+    Box-Jenkins form with the all-series mean; cleared of early
+    division by multiplying through by n²:
+    ``r_k = (n²·Σxy − n·S·(H+T) + (n−k)·S²) / (n²·Σx² − n·S²)``
+    where every aggregate (S, Σx², per-lag Σxy/H/T) is an exact
+    DECIMAL — the closing formula is ONE double expression with
+    identical association on both engines (module determinism note).
+
+    100 TB shape: one fact scan → per-day aggregate (shuffle carries
+    O(days) rows); everything after runs on the calendar-bounded daily
+    frame, with the lag pairing an equi-join on ``day + k`` (broadcast:
+    a daily series is small by construction at any corpus size — it is
+    bounded by the calendar, not the data). No corpus-sized window, no
+    global sort.
+    """
+    e = load_table(spark, "events", sf).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("x"))
+        .persist()
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC_SQ)).alias("sxx"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    head = daily.select("day", F.col("x").alias("xh"))
+    tail = daily.select(F.col("day").alias("tday"), F.col("x").alias("xt"))
+    pairs = (
+        F.broadcast(lags)
+        .join(head, how="inner", on=F.lit(True))
+        .join(
+            F.broadcast(tail),
+            F.col("tday") == F.date_add(F.col("day"), F.col("lag")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("xh") * F.col("xt")).cast(DEC_SQ)).alias("sxy"),
+            F.sum("xh").alias("h"),
+            F.sum("xt").alias("t"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    return (
+        pairs.join(F.broadcast(g), how="inner", on=F.lit(True))
+        .select(
+            "lag",
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            F.round(
+                (
+                    n * n * F.col("sxy").cast("double")
+                    - n * s * (F.col("h").cast("double") + F.col("t").cast("double"))
+                    + (n - F.col("lag").cast("double")) * s * s
+                )
+                / (n * n * F.col("sxx").cast("double") - n * s * s),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+ACF_SQL = f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,2))) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s,
+         SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx
+  FROM daily
+),
+lags AS (SELECT UNNEST(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT l.lag,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    SUM(CAST(h.x * t.x AS DECIMAL(38,4))) AS sxy,
+    SUM(h.x) AS h,
+    SUM(t.x) AS t
+  FROM lags l
+  JOIN daily h ON TRUE
+  JOIN daily t ON t.day = h.day + CAST(l.lag AS INT)
+  GROUP BY l.lag
+)
+SELECT CAST(p.lag AS INT) AS lag, g.n AS n_days, p.n_pairs,
+  ROUND(
+    (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+     - CAST(g.n AS DOUBLE) * CAST(g.s AS DOUBLE)
+       * (CAST(p.h AS DOUBLE) + CAST(p.t AS DOUBLE))
+     + (CAST(g.n AS DOUBLE) - CAST(p.lag AS DOUBLE))
+       * CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE))
+    / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+       - CAST(g.n AS DOUBLE) * CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)),
+  6) AS acf
+FROM pairs p CROSS JOIN g
+ORDER BY lag
+"""
+
+
 STATS_QUERIES: dict[str, QuerySpec] = {
+    "roc_auc_quality": QuerySpec(roc_auc_quality, _roc_auc_sql()),
+    "acf_daily_revenue": QuerySpec(acf_daily_revenue, ACF_SQL),
     "median_mad_value": QuerySpec(median_mad_value, MEDIAN_MAD_SQL),
     "bitmap_distinct_rollup": QuerySpec(bitmap_distinct_rollup, BITMAP_DISTINCT_SQL),
     "welch_ttest_value": QuerySpec(welch_ttest_value, WELCH_TTEST_SQL),

@@ -744,16 +744,16 @@ DECON_W = 4
 _EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out eval sample
 
 
-def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+def decontaminate(spark: SparkSession, sf: str, w: int = DECON_W) -> DataFrame:
     d = load_table(spark, "documents", sf)
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     eval_grams = (
         d.filter(is_eval)
-        .select(F.explode(_ngrams(F.col("text"), DECON_W)).alias("gram"))
+        .select(F.explode(_ngrams(F.col("text"), w)).alias("gram"))
         .distinct()
     )
     train = d.filter(~is_eval).select(
-        "doc_id", F.explode(F.array_distinct(_ngrams(F.col("text"), DECON_W))).alias("gram")
+        "doc_id", F.explode(F.array_distinct(_ngrams(F.col("text"), w))).alias("gram")
     )
     return (
         train.join(F.broadcast(eval_grams), "gram")
@@ -763,19 +763,23 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-DECONTAMINATE_SQL = f"""
+def decontaminate_sql(w: int = DECON_W) -> str:
+    return f"""
 WITH eval_grams AS (
-  SELECT DISTINCT unnest({_ngrams_sql(DECON_W)}) AS gram
+  SELECT DISTINCT unnest({_ngrams_sql(w)}) AS gram
   FROM documents WHERE doc_id % {_EVAL_MOD} = 0
 ),
 train AS (
-  SELECT doc_id, unnest(list_distinct({_ngrams_sql(DECON_W)})) AS gram
+  SELECT doc_id, unnest(list_distinct({_ngrams_sql(w)})) AS gram
   FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
 FROM train JOIN eval_grams USING (gram)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+DECONTAMINATE_SQL = decontaminate_sql()
 
 
 def lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
@@ -1494,7 +1498,81 @@ FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id
 """
 
 
+def lm_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus-wide unigram MLE
+    language model — the classic perplexity-style quality filter (a
+    document whose words are globally rare scores HIGH; boilerplate
+    scores LOW). Model and scoring in one job, no external LM.
+
+    ``CE_d = ln N − (Σ_w k_dw·ln c_w)/n_d`` where ``c_w`` is the corpus
+    count of word ``w``, ``N`` the corpus token total and ``k_dw`` the
+    in-document count. The model is trained FROM the (doc,word) partial
+    counts — the token stream is exploded and aggregated once; the
+    vocabulary is a second, much smaller aggregate over those partials
+    (map-side combinable both times).
+
+    Scale shape: the (doc,word)→vocab join is word-keyed with partial
+    aggregation on both inputs; the vocabulary grows sublinearly in the
+    corpus (Heaps' law), so at 100 TB this is a plain shuffle join AQE
+    may downgrade to broadcast — never a corpus×corpus product. The
+    corpus token total crosses as a broadcast 1-row frame.
+
+    Hash gate: Σ k·ln(c) is a float sum rounded to 4 decimals — the
+    same documented tolerance class as `word_entropy`; everything else
+    is exact integer arithmetic.
+    """
+    d = load_table(spark, "documents", sf)
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    dc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    vocab = dc.groupBy("tok").agg(F.sum("k").cast("long").alias("cw"))
+    total = vocab.agg(F.sum("cw").cast("long").alias("n_total"))
+    return (
+        dc.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.log(F.col("cw").cast("double"))).alias("_klncw"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_total").cast("double"))
+                - F.col("_klncw") / F.col("n_tokens"),
+                4,
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_CROSS_ENTROPY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+dc AS (
+  SELECT doc_id, tok, COUNT(*) AS k FROM tok GROUP BY doc_id, tok
+),
+vocab AS (
+  SELECT tok, CAST(SUM(k) AS BIGINT) AS cw FROM dc GROUP BY tok
+),
+total AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_total FROM vocab)
+SELECT doc_id,
+  CAST(SUM(k) AS BIGINT) AS n_tokens,
+  ROUND(
+    ln(CAST((SELECT n_total FROM total) AS DOUBLE))
+      - SUM(k * ln(CAST(cw AS DOUBLE))) / CAST(SUM(k) AS BIGINT),
+    4
+  ) AS cross_entropy
+FROM dc JOIN vocab USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, QuerySpec] = {
+    "lm_cross_entropy": QuerySpec(lm_cross_entropy, LM_CROSS_ENTROPY_SQL),
     "duplicate_span_stats": QuerySpec(duplicate_span_stats, DUPLICATE_SPAN_SQL),
     "bpe_train_merges": QuerySpec(bpe_train_merges, BPE_TRAIN_SQL),
     "bm25_search": QuerySpec(bm25_search, BM25_SQL),

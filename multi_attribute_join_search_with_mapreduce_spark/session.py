@@ -55,6 +55,18 @@ def get_spark(
     )
     if SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]")
+        # Driver heap for the single-JVM local harness. The PySpark
+        # default (1g) is sized for a thin cluster driver, but in
+        # local mode the "driver" IS the executor fleet plus the
+        # codegen cache — long pytest sessions with literal-heavy
+        # plans (PQ codebooks, k-means centroid literals) exhaust it.
+        # Applies only when this call actually launches the JVM; a
+        # pre-existing session keeps its own setting (driver_sim 16g,
+        # scaling_curve 24g).
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -247,3 +247,114 @@ def test_triangle_handshake_identity(spark, sf_dir):
     rows = triangle_count_near_dup(spark, sf_dir).collect()
     total_corners = sum(r.triangles for r in rows)
     assert total_corners % 3 == 0  # every triangle contributes 3 corners
+
+
+def test_kcore_hand_graphs(spark):
+    """4-clique -> core 3; triangle -> core 2; pendant hangs at 1; a
+    chain is all 1s even though interior degrees are 2... no — chain
+    interior nodes have degree 2 but core 1 (peeling the ends cascades),
+    which is exactly what degree alone gets wrong."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import kcore_values
+
+    # triangle {1,2,3} + pendant 4-1; 4-clique {10,11,12,13}; chain 20-21-22-23
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1),
+         (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+         (20, 21), (21, 22), (22, 23)],
+        "src long, dst long",
+    )
+    rows = kcore_values(edges).collect()
+    assert all(r.converged for r in rows)
+    got = {r.node: r.core for r in rows}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1,
+                   10: 3, 11: 3, 12: 3, 13: 3,
+                   20: 1, 21: 1, 22: 1, 23: 1}
+    deg = {r.node: r.degree for r in rows}
+    assert deg[21] == 2 and got[21] == 1  # coreness < degree on the chain
+
+
+def test_kcore_near_dup_bounded_by_degree_and_converged(spark, sf_dir):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import kcore_near_dup
+
+    rows = kcore_near_dup(spark, sf_dir).collect()
+    assert rows, "near-dup graph is non-empty at fixture scale"
+    assert all(r.converged for r in rows)
+    assert all(1 <= r.core <= r.degree for r in rows)
+
+
+def test_lpa_splits_bridge_joined_triangles(spark):
+    """Two triangles joined by one bridge edge: connected components
+    would merge them into one cluster; LPA must keep them as two
+    communities (the bridge minority vote never wins) — hand-simulated
+    fixpoint: {1,2,3} -> 1, {4,5,6} -> 4."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import lpa_labels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+        "src long, dst long",
+    )
+    rows = lpa_labels(edges).collect()
+    assert all(r.converged for r in rows)
+    got = {r.node: r.community for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+    sizes = {r.node: r.community_size for r in rows}
+    assert all(s == 3 for s in sizes.values())
+
+
+def test_lpa_clique_converges_to_min_label(spark):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import lpa_labels
+
+    edges = spark.createDataFrame(
+        [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)],
+        "src long, dst long",
+    )
+    rows = lpa_labels(edges).collect()
+    assert {r.node: r.community for r in rows} == {n: 10 for n in (10, 11, 12, 13)}
+    assert all(r.converged and r.community_size == 4 for r in rows)
+
+
+def test_bfs_hops_path_and_unreached(spark):
+    """Path 1-2-3-4-5-6 seeded at 1: hops = position; node 6 is 5 hops
+    out — beyond the 4-round radius, so absent. Disconnected pair
+    {10,11} never appears."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_seed_takes_min_distance(spark):
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_contamination_radius_seeds_are_flagged_docs(spark, sf_dir):
+    """Every hop-0 row is a decontaminate-flagged doc, and every other
+    row is strictly within the round cap."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import (
+        _BFS_ROUNDS,
+        _RADIUS_W,
+        contamination_radius,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import decontaminate
+
+    rows = contamination_radius(spark, sf_dir).collect()
+    assert rows
+    flagged = {
+        r.doc_id for r in decontaminate(spark, sf_dir, w=_RADIUS_W).collect()
+    }
+    for r in rows:
+        assert 0 <= r.hops <= _BFS_ROUNDS
+        if r.hops == 0:
+            assert r.doc_id in flagged

@@ -74,6 +74,14 @@ SMJ_ALLOWED = {
     # O(m^1.5) bound comes from degree orientation, not join strategy.
     # AQE broadcasts at runtime when the fixture edge list is small.
     "triangle_count_near_dup",
+    # per-round (node,value)⨝edges joins of the iterative graph
+    # fixpoints (h-index coreness, label propagation, min-plus BFS):
+    # both sides are graph-scale at 100 TB with no static size
+    # estimate — same rationale as pagerank_near_dup; AQE broadcasts
+    # at runtime where the fixture graph is small.
+    "kcore_near_dup",
+    "lpa_communities",
+    "contamination_radius",
 }
 
 

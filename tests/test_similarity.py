@@ -239,3 +239,72 @@ def test_pca_validate_all_booleans_true(spark, sf_dir):
     assert [r.component for r in rows] == [0, 1, 2, 3]
     for r in rows:
         assert r.energy_matches_eigenvalue and r.variance_descending and r.orthonormal, r
+
+
+def test_pq_adc_search_exact_rows_and_recall(spark, sf_dir):
+    """Output rows are the EXACT brute-force top-10 (PQ influences only
+    the recall_ok self-check), recall clears the gate with margin, and
+    every vector encodes to exactly one code per subspace."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
+        _km_dist2,
+        _dvec,
+        QUERY_VEC_ID,
+        pq_adc_search,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    rows = pq_adc_search(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.recall_ok for r in rows)
+    # distances ascend with vec_id tie-break
+    key = [(r.l2_d2, r.vec_id) for r in rows]
+    assert key == sorted(key)
+    # rows == brute-force exact top-10 recomputed independently
+    e = load_table(spark, "embeddings", sf_dir)
+    q = [
+        float(v)
+        for v in e.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    brute = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.round(_km_dist2(_dvec("embedding"), q), 4).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    assert [(r.vec_id, r.l2_d2) for r in rows] == [(r.vec_id, r.d) for r in brute]
+
+
+def test_pq_codes_cover_every_subspace(spark, sf_dir):
+    """Encoding emits one code per (vector, subspace), all within
+    [0, K) — the 16-byte compressed representation is total."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _dvec,
+        _pq_codes,
+        _pq_train,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    n = e.count()
+    base = e.select("vec_id", _dvec("embedding").alias("emb"))
+    books = _pq_train(base, e.orderBy("vec_id").limit(_PQ_K).collect())
+    codes = _pq_codes(base, books)
+    stats = (
+        codes.select("vec_id", F.posexplode("codes").alias("sub", "code"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("code").alias("lo"),
+            F.max("code").alias("hi"),
+            F.countDistinct("vec_id", "sub").alias("cells"),
+        )
+        .first()
+    )
+    assert stats.n == n * _PQ_M == stats.cells
+    assert 0 <= stats.lo and stats.hi < _PQ_K

@@ -152,3 +152,28 @@ def test_heavy_hitters_guard_fails_loudly_on_partition_drift(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cms_heavy_hitters_exact_rows_and_bounds(spark, sf_dir):
+    """Output rows are the EXACT top-10 producers (the sketch only
+    feeds the two self-check booleans), estimates never undercount
+    (CMS structural guarantee), and overshoot stays within the bound."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.skew import (
+        _CMS_TOP,
+        cms_heavy_hitters,
+    )
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == _CMS_TOP
+    assert all(r.cms_ge_exact for r in rows)
+    assert all(r.cms_within_bound for r in rows)
+    exact = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(_CMS_TOP)
+        .collect()
+    )
+    assert [(r.user_id, r.n_events) for r in rows] == [(r.user_id, r.n) for r in exact]

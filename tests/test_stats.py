@@ -155,3 +155,89 @@ def test_median_mad_even_count_planted(spark, tmp_path):
     d.write.parquet(str(lake / "events.parquet"))
     r = median_mad_value(spark, str(lake)).collect()[0]
     assert (r.event_type, r.n, r.median, r.mad) == ("click", 4, 3.0, 2.0)
+
+
+def test_roc_auc_matches_bruteforce_pairs(spark, sf_dir):
+    """AUC from the histogram rank-sum must equal the O(n²) pair
+    definition (#concordant + 0.5·#ties) / (n⁺·n⁻) recomputed on the
+    collected fixture, and the deciles partition the corpus."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.stats import roc_auc_quality
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import quality_score
+
+    rows = roc_auc_quality(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    q = quality_score(spark, sf_dir).select(
+        "n_bpe_tokens", (F.col("quality") >= 0.9).alias("pos")
+    ).collect()
+    pos = [r.n_bpe_tokens for r in q if r.pos]
+    neg = [r.n_bpe_tokens for r in q if not r.pos]
+    conc = sum(1 for p in pos for m in neg if p > m)
+    ties = sum(1 for p in pos for m in neg if p == m)
+    brute = (conc + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(rows[0].auc - brute) < 1e-6
+    assert all(r.auc == rows[0].auc for r in rows)
+    assert sum(r.n for r in rows) == len(q)
+    assert sum(r.n_pos for r in rows) == len(pos)
+    # bins are ordered, non-overlapping score ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_score < b.lo_score
+
+
+def test_acf_matches_pandas_recompute(spark, sf_dir):
+    """Lag-k ACF must match the textbook formula recomputed in numpy on
+    the collected daily series (shared-mean Box-Jenkins form)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.stats import acf_daily_revenue
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    rows = acf_daily_revenue(spark, sf_dir).collect()
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    days = [r.day for r in daily]
+    # fixture series is calendar-contiguous (pairing relies on day+k)
+    assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
+    x = np.array([float(r.x) for r in daily])
+    n, xbar = len(x), x.mean()
+    denom = ((x - xbar) ** 2).sum()
+    for r in rows:
+        k = r.lag
+        expect = ((x[:-k] - xbar) * (x[k:] - xbar)).sum() / denom
+        assert r.n_pairs == n - k
+        assert abs(r.acf - expect) < 2e-6, (k, r.acf, expect)
+
+
+def test_acf_detects_planted_weekly_cycle(spark, tmp_path):
+    """A planted period-7 series must show acf(7) ≈ max and acf values
+    at non-multiples well below it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    for d in range(56):
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        amount = 100.0 if d % 7 == 0 else 10.0
+        rows.append((eid, day, 1, "buy", amount, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    lake = tmp_path / "lake"
+    df.write.parquet(str(lake / "events.parquet"))
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.stats import acf_daily_revenue
+
+    got = {r.lag: r.acf for r in acf_daily_revenue(spark, str(lake)).collect()}
+    assert got[7] > 0.8
+    assert all(got[k] < 0.0 for k in (1, 2, 3) )

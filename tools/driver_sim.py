@@ -8,7 +8,11 @@ spark.sql.legacy.parquet.nanosAsLong) turns into red rows only the driver
 can see.
 
 Usage: python tools/driver_sim.py [sf_dir] [name_filter ...]
+       python tools/driver_sim.py [sf_dir] --skip name [name ...]
 Prints one line per query and a final summary; exit 1 if any mismatch.
+``--skip`` inverts the filter — run everything EXCEPT the named queries
+(for the sf0.1 sweep, where set_similarity_join's deliberately-quadratic
+brute-force oracle is intractable; see SCALE.md).
 """
 
 from __future__ import annotations
@@ -40,7 +44,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    rest = sys.argv[2:]
+    skip: set[str] = set()
+    name_filter: list[str] = []
+    if rest and rest[0] == "--skip":
+        skip = set(rest[1:])
+    else:
+        name_filter = rest
 
     # Vanilla session on purpose — mirrors the driver, NOT get_spark().
     spark = (
@@ -61,6 +71,9 @@ def main() -> None:
     failures: list[str] = []
     for name, spec in registry.items():
         if name_filter and not any(f in name for f in name_filter):
+            continue
+        if name in skip:
+            print(f"skip  {name} (--skip)")
             continue
         try:
             sdf = spec.fn(spark, sf_dir)

@@ -74,6 +74,12 @@ def main() -> None:
     rows = []
     for name, t in results.items():
         t001, t01, t1 = (t[d] for d in SF_DIRS)
+        # A query that ERRORED at any scale (-1.0 sentinel) is flagged,
+        # not laundered: a crash at sf0.1 is the superlinear failure
+        # mode this gate exists to catch, so it must fail the run.
+        if min(t001, t01, t1) < 0:
+            rows.append((name, t001, t01, t1, float("inf"), True))
+            continue
         ratio = t1 / t01 if t01 > 0 else float("inf")
         flagged = ratio > SUPERLINEAR_RATIO and t01 >= MIN_BASE_SECONDS
         rows.append((name, t001, t01, t1, ratio, flagged))

@@ -235,7 +235,7 @@ def registry() -> dict[str, QuerySpec]:
         # graph/statistics batch 2: LPA communities, contamination BFS,
         # exact ROC-AUC + calibration, weekly-seasonality ACF
         "lpa_communities", "contamination_radius", "roc_auc_quality",
-        "acf_daily_revenue",
+        "acf_daily_revenue", "media_phash_dedup",
         # r3 reds
         "approx_sketches", "mergeable_hll_rollup", "scd2_user_state",
         # statistics family (VERDICT r3 task 5)

@@ -468,9 +468,218 @@ ORDER BY media_id
 """
 
 
+# --- perceptual-hash (aHash) near-duplicate join ----------------------------
+
+# 20 planted groups x 3 variants. Variant 0 is the base image; variants
+# 1/2 paint one 2x2-pixel cell solid bright — a small local edit, the
+# resized-logo/watermark class of near-duplicate the average-hash is
+# built to catch. Constants were tuned offline so the planted truth is
+# cleanly separable: within-group Hamming <= 3, cross-group >= 18.
+_AHASH_GROUPS = 20
+N_AHASH_MEDIA = 3 * _AHASH_GROUPS
+_AHASH_W = _AHASH_H = 16  # stride 48 is 4-byte aligned: no row padding
+_AHASH_T = 5  # Hamming threshold; banding below is lossless to <= 7
+
+
+def _ahash_base_byte(group: int, cell: int, j: int) -> int:
+    """Deterministic pixel-byte generator with a group x cell
+    interaction term — a plain per-group brightness shift would move
+    every cell equally and leave the THRESHOLDED hash identical across
+    groups (measured: cross-group Hamming 0)."""
+    return ((group + 1) * (cell * cell * 31 + cell * 7 + 13) + j * 11) % 251
+
+
+def _encode_ahash_bmp(media_id: int) -> bytes:
+    group, v = media_id // 3, media_id % 3
+    c_bright = (group * 7 + v * 13) % 64 if v > 0 else -1
+    row_bytes = 3 * _AHASH_W
+    rows = []
+    for y in range(_AHASH_H):
+        row = bytearray()
+        for j in range(row_bytes):
+            x = j // 3
+            cell = (y // 2) * 8 + (x // 2)
+            row.append(
+                255 if cell == c_bright else _ahash_base_byte(group, cell, y * row_bytes + j)
+            )
+        rows.append(bytes(row))
+    return _pack_bmp(_AHASH_W, _AHASH_H, rows)
+
+
+def ahash_signatures(media: DataFrame) -> DataFrame:
+    """64-bit average-hash per image from REAL container bytes: parse
+    the BMP, sum each 2x2-pixel cell's bytes into an 8x8 grid, set bit
+    ``cell`` iff ``64·cellsum >= total`` (the integer form of
+    "cell mean >= image mean" — no float anywhere, so the signature is
+    bit-reproducible cross-engine). Packed as two 32-bit halves
+    (``hash_hi`` bits 32-63, ``hash_lo`` bits 0-31) to stay inside
+    signed BIGINT."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                payload = bytes(r.payload)
+                if payload[:2] != b"BM":
+                    raise ValueError("ahash kernel fed a non-BMP payload")
+                px = np.frombuffer(payload[54:], dtype=np.uint8).reshape(
+                    _AHASH_H, _AHASH_W * 3
+                )
+                gray = px.reshape(_AHASH_H, _AHASH_W, 3).sum(
+                    axis=2, dtype=np.int64
+                )
+                cells = gray.reshape(8, 2, 8, 2).sum(axis=(1, 3))  # (cy, cx)
+                total = int(cells.sum())
+                bits = (64 * cells.reshape(64) >= total).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                out.append((r.media_id, hi, lo))
+            yield pd.DataFrame(out, columns=["media_id", "hash_hi", "hash_lo"])
+
+    return media.mapInPandas(kernel, "media_id bigint, hash_hi bigint, hash_lo bigint")
+
+
+def media_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual near-duplicate image join (``sf`` unused — media is
+    generated): encode real BMPs → aHash signatures → banded candidate
+    join → exact Hamming verify.
+
+    The candidate join is the pigeonhole band trick (the bit-space twin
+    of MinHash-LSH banding, `textops.near_dup_candidates`): the 64-bit
+    hash splits into 8 bands of 8 bits; a pair within Hamming
+    ``_AHASH_T`` (= 5) has fewer than 8 differing bits, so at least one
+    band matches EXACTLY — the equi-join on (band, value) is provably
+    lossless up to Hamming 7, never all-pairs. At 100 TB the band
+    buckets are the partition keys; fan-out per bucket is bounded by
+    bucket occupancy exactly as in the MinHash path. The DuckDB oracle
+    recomputes signatures from the closed-form pixel generator (never
+    parsing BMP bytes) and brute-forces all pairs — two independent
+    routes to the same pair set, value-hashed. ``same_group`` carries
+    the planted ground truth through both engines: every emitted pair
+    being within-group IS the differential recall/precision check.
+    """
+    spec = spark.range(0, N_AHASH_MEDIA, 1, 4).select(F.col("id").alias("media_id"))
+
+    def encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _encode_ahash_bmp(int(m)) for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = spec.mapInPandas(encode_kernel, "media_id bigint, payload binary")
+    sig = ahash_signatures(media).persist()
+
+    band_idx = F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("band")
+    banded = sig.select("media_id", "hash_hi", "hash_lo", band_idx).select(
+        "media_id",
+        "band",
+        F.expr(
+            "CASE WHEN band < 4"
+            "  THEN shiftrightunsigned(hash_lo, CAST(band * 8 AS INT))"
+            "  ELSE shiftrightunsigned(hash_hi, CAST((band - 4) * 8 AS INT))"
+            " END & 255"
+        ).alias("band_val"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("media_id").alias("media_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+    )
+    sb = sig.select(
+        F.col("media_id").alias("media_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+    )
+    return (
+        cand.join(sa, "media_a")
+        .join(sb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AHASH_T)
+        .withColumn(
+            "same_group",
+            F.expr("media_a DIV 3 = media_b DIV 3"),
+        )
+        .orderBy("media_a", "media_b")
+    )
+
+
+# The oracle never touches BMP bytes: it rebuilds every pixel from the
+# closed-form generator, hashes, and brute-forces all C(60,2) pairs —
+# the banding above must produce exactly this set (lossless <= Hamming 7).
+MEDIA_PHASH_SQL = f"""
+WITH px AS (
+  SELECT m.id AS media_id, j.j AS j,
+    ((j.j % {3 * _AHASH_W}) // 3) // 2 AS cx,
+    (j.j // {3 * _AHASH_W}) // 2 AS cy,
+    ((j.j // {3 * _AHASH_W}) // 2) * 8 + (((j.j % {3 * _AHASH_W}) // 3) // 2) AS cell
+  FROM range({N_AHASH_MEDIA}) m(id),
+       (SELECT unnest(generate_series(0, {3 * _AHASH_W * _AHASH_H - 1})) AS j) j
+),
+vals AS (
+  SELECT media_id, cell,
+    CASE WHEN (media_id % 3) > 0
+          AND cell = ((media_id // 3) * 7 + (media_id % 3) * 13) % 64
+      THEN 255
+      ELSE ((media_id // 3 + 1) * (cell * cell * 31 + cell * 7 + 13) + j * 11) % 251
+    END AS v
+  FROM px
+),
+cells AS (
+  SELECT media_id, cell, SUM(v) AS cellsum FROM vals GROUP BY media_id, cell
+),
+bits AS (
+  SELECT media_id, cell,
+    CASE WHEN 64 * cellsum >= SUM(cellsum) OVER (PARTITION BY media_id)
+      THEN 1 ELSE 0 END AS bit
+  FROM cells
+),
+pairs AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+    CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM bits a JOIN bits b ON a.cell = b.cell AND a.media_id < b.media_id
+  GROUP BY a.media_id, b.media_id
+)
+SELECT media_a, media_b, hamming,
+  (media_a // 3 = media_b // 3) AS same_group
+FROM pairs
+WHERE hamming <= {_AHASH_T}
+ORDER BY media_a, media_b
+"""
+
+
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
 
 MULTIMODAL_QUERIES: dict[str, QuerySpec] = {
+    "media_phash_dedup": QuerySpec(media_phash_dedup, MEDIA_PHASH_SQL),
     "media_resize": QuerySpec(media_resize, MEDIA_RESIZE_SQL),
     "media_features": QuerySpec(media_features, MEDIA_FEATURES_SQL),
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),

@@ -108,3 +108,63 @@ def test_binary_file_ingest_matches_columnar_decode(spark, tmp_path):
     via_cols = decode_media(encoded).collect()
     assert sorted([tuple(r) for r in via_files]) == sorted([tuple(r) for r in via_cols])
     assert len(via_files) == encoded.count()
+
+
+def test_phash_dedup_finds_exactly_the_planted_pairs(spark, sf_dir):
+    """Every emitted pair is within a planted group (precision) and all
+    C(3,2) pairs of all 20 groups surface (recall) — the banding is
+    lossless at the tuned separation (within <= 3, cross >= 18)."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
+        _AHASH_GROUPS,
+        media_phash_dedup,
+    )
+
+    rows = media_phash_dedup(spark, sf_dir).collect()
+    assert len(rows) == 3 * _AHASH_GROUPS
+    assert all(r.same_group for r in rows)
+    assert all(0 <= r.hamming <= 3 for r in rows)
+    got = {(r.media_a, r.media_b) for r in rows}
+    expect = {
+        (3 * g + a, 3 * g + b)
+        for g in range(_AHASH_GROUPS)
+        for a in range(3)
+        for b in range(a + 1, 3)
+    }
+    assert got == expect
+
+
+def test_ahash_signature_matches_closed_form(spark):
+    """The Arrow kernel's signature from REAL BMP bytes equals the
+    closed-form recompute from the pixel generator (the same identity
+    the DuckDB oracle checks, pinned here for one image end-to-end)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
+        _AHASH_H,
+        _AHASH_W,
+        _ahash_base_byte,
+        _encode_ahash_bmp,
+        ahash_signatures,
+    )
+
+    mid = 7  # group 2, variant 1 -> has a bright cell
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [mid], "payload": [_encode_ahash_bmp(mid)]})
+    )
+    r = ahash_signatures(media).collect()[0]
+
+    group, v = mid // 3, mid % 3
+    c_bright = (group * 7 + v * 13) % 64
+    cells = [0] * 64
+    for j in range(3 * _AHASH_W * _AHASH_H):
+        x = (j % (3 * _AHASH_W)) // 3
+        y = j // (3 * _AHASH_W)
+        cell = (y // 2) * 8 + (x // 2)
+        cells[cell] += 255 if cell == c_bright else _ahash_base_byte(group, cell, j)
+    total = sum(cells)
+    bits = [1 if 64 * c >= total else 0 for c in cells]
+    lo = sum(b << i for i, b in enumerate(bits[:32]))
+    hi = sum(b << i for i, b in enumerate(bits[32:]))
+    assert (r.hash_hi, r.hash_lo) == (hi, lo)
+    assert bits[c_bright] == 1  # the painted cell reads bright

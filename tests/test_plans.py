@@ -82,6 +82,10 @@ SMJ_ALLOWED = {
     "kcore_near_dup",
     "lpa_communities",
     "contamination_radius",
+    # banded signature self-join: both sides are the corpus-derived
+    # aHash band frame (same rationale as source_overlap); AQE
+    # broadcasts at runtime where the fixture side is small.
+    "media_phash_dedup",
 }
 
 

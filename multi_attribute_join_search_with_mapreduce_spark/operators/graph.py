@@ -601,7 +601,7 @@ ORDER BY d.doc_id
 """
 
 
-_KC_ROUNDS = 8
+_KC_ROUNDS = 5
 
 
 def kcore_values(edges: DataFrame, rounds: int = _KC_ROUNDS) -> DataFrame:
@@ -643,31 +643,64 @@ def kcore_values(edges: DataFrame, rounds: int = _KC_ROUNDS) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("degree")
     ).persist()
 
+    # h-index of a value multiset, computed on the degree-bounded
+    # collected array: with values sorted descending, [v_r >= r] is
+    # monotone non-increasing in r, so h = #{r : v_r >= r}. One
+    # aggregate per node — no per-neighbor window sort, and the array
+    # is bounded by degree (the same bound the windowed form had).
+    _H_EXPR = (
+        "aggregate(zip_with(sort_array(collect_vals, false),"
+        " sequence(1, size(collect_vals)),"
+        " (v, r) -> IF(v >= CAST(r AS BIGINT), 1, 0)), 0, (a, x) -> a + x)"
+    )
+
     def h_pass(core: DataFrame) -> DataFrame:
         """(node, h) = h-index of each node's neighbors' current cores."""
         nb = sym.join(
             core.select(F.col("node").alias("dst"), F.col("core").alias("nc")),
             "dst",
-        ).select("src", "nc")
-        w = Window.partitionBy("src").orderBy(F.desc("nc"))
+        ).select(F.col("src").alias("node"), "nc")
         return (
-            nb.withColumn("rn", F.row_number().over(w))
-            .groupBy(F.col("src").alias("node"))
+            nb.groupBy("node")
+            .agg(F.collect_list("nc").alias("collect_vals"))
+            .select("node", F.expr(_H_EXPR).cast("long").alias("h"))
+        )
+
+    def step(core: DataFrame) -> DataFrame:
+        """min(core, h(neighbors)) in ONE join + ONE aggregate: the
+        node's own core rides the union as a tagged self-row, so no
+        second join is needed to combine it with the neighbor h."""
+        nb = sym.join(
+            core.select(F.col("node").alias("dst"), F.col("core").alias("nc")),
+            "dst",
+        ).select(
+            F.col("src").alias("node"), "nc", F.lit(False).alias("is_self")
+        )
+        own = core.select(
+            "node", F.col("core").alias("nc"), F.lit(True).alias("is_self")
+        )
+        merged = nb.unionByName(own)
+        return (
+            merged.groupBy("node")
             .agg(
-                F.max(
-                    F.when(F.col("nc") >= F.col("rn"), F.col("rn")).otherwise(0)
-                ).cast("long").alias("h")
+                F.collect_list(F.when(~F.col("is_self"), F.col("nc"))).alias(
+                    "collect_vals"
+                ),
+                F.max(F.when(F.col("is_self"), F.col("nc"))).alias("own"),
+            )
+            .select(
+                "node",
+                F.least(F.col("own"), F.expr(_H_EXPR).cast("long"))
+                .cast("long")
+                .alias("core"),
             )
         )
 
     core = deg.select("node", F.col("degree").alias("core"))
     for rnd in range(rounds):
-        stepped = core.join(h_pass(core), "node").select(
-            "node", F.least(F.col("core"), F.col("h")).cast("long").alias("core")
-        )
-        # every node has >= 1 neighbor by construction, so the inner
-        # join is total; localCheckpoint every few rounds truncates the
-        # per-round doubling lineage (connected_components discipline)
+        stepped = step(core)
+        # localCheckpoint every few rounds truncates the per-round
+        # doubling lineage (connected_components discipline)
         core = stepped.localCheckpoint() if rnd % 4 == 3 else stepped.persist()
 
     final_h = h_pass(core)
@@ -741,7 +774,7 @@ ORDER BY doc_id
 """
 
 
-_LPA_ROUNDS = 6
+_LPA_ROUNDS = 4
 
 
 def lpa_labels(edges: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
@@ -777,16 +810,19 @@ def lpa_labels(edges: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
     nodes = sym.select(F.col("src").alias("node")).distinct().persist()
 
     def vote(lab: DataFrame) -> DataFrame:
-        """(node, label) = the plurality label among self + neighbors."""
+        """(node, label) = the plurality label among self + neighbors.
+        The (count DESC, label ASC) pick is a map-side-combinable
+        ``max_by`` over the ordering struct (c, -label) — (node,label)
+        rows are unique, so the struct is a total order and the pick is
+        deterministic without a per-node window sort."""
         votes = sym.join(
             lab.select(F.col("node").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("node"), "label").unionByName(lab)
         cnt = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
-        return (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+        return cnt.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
         )
 
     lab = nodes.select("node", F.col("node").alias("label"))

@@ -235,7 +235,15 @@ def registry() -> dict[str, QuerySpec]:
         # graph/statistics batch 2: LPA communities, contamination BFS,
         # exact ROC-AUC + calibration, weekly-seasonality ACF
         "lpa_communities", "contamination_radius", "roc_auc_quality",
-        "acf_daily_revenue", "media_phash_dedup",
+        "acf_daily_revenue", "media_phash_dedup", "cluster_rep_sample",
+        "group_kfold_split",
+        # LLM-curation batch 3: boilerplate fraction, directed
+        # containment (quote) join, PMI collocations, cross-split
+        # near-dup leakage audit, leave-one-out target encoding
+        "boilerplate_phrases", "containment_join", "pmi_collocations",
+        "split_leakage_audit", "target_encode_loo", "feature_hashing",
+        "negative_sample_pairs", "seasonal_wape_backtest",
+        "random_projection_jl", "bpe_encode_tokens", "markov_backtest",
         # r3 reds
         "approx_sketches", "mergeable_hll_rollup", "scd2_user_state",
         # statistics family (VERDICT r3 task 5)

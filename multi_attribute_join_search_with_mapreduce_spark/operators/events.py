@@ -1060,7 +1060,107 @@ FROM m ORDER BY event_type
 """
 
 
+def markov_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor with an
+    ENTITY-level holdout: the transition model trains on hash-split
+    train users (md5 digit ≤ '7'), predicts ``argmax P(next | prev)``,
+    and scores accuracy on held-out users' transitions — the
+    leakage-free evaluation loop (`group_kfold_split`'s rationale
+    applied to a sequence model; a per-row split would leak a user's
+    own behavior into their eval).
+
+    Exactness: accuracy is one division of two BIGINTs per prev_type.
+    Unseen prev_types on the test side score as incorrect (pred NULL).
+
+    100 TB shape: one user-partitioned sort per half feeds the lag
+    (same shuffle the transition matrix pays); the model collapses to
+    the S²-row matrix, so the argmax window and the broadcast model
+    join are domain-sized, never fact-sized.
+    """
+    e = load_table(spark, "events", sf)
+    is_train = (
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    trans = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(
+            is_train.alias("train"),
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = (
+        trans.filter("train")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("prev_type").orderBy(F.desc("n"), F.asc("next_type"))
+    model = (
+        counts.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("pred"))
+    )
+    test = trans.filter(~F.col("train"))
+    return (
+        test.join(F.broadcast(model), "prev_type", "left")
+        .groupBy("prev_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("next_type") == F.col("pred"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.min("pred").alias("pred"),
+        )
+        .select(
+            "prev_type",
+            "pred",
+            "n_test",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_test")).alias("accuracy"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+MARKOV_BACKTEST_SQL = """
+WITH trans AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS train,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type,
+    event_type AS next_type
+  FROM events WHERE user_id IS NOT NULL
+),
+counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM trans WHERE train AND prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+model AS (
+  SELECT prev_type, next_type AS pred
+  FROM (SELECT prev_type, next_type,
+          ROW_NUMBER() OVER (PARTITION BY prev_type
+                             ORDER BY n DESC, next_type) AS rn
+        FROM counts)
+  WHERE rn = 1
+)
+SELECT t.prev_type, MIN(m.pred) AS pred,
+  CAST(COUNT(*) AS BIGINT) AS n_test,
+  CAST(SUM(CASE WHEN t.next_type = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  CAST(SUM(CASE WHEN t.next_type = m.pred THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS accuracy
+FROM trans t LEFT JOIN model m ON m.prev_type = t.prev_type
+WHERE NOT t.train AND t.prev_type IS NOT NULL
+GROUP BY t.prev_type ORDER BY t.prev_type
+"""
+
+
 EVENT_QUERIES: dict[str, QuerySpec] = {
+    "markov_backtest": QuerySpec(markov_backtest, MARKOV_BACKTEST_SQL),
     "value_trend_ols": QuerySpec(value_trend_ols, OLS_TREND_SQL),
     "top_event_paths": QuerySpec(top_event_paths, TOP_PATHS_SQL),
     "native_session_window": QuerySpec(native_session_window, _native_session_sql()),

@@ -997,7 +997,63 @@ SELECT node AS doc_id, hops FROM d{_BFS_ROUNDS} ORDER BY doc_id
 """
 
 
+def cluster_rep_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster, keep the
+    HIGHEST-`quality_score` member (tie → min doc_id) instead of
+    `dedup_canonical`'s positional min-id pick — the curation policy a
+    training pipeline actually wants (of N near-copies, keep the
+    cleanest, not the first-crawled). One `max_by` over the ordering
+    struct (quality, -doc_id): map-side-combinable, no per-cluster
+    window sort; the join adds one exchange on doc_id over the
+    cluster-member frame (duplicate-fraction-sized, not corpus-sized).
+    Determinism: quality is a 2-decimal-rounded 5-valued score, so ties
+    are common and the -doc_id component makes the pick total."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        quality_score,
+    )
+
+    clusters = dedup_clusters(spark, sf)
+    q = quality_score(spark, sf).select("doc_id", "quality")
+    return (
+        clusters.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd")),
+            ).alias("rep_doc_id"),
+            F.max("quality").alias("rep_quality"),
+            F.max("cluster_size").alias("cluster_size"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _cluster_rep_sql() -> str:
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        QUALITY_SQL,
+    )
+
+    return f"""
+{_cc_ctes()},
+q AS (SELECT doc_id, quality FROM ({QUALITY_SQL})),
+j AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+    MAX(q.quality) OVER (PARTITION BY c.cluster_id) AS rep_quality
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, rep_quality,
+  CAST(cluster_size AS BIGINT) AS cluster_size
+FROM j WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
 GRAPH_QUERIES: dict[str, QuerySpec] = {
+    "cluster_rep_sample": QuerySpec(cluster_rep_sample, _cluster_rep_sql()),
     "kcore_near_dup": QuerySpec(kcore_near_dup, _kcore_sql()),
     "lpa_communities": QuerySpec(lpa_communities, _lpa_sql()),
     "contamination_radius": QuerySpec(contamination_radius, _bfs_sql()),

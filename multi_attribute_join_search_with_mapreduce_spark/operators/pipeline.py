@@ -917,7 +917,256 @@ ORDER BY es_key, doc_id LIMIT {_WS_K}
 """
 
 
+# --- leakage-free grouped cross-validation folds ---------------------------
+
+K_FOLDS = 4  # one md5 hex digit maps EXACTLY evenly onto 4 folds
+
+
+def _fold_col(key: F.Column) -> F.Column:
+    """Fold 0..3 from the first md5 hex digit of the group key — the
+    same engine-portable idiom as `_split_col`, with 16 digits / 4
+    folds giving a perfectly uniform hash partition."""
+    h = F.substring(F.md5(key.cast("string")), 1, 1)
+    return (
+        F.when(h <= "3", 0)
+        .when(h <= "7", 1)
+        .when(h <= "b", 2)
+        .otherwise(3)
+        .cast("int")
+    )
+
+
+_FOLD_SQL = (
+    "CAST(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '3' THEN 0 "
+    "WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' THEN 1 "
+    "WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= 'b' THEN 2 "
+    "ELSE 3 END AS INT)"
+)
+
+
+def group_kfold_split(spark: SparkSession, sf: str) -> DataFrame:
+    """GroupKFold assignment for cross-validation over events: the fold
+    is a pure function of ``user_id`` (md5 digit), so EVERY event of a
+    user lands in one fold — the grouped split that prevents
+    entity-level leakage between train and validation (the per-row
+    random split a naive pipeline does leaks users across folds).
+
+    One aggregation pass keyed on the derived fold; the share column
+    runs as a window over the K-row aggregate, never over events.
+    Membership is reproducible across runs, partitionings, and engines
+    (`_split_col` contract).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf).filter(F.col("user_id").isNotNull())
+    agg = e.groupBy(_fold_col(F.col("user_id")).alias("fold")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "fold",
+        "n_users",
+        "n_events",
+        (F.col("n_events") / F.sum("n_events").over(w)).alias("event_share"),
+        "value_sum",
+    ).orderBy("fold")
+
+
+GROUP_KFOLD_SQL = f"""
+WITH agg AS (
+  SELECT {_FOLD_SQL} AS fold,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY fold
+)
+SELECT fold, n_users, n_events,
+  CAST(n_events AS DOUBLE) / SUM(n_events) OVER () AS event_share,
+  value_sum
+FROM agg
+ORDER BY fold
+"""
+
+
+# --- cross-split leakage audit ---------------------------------------------
+
+
+def split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test contamination check: every near-duplicate candidate
+    pair (LSH band collision, `near_dup_candidates`) whose two docs
+    landed on OPPOSITE sides of the hash split — the leak that silently
+    inflates eval scores when a test doc's near-copy sits in train.
+    Run after every split: a non-empty result means the split must be
+    cluster-aware (split on `dedup_clusters` labels, not raw doc_id).
+
+    Scale shape: the pair frame is LSH-banded (never all-pairs) and the
+    split is a pure hash function evaluated per side — two map-side
+    column derivations on the pair list, no extra join against the
+    corpus.
+    """
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        near_dup_candidates,
+    )
+
+    def split_of(col: str) -> F.Column:
+        h = F.substring(F.md5(F.col(col).cast("string")), 1, 1)
+        return F.when(h <= "c", "train").otherwise("test")
+
+    return (
+        near_dup_candidates(spark, sf)
+        .withColumn("split_a", split_of("doc_a"))
+        .withColumn("split_b", split_of("doc_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _leakage_sql() -> str:
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        NEAR_DUP_SQL,
+    )
+
+    split_of = (
+        "CASE WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 1) <= 'c' "
+        "THEN 'train' ELSE 'test' END"
+    )
+    return f"""
+SELECT doc_a, doc_b,
+  {split_of.format(c="doc_a")} AS split_a,
+  {split_of.format(c="doc_b")} AS split_b,
+  est_jaccard
+FROM ({NEAR_DUP_SQL}) nd
+WHERE {split_of.format(c="doc_a")} <> {split_of.format(c="doc_b")}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- leakage-safe leave-one-out target encoding ------------------------------
+
+
+def target_encode_loo(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding of `event_type` against `value`:
+    each event gets the mean value of its category computed WITHOUT its
+    own row — ``(sum_type − value) / (cnt_type − 1)`` — the encoding
+    that avoids the self-leakage a naive category-mean join bakes into
+    a feature (a row's own target inside its feature).
+
+    Exactness: the category sums accumulate in DECIMAL(18,2) (order-
+    independent), the subtraction stays decimal, and only the final
+    per-row division drops to double (single-division tolerance class).
+
+    Scale shape: one map-side-combinable aggregate to |event_type| rows,
+    broadcast back onto the fact (event_type is a bounded-domain enum —
+    tiny at any corpus size, broadcast is structurally safe), then a
+    pure map-side row expression. No window over the fact, no shuffle
+    of events at all.
+    """
+    e = load_table(spark, "events", sf).filter(F.col("value").isNotNull())
+    per = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    vdec = F.col("value").cast("decimal(18,2)")
+    return (
+        e.join(F.broadcast(per), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(
+                F.col("c") > 1,
+                (F.col("s") - vdec).cast("double") / (F.col("c") - 1),
+            ).alias("loo_mean"),
+        )
+        .orderBy("event_id")
+    )
+
+
+TARGET_ENCODE_SQL = """
+WITH per AS (
+  SELECT event_type, SUM(CAST(value AS DECIMAL(18,2))) AS s, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT event_id, event_type, value,
+  CASE WHEN c > 1 THEN
+    CAST(s - CAST(value AS DECIMAL(18,2)) AS DOUBLE) / (c - 1)
+  END AS loo_mean
+FROM events JOIN per USING (event_type)
+WHERE value IS NOT NULL
+ORDER BY event_id
+"""
+
+
+# --- hashing-trick feature vectors ------------------------------------------
+
+# Every 10th user keeps the audited output human-sized; the hashed
+# vector itself is computed for the full stream before the slice so the
+# aggregate shape matches production (slice is a post-agg filter in
+# spirit but pushed pre-agg here because the hash is per-row).
+_FH_USER_MOD = 10
+
+
+def feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. ICML'09): sparse categorical
+    features (`event_type`, the JSON `props.k` value) hashed into 16
+    signed buckets per user — the fixed-width feature vector that needs
+    NO vocabulary build, no fit step, and no dimension that grows with
+    cardinality (the point at 100 TB: a one-hot vocabulary join would
+    be corpus-derived state; the hash is stateless).
+
+    Bucket = first md5 hex digit of the feature string (kept as the hex
+    CHARACTER — engine-portable, no base conversion); sign = ±1 from the
+    second digit (the signed trick that makes collisions unbiased).
+    One explode (2 features/row) + one map-side-combinable aggregation
+    on (user_id, bucket). Nothing shuffles but the final small agg.
+    """
+    e = load_table(spark, "events", sf).filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") % _FH_USER_MOD == 0)
+    )
+    feat = F.explode(
+        F.array(
+            F.concat(F.lit("type="), F.col("event_type")),
+            F.concat(F.lit("k="), F.get_json_object("props", "$.k")),
+        )
+    ).alias("feat")
+    h = F.md5(F.col("feat"))
+    return (
+        e.select("user_id", feat)
+        .select(
+            "user_id",
+            F.substring(h, 1, 1).alias("bucket"),
+            F.when(F.substring(h, 2, 1) <= "7", 1).otherwise(-1).alias("sign"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("feat_val"))
+        .orderBy("user_id", "bucket")
+    )
+
+
+FEATURE_HASHING_SQL = f"""
+WITH feats AS (
+  SELECT user_id, 'type=' || event_type AS feat FROM events
+  WHERE user_id IS NOT NULL AND user_id % {_FH_USER_MOD} = 0
+  UNION ALL
+  SELECT user_id, 'k=' || json_extract_string(props, '$.k') AS feat FROM events
+  WHERE user_id IS NOT NULL AND user_id % {_FH_USER_MOD} = 0
+)
+SELECT user_id, substr(md5(feat), 1, 1) AS bucket,
+  CAST(SUM(CASE WHEN substr(md5(feat), 2, 1) <= '7' THEN 1 ELSE -1 END)
+       AS BIGINT) AS feat_val
+FROM feats GROUP BY user_id, bucket ORDER BY user_id, bucket
+"""
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
+    "feature_hashing": QuerySpec(feature_hashing, FEATURE_HASHING_SQL),
+    "split_leakage_audit": QuerySpec(split_leakage_audit, _leakage_sql()),
+    "target_encode_loo": QuerySpec(target_encode_loo, TARGET_ENCODE_SQL),
+    "group_kfold_split": QuerySpec(group_kfold_split, GROUP_KFOLD_SQL),
     "weighted_sample_docs": QuerySpec(weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "temperature_rebalance": QuerySpec(temperature_rebalance, TEMPERATURE_REBALANCE_SQL),
     "winsorize_doc_lengths": QuerySpec(winsorize_doc_lengths, WINSORIZE_SQL),

@@ -1193,7 +1193,185 @@ LIMIT {TOP_K}
 """
 
 
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+
+_JL_K = 8  # target dimensionality
+_JL_D = 64  # source embedding dimensionality (fixture schema)
+
+
+def _jl_signs() -> list[list[int]]:
+    """The ±1 projection matrix (Achlioptas'01 database-friendly JL):
+    sign(i, j) from md5 of the coordinate pair — a CONSTANT, so both
+    engines receive it as a literal rather than re-deriving hashes per
+    row. No RNG state, reproducible everywhere."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0] <= "7" else -1
+            for i in range(_JL_D)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+def random_projection_jl(spark: SparkSession, sf: str) -> DataFrame:
+    """Dimensionality reduction by signed random projection:
+    ``p_j = (Σ_i sign(i,j)·v_i) / sqrt(k)`` for k=8 output dims — the
+    Johnson-Lindenstrauss transform that preserves pairwise distances
+    within (1±ε) with no training step, the standard pre-step before
+    an ANN index at 100 TB (8 doubles per row instead of 64).
+
+    Purely map-side: a per-row fold per output dim against a LITERAL
+    sign matrix — zero shuffles, zero corpus-derived state. Float
+    parity with the oracle comes from the same left-fold order as
+    `_dot` (`F.aggregate` ↔ DuckDB `list_sum`, the module's proven
+    pairing).
+    """
+    signs = _jl_signs()
+    e = load_table(spark, "embeddings", sf)
+    v = _dvec("embedding")
+    cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(s)) for s in signs[j]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sqrt(F.lit(float(_JL_K))),
+            4,
+        ).alias(f"p{j}")
+        for j in range(_JL_K)
+    ]
+    return e.select("vec_id", "label", *cols).orderBy("vec_id")
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    projs = []
+    for j in range(_JL_K):
+        lit = "[" + ", ".join(f"{float(s)}" for s in signs[j]) + "]"
+        projs.append(
+            f"ROUND(list_sum(list_transform(generate_series(1, {_JL_D}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i])) "
+            f"/ SQRT({float(_JL_K)}), 4) AS p{j}"
+        )
+    cols = ",\n  ".join(projs)
+    return f"SELECT vec_id, label,\n  {cols}\nFROM embeddings ORDER BY vec_id"
+
+
+RANDOM_PROJECTION_SQL = _jl_sql()
+
+
+# --- deterministic contrastive negative sampling -----------------------------
+
+_NEG_K = 4  # negatives drawn per anchor
+_NEG_C = 2  # committee members kept per (label, bucket)
+_NEG_ANCHOR_MOD = 23  # vec_id % 23 == 0 -> anchor slice
+
+
+def negative_sample_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor vector draws ``_NEG_K`` negatives with a DIFFERENT label —
+    reproducible across runs, partitionings, and engines because every
+    "random" choice is an md5 of row content (no RNG state).
+
+    Scale design — the naive per-anchor "rank all other-label rows by
+    hash" is O(anchors·corpus). Instead: (1) a COMMITTEE of ``_NEG_C``
+    min-md5 members per (label, bucket-of-16) — bounded at
+    ``labels·16·C`` rows regardless of corpus size, built by one
+    hash-partitioned window (md5-uniform keys, no skew); (2) each
+    (anchor, draw j) targets bucket ``md5(vec_id:j)[0]`` and joins the
+    broadcast committee on that single hex char, excluding its own
+    label; (3) the winner per draw is the min of ``md5(anchor:cand)``
+    — a groupBy over a join whose fan-out is ≤ labels·C per draw.
+    The corpus is scanned once; nothing pairwise ever materializes.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf)
+    member_h = F.md5(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("label", "bucket").orderBy("member_rank")
+    committee = (
+        e.select(
+            "vec_id",
+            "label",
+            F.substring(member_h, 1, 1).alias("bucket"),
+            member_h.alias("member_rank"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NEG_C)
+        .select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "bucket",
+        )
+    )
+
+    anchors = (
+        e.filter(F.col("vec_id") % _NEG_ANCHOR_MOD == 0)
+        .select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label"))
+        .select("*", F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("draw"))
+        .withColumn(
+            "bucket",
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("anchor_id"), F.col("draw"))), 1, 1
+            ),
+        )
+    )
+
+    pick = F.md5(F.concat_ws(":", F.col("anchor_id"), F.col("neg_id")))
+    return (
+        anchors.join(F.broadcast(committee), "bucket")
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .groupBy("anchor_id", "anchor_label", "draw")
+        .agg(
+            F.min_by("neg_id", pick).alias("neg_id"),
+            F.min_by("neg_label", pick).alias("neg_label"),
+        )
+        .orderBy("anchor_id", "draw")
+    )
+
+
+NEGATIVE_SAMPLE_SQL = f"""
+WITH committee AS (
+  SELECT vec_id AS neg_id, label AS neg_label,
+    substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bucket,
+    ROW_NUMBER() OVER (
+      PARTITION BY label, substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+      ORDER BY md5(CAST(vec_id AS VARCHAR))
+    ) AS rn
+  FROM embeddings
+),
+anchors AS (
+  SELECT e.vec_id AS anchor_id, e.label AS anchor_label, t.i AS draw,
+    substr(md5(CAST(e.vec_id AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 1, 1)
+      AS bucket
+  FROM embeddings e, LATERAL UNNEST(generate_series(1, {_NEG_K})) AS t(i)
+  WHERE e.vec_id % {_NEG_ANCHOR_MOD} = 0
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, a.draw, c.neg_id, c.neg_label,
+    ROW_NUMBER() OVER (
+      PARTITION BY a.anchor_id, a.draw
+      ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':' || CAST(c.neg_id AS VARCHAR))
+    ) AS pick
+  FROM anchors a JOIN committee c
+    ON c.bucket = a.bucket AND c.rn <= {_NEG_C} AND c.neg_label <> a.anchor_label
+)
+SELECT anchor_id, anchor_label, draw, neg_id, neg_label
+FROM scored WHERE pick = 1
+ORDER BY anchor_id, draw
+"""
+
+
 SIMILARITY_QUERIES: dict[str, QuerySpec] = {
+    "random_projection_jl": QuerySpec(random_projection_jl, RANDOM_PROJECTION_SQL),
+    "negative_sample_pairs": QuerySpec(negative_sample_pairs, NEGATIVE_SAMPLE_SQL),
     "pq_adc_search": QuerySpec(pq_adc_search, PQ_ADC_SQL),
     "embedding_gram_matrix": QuerySpec(embedding_gram_matrix, GRAM_SQL),
     "pca_project": QuerySpec(pca_project, None),

@@ -858,7 +858,78 @@ ORDER BY lag
 """
 
 
+# --- seasonal-naive forecast backtest ---------------------------------------
+
+
+def seasonal_wape_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Backtest of the weekly seasonal-naive forecast (predict day *d*
+    with day *d−7*) per event type — the baseline every metric-forecast
+    model must beat, scored with WAPE ``Σ|actual−forecast| / Σactual``
+    and relative bias ``Σ(actual−forecast) / Σactual``.
+
+    WAPE, not MAPE, by design: both numerator and denominator are exact
+    DECIMAL sums (order-independent), so the whole metric is ONE final
+    double division per type — MAPE's per-day division would float-sum
+    in partition order (the hash-gate hazard the module docstring
+    bans).
+
+    100 TB shape: one fact scan → per-(type, day) aggregate; the lag
+    pairing is a broadcast self-join of the calendar-bounded daily
+    frame (``date_add(day, 7)`` equi-key). Nothing after the first
+    aggregate scales with the corpus.
+    """
+    e = load_table(spark, "events", sf).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast(DEC)).alias("x")
+    )
+    fc = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("x").alias("fx"),
+    )
+    j = daily.join(F.broadcast(fc), ["event_type", "day"])
+    err = (F.col("x") - F.col("fx")).cast(DEC_SQ)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.abs(err)).alias("_sae"),
+            F.sum(err).alias("_se"),
+            F.sum(F.col("x").cast(DEC_SQ)).alias("_sa"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            (F.col("_sae").cast("double") / F.col("_sa").cast("double")).alias("wape"),
+            (F.col("_se").cast("double") / F.col("_sa").cast("double")).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SEASONAL_WAPE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, day
+)
+SELECT d.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(SUM(ABS(CAST(d.x - f.x AS DECIMAL(38,4)))) AS DOUBLE)
+    / CAST(SUM(CAST(d.x AS DECIMAL(38,4))) AS DOUBLE) AS wape,
+  CAST(SUM(CAST(d.x - f.x AS DECIMAL(38,4))) AS DOUBLE)
+    / CAST(SUM(CAST(d.x AS DECIMAL(38,4))) AS DOUBLE) AS bias
+FROM daily d JOIN daily f
+  ON f.event_type = d.event_type AND f.day + 7 = d.day
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
 STATS_QUERIES: dict[str, QuerySpec] = {
+    "seasonal_wape_backtest": QuerySpec(seasonal_wape_backtest, SEASONAL_WAPE_SQL),
     "roc_auc_quality": QuerySpec(roc_auc_quality, _roc_auc_sql()),
     "acf_daily_revenue": QuerySpec(acf_daily_revenue, ACF_SQL),
     "median_mad_value": QuerySpec(median_mad_value, MEDIAN_MAD_SQL),

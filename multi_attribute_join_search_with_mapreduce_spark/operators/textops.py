@@ -1369,6 +1369,151 @@ rep_1 AS (
 BPE_TRAIN_SQL = _bpe_train_sql()
 
 
+def bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer APPLICATION: train ``_BPE_ROUNDS`` BPE merges (the same
+    declarative merge chain as `bpe_train_merges`) and apply ALL of them
+    to the corpus, reporting per-document BPE token counts and
+    FERTILITY (BPE tokens per word) — the statistic that prices a
+    corpus in compute budget and flags writing systems a tokenizer
+    underserves.
+
+    Key scale property inherited from the trainer: merges train AND
+    apply on the weighted VOCABULARY (distinct words), never the
+    corpus; the corpus is touched exactly twice — once to build the
+    vocabulary, once to join each token occurrence to its word's
+    encoded unit count (vocabulary-keyed join, AQE-broadcast at fixture
+    scale). The whole train+apply+join is ONE lazy DAG with no
+    driver-side collect.
+    """
+    d = load_table(spark, "documents", sf)
+    vocab = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("t")), lambda i: F.col("t").substr(i, F.lit(1))
+    )
+    S = _BPE_SEP
+    cur = vocab.select(
+        "t",
+        "w",
+        F.concat(
+            F.lit(S), F.array_join(chars, S + S), F.lit(S)
+        ).alias("rep"),
+    )
+
+    def top_pair(rep_df: DataFrame) -> DataFrame:
+        units = F.split(
+            F.expr("substring(rep, 2, length(rep) - 2)"), S + S
+        )
+        pairs = rep_df.select(
+            "w",
+            F.explode(
+                F.zip_with(
+                    units,
+                    F.slice(units, 2, F.greatest(F.size(units) - 1, F.lit(1))),
+                    lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                )
+            ).alias("p"),
+        ).filter(F.col("p.r").isNotNull())
+        return (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("w").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+        )
+
+    # unlike the trainer (which reports the pair found in round k and
+    # only applies k-1 merges to the frame it returns from), the encoder
+    # APPLIES every trained merge, including the last
+    for _ in range(_BPE_ROUNDS):
+        best = top_pair(cur)
+        pattern = F.concat(F.lit(S), F.col("l"), F.lit(S + S), F.col("r"), F.lit(S))
+        merged = F.concat(F.lit(S), F.col("l"), F.col("r"), F.lit(S))
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "t", "w", F.replace(F.col("rep"), pattern, merged).alias("rep")
+        )
+
+    n_units = F.size(
+        F.split(F.expr("substring(rep, 2, length(rep) - 2)"), S + S)
+    )
+    enc = cur.select("t", n_units.alias("n_units"))
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    return (
+        toks.join(enc, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_units").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    S = _BPE_SEP
+    SS = S + S
+
+    def units_cte(src: str, n: int) -> str:
+        return f"""
+pairs_{n} AS (
+  SELECT w, u[i] AS l, u[i + 1] AS r
+  FROM (SELECT w, string_split(substr(rep, 2, length(rep) - 2), '{SS}') AS u
+        FROM {src}),
+       LATERAL UNNEST(generate_series(1, greatest(len(u) - 1, 0))) t(i)
+),
+top_{n} AS (
+  SELECT l, r, CAST(SUM(w) AS BIGINT) AS pair_count
+  FROM pairs_{n} GROUP BY l, r
+  ORDER BY pair_count DESC, l, r LIMIT 1
+)"""
+
+    body = f"""
+WITH vocab AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT unnest({_TOKENS_SQL}) AS t FROM documents) GROUP BY t
+),
+rep_1 AS (
+  SELECT t, w,
+    '{S}' || array_to_string(
+      list_transform(generate_series(1, length(t)), i -> substr(t, i, 1)),
+      '{SS}') || '{S}' AS rep
+  FROM vocab
+)"""
+    for n in range(1, _BPE_ROUNDS + 1):
+        body += "," + units_cte(f"rep_{n}", n)
+        body += f""",
+rep_{n + 1} AS (
+  SELECT rep_{n}.t, w, replace(rep, '{S}' || tp.l || '{SS}' || tp.r || '{S}',
+                    '{S}' || tp.l || tp.r || '{S}') AS rep
+  FROM rep_{n} CROSS JOIN top_{n} tp
+)"""
+    return f"""{body},
+enc AS (
+  SELECT t,
+    len(string_split(substr(rep, 2, length(rep) - 2), '{SS}')) AS n_units
+  FROM rep_{_BPE_ROUNDS + 1}
+),
+toks AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(n_units) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(n_units) AS DOUBLE) / COUNT(*) AS fertility
+FROM toks JOIN enc USING (t)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 # Exact cross-document substring spans: window width in tokens. 8 is
 # the classic exact-substring-dedup granularity scaled down to the
 # fixture corpus (production systems use 50 BPE tokens; the plan shape
@@ -1571,10 +1716,253 @@ ORDER BY doc_id
 """
 
 
+# --- boilerplate phrase detection ------------------------------------------
+
+# A 3-gram appearing in >= _BP_DF distinct documents is "boilerplate"
+# (site chrome, licence blurbs, navigation text). On this synthetic
+# vocabulary df>=5 marks ~1% of distinct 3-grams (measured), mirroring
+# the CCNet-style paragraph-frequency cut natural-text pipelines use.
+_BP_DF = 5
+
+
+def boilerplate_phrases(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's 3-gram
+    OCCURRENCES whose gram appears in >= ``_BP_DF`` distinct documents —
+    the curation signal for "this page is mostly chrome, keep the
+    long-tail prose" (CCNet/RefinedWeb-style boilerplate cut, expressed
+    relationally instead of per-page heuristics).
+
+    Scale shape: one distinct-aggregate for document frequency (map-side
+    combinable), one vocabulary-keyed join back onto the occurrence
+    stream (both sides corpus-derived — same shape as
+    ``rare_token_stats``; AQE broadcasts when the gram table is small),
+    one groupBy doc_id. Nothing is ever pairwise.
+    """
+    d = load_table(spark, "documents", sf)
+    occ = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+    dfq = occ.groupBy("sh").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        occ.join(dfq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= _BP_DF, 1).otherwise(0)).alias("bp_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("bp_grams").cast("long").alias("bp_grams"),
+            (F.col("bp_grams").cast("double") / F.col("n_grams")).alias("bp_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH occ AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents),
+dfq AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY sh)
+SELECT o.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN d.df >= {_BP_DF} THEN 1 ELSE 0 END) AS BIGINT) AS bp_grams,
+  CAST(SUM(CASE WHEN d.df >= {_BP_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS bp_frac
+FROM occ o JOIN dfq d USING (sh)
+GROUP BY o.doc_id ORDER BY o.doc_id
+"""
+
+
+# --- exact containment (quote/subset) join ----------------------------------
+
+_CJ_NUM, _CJ_DEN = 4, 5  # containment threshold 0.8
+
+
+def containment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT directed containment join: every ordered pair (a, b) with
+    ``|sh(a) ∩ sh(b)| / |sh(a)| >= 0.8`` — the asymmetric cousin of
+    ``set_similarity_join`` that catches a SHORT doc quoted inside a
+    much longer one, which Jaccard structurally misses (a small set
+    inside a big one has low Jaccard but containment 1.0).
+
+    Prefix filtering adapted to containment: elements are globally
+    ordered rarest-first; only the CONTAINED side keeps a prefix of
+    ``na - ceil(t*na) + 1`` elements, while the containing side posts
+    ALL elements. Losslessness (pigeonhole): a qualifying pair shares
+    ``>= ceil(t*na)`` elements, and A's suffix beyond the prefix holds
+    only ``ceil(t*na) - 1`` elements — so at least one shared element
+    sits in A's prefix, and B's full posting finds it. A size filter
+    (``DEN*nb >= NUM*na``, since the overlap can't exceed ``nb``)
+    prunes before the exact ``array_intersect`` verify on candidates.
+
+    Scale shape: candidate join is Σ_el prefix-df(el)·df(el), bounded by
+    the rarest-first prefix (short postings on the A side), never
+    docs²; verification touches candidate pairs only.
+    """
+    d = load_table(spark, "documents", sf)
+    sets = d.select(
+        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
+    ).persist()
+
+    elems = sets.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("el")
+    )
+    dfreq = elems.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        elems.join(dfreq, "el")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "el"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.size("ranked").alias("n"),
+            F.transform("ranked", lambda s: s["el"]).alias("sorted_el"),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1, ceil in integer arithmetic
+    p = (
+        F.col("n")
+        - F.floor((_CJ_NUM * F.col("n") + _CJ_DEN - 1) / _CJ_DEN).cast("int")
+        + 1
+    )
+    a_pref = ordered.select(
+        "doc_id", "n", F.explode(F.slice("sorted_el", 1, p)).alias("el")
+    )
+
+    a, b = a_pref.alias("a"), elems.alias("b")
+    cands = (
+        a.join(b, "el")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .filter(_CJ_DEN * F.col("b.n") >= _CJ_NUM * F.col("a.n"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cands.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .filter(_CJ_DEN * inter >= _CJ_NUM * F.size("sh_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("long").alias("na"),
+            F.size("sh_b").cast("long").alias("nb"),
+            (inter.cast("double") / F.size("sh_a")).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Oracle: brute-force all ordered pairs with the SAME integer threshold —
+# the containment prefix filter is provably lossless, so outputs must be
+# identical.
+CONTAINMENT_SQL = f"""
+WITH s AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.sh, b.sh)) AS inter,
+    len(a.sh) AS na, len(b.sh) AS nb
+  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+)
+SELECT doc_a, doc_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+  CAST(inter AS DOUBLE) / na AS containment
+FROM scored WHERE {_CJ_DEN} * inter >= {_CJ_NUM} * na
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- PMI collocations --------------------------------------------------------
+
+_PMI_TOP = 25
+
+
+def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus collocation extraction: the ``_PMI_TOP`` most frequent
+    adjacent word bigrams with their pointwise mutual information
+    ``ln(P(ab) / (P(a)·P(b)))`` — the classic phrase-mining signal
+    (PMI >> 0 means the words co-occur far beyond chance; the phrases a
+    tokenizer or stopword list should treat as units).
+
+    Everything stays in exact BIGINT until ONE division and ONE ln per
+    surviving bigram (the sanctioned tolerance class): the ratio is
+    ``n_ab·N² / (M·n_a·n_b)`` with N total tokens, M total bigrams.
+
+    Scale shape: unigram and bigram counts are map-side-combinable
+    aggregations; the bigram→unigram joins key on the corpus-derived
+    vocabulary (same shape as ``rare_token_stats``; AQE broadcasts the
+    fixture-small sides). Totals are 1-row broadcasts. Top-k via
+    TakeOrderedAndProject, deterministic tie-break on the bigram text.
+    """
+    d = load_table(spark, "documents", sf)
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_tot = toks.agg(F.count(F.lit(1)).cast("long").alias("N"))
+
+    big = d.select(F.explode(_ngrams(F.col("text"), 2)).alias("bigram"))
+    bgc = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    m_tot = big.agg(F.count(F.lit(1)).cast("long").alias("M"))
+
+    w1 = F.substring_index("bigram", " ", 1)
+    w2 = F.substring_index("bigram", " ", -1)
+    ua = uni.select(F.col("w").alias("_w1"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("_w2"), F.col("n_w").alias("n_b"))
+    return (
+        bgc.withColumn("_w1", w1)
+        .withColumn("_w2", w2)
+        .join(ua, "_w1")
+        .join(ub, "_w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "bigram",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("N") * F.col("N")).cast("double")
+                    / (F.col("M") * F.col("n_a") * F.col("n_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_ab"), "bigram")
+        .limit(_PMI_TOP)
+    )
+
+
+PMI_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKENS_SQL}) AS w FROM documents),
+uni AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM toks),
+big AS (SELECT unnest({_ngrams_sql(2)}) AS bigram FROM documents),
+bgc AS (SELECT bigram, COUNT(*) AS n_ab FROM big GROUP BY bigram),
+mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS M FROM big)
+SELECT bigram,
+  CAST(n_ab AS BIGINT) AS n_ab,
+  CAST(ua.n_w AS BIGINT) AS n_a,
+  CAST(ub.n_w AS BIGINT) AS n_b,
+  ROUND(LN(CAST(n_ab * N * N AS DOUBLE) / (M * ua.n_w * ub.n_w)), 4) AS pmi
+FROM bgc
+JOIN uni ua ON ua.w = split_part(bigram, ' ', 1)
+JOIN uni ub ON ub.w = split_part(bigram, ' ', 2)
+CROSS JOIN tot CROSS JOIN mtot
+ORDER BY n_ab DESC, bigram LIMIT {_PMI_TOP}
+"""
+
+
 TEXT_QUERIES: dict[str, QuerySpec] = {
+    "boilerplate_phrases": QuerySpec(boilerplate_phrases, BOILERPLATE_SQL),
+    "containment_join": QuerySpec(containment_join, CONTAINMENT_SQL),
+    "pmi_collocations": QuerySpec(pmi_collocations, PMI_SQL),
     "lm_cross_entropy": QuerySpec(lm_cross_entropy, LM_CROSS_ENTROPY_SQL),
     "duplicate_span_stats": QuerySpec(duplicate_span_stats, DUPLICATE_SPAN_SQL),
     "bpe_train_merges": QuerySpec(bpe_train_merges, BPE_TRAIN_SQL),
+    "bpe_encode_tokens": QuerySpec(bpe_encode_tokens, BPE_ENCODE_SQL),
     "bm25_search": QuerySpec(bm25_search, BM25_SQL),
     "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIR_SQL),
     "set_similarity_join": QuerySpec(set_similarity_join, SET_SIMILARITY_SQL),

@@ -284,3 +284,47 @@ def test_native_session_window_gap_boundary_semantics(spark, tmp_path):
     )
     assert native_session_window(spark, over).count() == 2  # exact-micros split
     assert sessionize(spark, over).count() == 1  # floor-second test merges
+
+
+def test_markov_backtest_entity_split_and_argmax(spark, sf_dir):
+    """The model's per-prev prediction is the train-side argmax (ties →
+    lexicographic min), accuracy arithmetic is exact, and no test user
+    is a train user."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import (
+        markov_backtest,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r.user_id].append((r.ts, r.event_id, r.event_type))
+    train_counts = defaultdict(Counter)
+    test_trans = defaultdict(Counter)
+    for uid, rows in streams.items():
+        rows.sort()
+        is_train = hashlib.md5(str(uid).encode()).hexdigest()[0] <= "7"
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            (train_counts if is_train else test_trans)[a][b] += 1
+    model = {
+        p: min((t for t, c in cnt.items() if c == max(cnt.values())))
+        for p, cnt in train_counts.items()
+    }
+    got = {r.prev_type: r for r in markov_backtest(spark, sf_dir).collect()}
+    assert set(got) == set(test_trans)
+    for p, cnt in test_trans.items():
+        r = got[p]
+        assert r.pred == model.get(p)
+        assert r.n_test == sum(cnt.values())
+        assert r.n_correct == cnt.get(model.get(p), 0)
+        assert abs(r.accuracy - r.n_correct / r.n_test) < 1e-4

@@ -358,3 +358,28 @@ def test_contamination_radius_seeds_are_flagged_docs(spark, sf_dir):
         assert 0 <= r.hops <= _BFS_ROUNDS
         if r.hops == 0:
             assert r.doc_id in flagged
+
+
+def test_cluster_rep_is_max_quality_member(spark, sf_dir):
+    """The representative of every cluster is a member with maximal
+    quality; ties break to the smallest doc_id (the total-order pick
+    cluster_rep_sample documents)."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import (
+        cluster_rep_sample,
+        dedup_clusters,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import quality_score
+
+    reps = cluster_rep_sample(spark, sf_dir).collect()
+    assert reps
+    members: dict[int, list[int]] = {}
+    for r in dedup_clusters(spark, sf_dir).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    quality = {r.doc_id: r.quality for r in quality_score(spark, sf_dir).collect()}
+    assert len(reps) == len(members)
+    for r in reps:
+        docs = members[r.cluster_id]
+        best_q = max(quality[d] for d in docs)
+        assert r.rep_quality == best_q
+        assert r.rep_doc_id == min(d for d in docs if quality[d] == best_q)
+        assert r.cluster_size == len(docs)

@@ -237,3 +237,101 @@ def test_chunker_udtf_identical_to_native_path(spark, sf_dir):
     b = chunk_documents_udtf(spark, sf_dir)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_group_kfold_never_splits_a_user(spark, sf_dir):
+    """GroupKFold contract: the fold is a pure function of user_id, so
+    no user appears in two folds; folds partition the event set."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import (
+        K_FOLDS,
+        _fold_col,
+        group_kfold_split,
+    )
+
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    per_user = (
+        e.select("user_id", _fold_col(F.col("user_id")).alias("fold"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+    )
+    assert per_user.filter(F.col("nf") > 1).count() == 0
+
+    folds = group_kfold_split(spark, sf_dir).collect()
+    assert {r.fold for r in folds} <= set(range(K_FOLDS))
+    assert sum(r.n_events for r in folds) == e.count()
+    assert sum(r.n_users for r in folds) == e.select("user_id").distinct().count()
+    assert abs(sum(r.event_share for r in folds) - 1.0) < 1e-4
+
+
+def test_split_leakage_pairs_straddle_the_split(spark, sf_dir):
+    import hashlib
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import (
+        split_leakage_audit,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        near_dup_candidates,
+    )
+
+    def split(doc_id: int) -> str:
+        return "train" if hashlib.md5(str(doc_id).encode()).hexdigest()[0] <= "c" else "test"
+
+    rows = split_leakage_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r.split_a, r.split_b) == (split(r.doc_a), split(r.doc_b))
+        assert r.split_a != r.split_b
+    leaky = {(r.doc_a, r.doc_b) for r in rows}
+    all_pairs = {
+        (r.doc_a, r.doc_b) for r in near_dup_candidates(spark, sf_dir).collect()
+    }
+    assert leaky == {p for p in all_pairs if split(p[0]) != split(p[1])}
+
+
+def test_target_encode_loo_excludes_self(spark, sf_dir):
+    from collections import defaultdict
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import (
+        target_encode_loo,
+    )
+
+    e = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    sums, cnts = defaultdict(float), defaultdict(int)
+    for r in e.select("event_type", "value").collect():
+        sums[r.event_type] += r.value
+        cnts[r.event_type] += 1
+    rows = target_encode_loo(spark, sf_dir).collect()
+    assert len(rows) == sum(cnts.values())
+    for r in rows[:500]:
+        want = (sums[r.event_type] - r.value) / (cnts[r.event_type] - 1)
+        assert abs(r.loo_mean - want) < 1e-3
+
+
+def test_feature_hashing_reconstructs_from_raw_events(spark, sf_dir):
+    """Hashed buckets/signs recomputed row-by-row in Python must agree
+    with the aggregate — and the slice keeps only user_id % mod == 0."""
+    import hashlib
+    import json
+    from collections import defaultdict
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import (
+        _FH_USER_MOD,
+        feature_hashing,
+    )
+
+    acc: dict[tuple[int, str], int] = defaultdict(int)
+    rows = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") % _FH_USER_MOD == 0))
+        .select("user_id", "event_type", "props")
+        .collect()
+    )
+    for r in rows:
+        for feat in (f"type={r.event_type}", f"k={json.loads(r.props)['k']}"):
+            h = hashlib.md5(feat.encode()).hexdigest()
+            acc[(r.user_id, h[0])] += 1 if h[1] <= "7" else -1
+    got = {
+        (r.user_id, r.bucket): r.feat_val
+        for r in feature_hashing(spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in acc.items()}

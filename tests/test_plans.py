@@ -40,6 +40,12 @@ SMJ_ALLOWED = {
     # scale side turns out small.
     "dedup_clusters",
     "dedup_canonical",
+    # cluster labels ⨝ quality scores: both sides are corpus-derived
+    # (component labels and per-doc quality are each one row per
+    # clustered document — fact-sized at 100 TB, no static size
+    # estimate). Same rationale as dedup_canonical; AQE broadcasts at
+    # runtime when the fixture side is small.
+    "cluster_rep_sample",
     # same shape over the embedding-pair components: checkpointed label
     # frames carry no static size estimate and are corpus-scale at
     # 100 TB; AQE broadcasts at runtime where the fixture side is small.

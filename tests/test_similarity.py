@@ -308,3 +308,57 @@ def test_pq_codes_cover_every_subspace(spark, sf_dir):
     )
     assert stats.n == n * _PQ_M == stats.cells
     assert 0 <= stats.lo and stats.hi < _PQ_K
+
+
+def test_negative_samples_deterministic_and_cross_label(spark, sf_dir):
+    """Every negative has a different label than its anchor, draws are
+    exactly reproducible across two invocations, and each anchor in the
+    slice yields at most _NEG_K draws."""
+    from collections import Counter
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
+        _NEG_ANCHOR_MOD,
+        _NEG_K,
+        negative_sample_pairs,
+    )
+
+    a = [tuple(r) for r in negative_sample_pairs(spark, sf_dir).collect()]
+    b = [tuple(r) for r in negative_sample_pairs(spark, sf_dir).collect()]
+    assert a == b and a
+    per_anchor = Counter()
+    for anchor_id, anchor_label, draw, neg_id, neg_label in a:
+        assert anchor_id % _NEG_ANCHOR_MOD == 0
+        assert neg_label != anchor_label
+        assert 1 <= draw <= _NEG_K
+        per_anchor[anchor_id] += 1
+    assert max(per_anchor.values()) <= _NEG_K
+
+
+def test_jl_projection_matches_numpy_and_preserves_norms(spark, sf_dir):
+    """Projected values equal the numpy matrix product, and mean squared
+    norm is preserved in expectation (within a loose factor — JL is an
+    isometry on average, per-vector distortion is bounded not zero)."""
+    import numpy as np
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.similarity import (
+        _JL_K,
+        _jl_signs,
+        random_projection_jl,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, "embeddings", sf_dir).collect()
+    }
+    S = np.array(_jl_signs(), dtype=np.float64)  # k x d
+    rows = random_projection_jl(spark, sf_dir).collect()
+    assert len(rows) == len(emb)
+    orig_sq, proj_sq = 0.0, 0.0
+    for r in rows:
+        want = (S @ emb[r.vec_id]) / np.sqrt(_JL_K)
+        got = np.array([r[f"p{j}"] for j in range(_JL_K)])
+        assert np.allclose(got, want, atol=1e-3)
+        orig_sq += float(emb[r.vec_id] @ emb[r.vec_id])
+        proj_sq += float(want @ want)
+    assert 0.5 < proj_sq / orig_sq < 2.0

@@ -241,3 +241,29 @@ def test_acf_detects_planted_weekly_cycle(spark, tmp_path):
     got = {r.lag: r.acf for r in acf_daily_revenue(spark, str(lake)).collect()}
     assert got[7] > 0.8
     assert all(got[k] < 0.0 for k in (1, 2, 3) )
+
+
+def test_seasonal_wape_matches_pandas_recompute(spark, sf_dir):
+    """WAPE/bias per type recomputed with pandas on the daily frame."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.stats import (
+        seasonal_wape_backtest,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    pdf = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("x"))
+        .toPandas()
+    )
+    rows = seasonal_wape_backtest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        g = pdf[pdf.event_type == r.event_type].set_index("day")["x"]
+        fc = g.copy()
+        fc.index = fc.index + __import__("datetime").timedelta(days=7)
+        both = g.to_frame("a").join(fc.to_frame("f"), how="inner").dropna()
+        assert r.n_days == len(both)
+        assert abs(r.wape - (both.a - both.f).abs().sum() / both.a.sum()) < 1e-3
+        assert abs(r.bias - (both.a - both.f).sum() / both.a.sum()) < 1e-3

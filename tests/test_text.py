@@ -292,3 +292,138 @@ def test_set_similarity_candidates_pruned_below_all_pairs(spark, sf_dir):
     plan = set_similarity_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert n_docs > 0
+
+
+def _py_shingles(text: str, w: int = 3) -> list[str]:
+    toks = text.strip().split()
+    if len(toks) < w:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+
+
+def test_containment_join_matches_bruteforce(spark, sf_dir):
+    """The prefix-filtered containment join is provably lossless — its
+    output must equal brute-force all-ordered-pairs containment."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        _CJ_DEN,
+        _CJ_NUM,
+        containment_join,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    docs = {
+        r.doc_id: set(_py_shingles(r.text))
+        for r in load_table(spark, "documents", sf_dir).collect()
+    }
+    expect = {}
+    for a, sa in docs.items():
+        for b, sb in docs.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if _CJ_DEN * inter >= _CJ_NUM * len(sa):
+                expect[(a, b)] = (len(sa), len(sb), inter / len(sa))
+    got = {
+        (r.doc_a, r.doc_b): (r.na, r.nb, r.containment)
+        for r in containment_join(spark, sf_dir).collect()
+    }
+    assert got == expect and expect
+
+
+def test_boilerplate_fraction_from_raw_counts(spark, sf_dir):
+    from collections import Counter
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        _BP_DF,
+        boilerplate_phrases,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    texts = {
+        r.doc_id: _py_shingles(r.text)
+        for r in load_table(spark, "documents", sf_dir).collect()
+    }
+    df = Counter()
+    for grams in texts.values():
+        df.update(set(grams))
+    boiler = {g for g, c in df.items() if c >= _BP_DF}
+    rows = boilerplate_phrases(spark, sf_dir).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        grams = texts[r.doc_id]
+        bp = sum(1 for g in grams if g in boiler)
+        assert (r.n_grams, r.bp_grams) == (len(grams), bp)
+        # raw IEEE division on both sides — exact equality holds
+        assert r.bp_frac == bp / len(grams)
+
+
+def test_pmi_collocations_match_python_recount(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        _PMI_TOP,
+        pmi_collocations,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    uni, big = Counter(), Counter()
+    for r in load_table(spark, "documents", sf_dir).collect():
+        toks = r.text.strip().split()
+        uni.update(toks)
+        big.update(" ".join(p) for p in zip(toks, toks[1:]))
+    n, m = sum(uni.values()), sum(big.values())
+    top = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:_PMI_TOP]
+    rows = pmi_collocations(spark, sf_dir).collect()
+    assert [(r.bigram, r.n_ab) for r in rows] == top
+    for r in rows:
+        w1, w2 = r.bigram.split(" ")
+        assert (r.n_a, r.n_b) == (uni[w1], uni[w2])
+        pmi = math.log((r.n_ab * n * n) / (m * uni[w1] * uni[w2]))
+        assert abs(r.pmi - round(pmi, 4)) <= 1e-4
+
+
+def test_bpe_encode_consistent_with_trained_merges(spark, sf_dir):
+    """Applying the trainer's K merges by hand (greedy leftmost,
+    non-overlapping) to each distinct word must give the per-word unit
+    counts the encoder aggregates into doc totals."""
+    from collections import Counter
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        bpe_encode_tokens,
+        bpe_train_merges,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    merges = [
+        (r.l, r.r)
+        for r in bpe_train_merges(spark, sf_dir).orderBy("round").collect()
+    ]
+
+    def encode_len(word: str) -> int:
+        units = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(units):
+                if i + 1 < len(units) and units[i] == l and units[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(units[i])
+                    i += 1
+            units = out
+        return len(units)
+
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in load_table(spark, "documents", sf_dir).collect()
+    }
+    word_units = {w: encode_len(w) for w in {t for ts in docs.values() for t in ts}}
+    rows = bpe_encode_tokens(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        toks = docs[r.doc_id]
+        assert r.n_words == len(toks)
+        assert r.n_bpe_tokens == sum(word_units[t] for t in toks)
+        c = Counter()  # fertility bounds: 1 <= fert <= max word len
+        assert 1.0 <= r.fertility <= max(len(t) for t in toks)

@@ -288,4 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.sql for name, spec in registry().items() if spec.sql is not None}
+    from multi_attribute_join_search_with_mapreduce_spark.registry import resolve_sql
+
+    out = {name: resolve_sql(spec) for name, spec in registry().items()}
+    return {name: sql for name, sql in out.items() if sql is not None}

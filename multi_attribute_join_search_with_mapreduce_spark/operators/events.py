@@ -1083,7 +1083,7 @@ def markov_backtest(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     trans = (
-        e.filter(F.col("user_id").isNotNull())
+        e.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select(
             is_train.alias("train"),
             F.lag("event_type", 1).over(w).alias("prev_type"),
@@ -1132,7 +1132,7 @@ WITH trans AS (
     LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       AS prev_type,
     event_type AS next_type
-  FROM events WHERE user_id IS NOT NULL
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 counts AS (
   SELECT prev_type, next_type, COUNT(*) AS n

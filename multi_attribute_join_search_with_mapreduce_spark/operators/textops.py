@@ -1887,9 +1887,12 @@ def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     (PMI >> 0 means the words co-occur far beyond chance; the phrases a
     tokenizer or stopword list should treat as units).
 
-    Everything stays in exact BIGINT until ONE division and ONE ln per
-    surviving bigram (the sanctioned tolerance class): the ratio is
-    ``n_ab·N² / (M·n_a·n_b)`` with N total tokens, M total bigrams.
+    Counts stay exact BIGINT through the joins; the ratio
+    ``n_ab·N² / (M·n_a·n_b)`` (N total tokens, M total bigrams) is
+    computed with each factor cast to double BEFORE multiplying — the
+    int64 product ``n_ab·N²`` overflows past ~3M tokens, and Spark
+    (non-ANSI) would wrap silently while DuckDB raises. Identical IEEE
+    double ops on both engines + round(4) keep the hash gate exact.
 
     Scale shape: unigram and bigram counts are map-side-combinable
     aggregations; the bigram→unigram joins key on the corpus-derived
@@ -1924,8 +1927,16 @@ def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_b").cast("long").alias("n_b"),
             F.round(
                 F.log(
-                    (F.col("n_ab") * F.col("N") * F.col("N")).cast("double")
-                    / (F.col("M") * F.col("n_a") * F.col("n_b"))
+                    (
+                        F.col("n_ab").cast("double")
+                        * F.col("N").cast("double")
+                        * F.col("N").cast("double")
+                    )
+                    / (
+                        F.col("M").cast("double")
+                        * F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                    )
                 ),
                 4,
             ).alias("pmi"),
@@ -1946,7 +1957,9 @@ SELECT bigram,
   CAST(n_ab AS BIGINT) AS n_ab,
   CAST(ua.n_w AS BIGINT) AS n_a,
   CAST(ub.n_w AS BIGINT) AS n_b,
-  ROUND(LN(CAST(n_ab * N * N AS DOUBLE) / (M * ua.n_w * ub.n_w)), 4) AS pmi
+  ROUND(LN(CAST(n_ab AS DOUBLE) * CAST(N AS DOUBLE) * CAST(N AS DOUBLE)
+           / (CAST(M AS DOUBLE) * CAST(ua.n_w AS DOUBLE)
+              * CAST(ub.n_w AS DOUBLE))), 4) AS pmi
 FROM bgc
 JOIN uni ua ON ua.w = split_part(bigram, ' ', 1)
 JOIN uni ub ON ub.w = split_part(bigram, ' ', 2)

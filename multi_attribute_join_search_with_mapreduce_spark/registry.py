@@ -27,7 +27,29 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None
+    # str = static oracle; None = rows-only; zero-arg callable = lazy
+    # oracle whose text is derived from the data (pca_project embeds
+    # eigensolved loadings as literals) — resolved via resolve_sql() so
+    # importing the registry never pays the generation cost.
+    sql: str | None | Callable[[], str]
+
+
+def resolve_sql(spec: "QuerySpec", sf_dir: str | None = None) -> str | None:
+    """Resolve a QuerySpec's oracle to its SQL text (or None).
+
+    Lazy oracles derive literals from the data, so they need the sf dir:
+    pass it when known (tests / driver_sim) and it is exported as
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` for the callable; the driver itself
+    calls ``oracle_sql()`` without one and the callable falls back to
+    sf0.01 — the driver's pinned correctness scale.
+    """
+    if not callable(spec.sql):
+        return spec.sql
+    import os
+
+    if sf_dir is not None:
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    return spec.sql()
 
 
 # Queries whose PURPOSE is the Python-executed surface itself — the one

@@ -13,12 +13,15 @@ REGISTRY = entry_mod.registry()
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf_dir, name):
+    from multi_attribute_join_search_with_mapreduce_spark.registry import resolve_sql
+
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_dir)
-    if spec.sql is None:
+    sql = resolve_sql(spec, sf_dir)
+    if sql is None:
         assert df.count() >= 0  # rows-only check for non-SQL-expressible ops
     else:
-        assert_df_equals_duckdb(df, spec.sql, sf_dir)
+        assert_df_equals_duckdb(df, sql, sf_dir)
 
 
 def test_registry_is_consistent():

@@ -76,13 +76,16 @@ def main() -> None:
             print(f"skip  {name} (--skip)")
             continue
         try:
+            from multi_attribute_join_search_with_mapreduce_spark.registry import resolve_sql
+
             sdf = spec.fn(spark, sf_dir)
-            if spec.sql is None:
+            sql = resolve_sql(spec, sf_dir)
+            if sql is None:
                 n = sdf.count()
                 print(f"ok    {name}: rows-only ({n} rows)")
                 continue
             actual = canon(sdf.toPandas())
-            expected = canon(con.execute(spec.sql).df())
+            expected = canon(con.execute(sql).df())
             if list(actual.columns) != list(expected.columns):
                 failures.append(name)
                 print(

@@ -238,12 +238,48 @@ def connected_components_alternating(
     )
 
 
+# One near-dup candidate graph per (session, sf): seven consumers
+# (dedup_clusters/canonical, pagerank, triangles, k-core, LPA,
+# contamination BFS) share the MinHash → bands → pair-join pipeline
+# instead of each rebuilding it — the same session-scoped persist
+# pattern as index.cached_posting_index. Entries die with their
+# session (weakref + stopped-session sweep).
+#
+# Measured effect at bench scale (sf0.1, min-of-2, local[32]): a WASH
+# (~29s tier total either way) — the edge build is ~1.5s cold and the
+# fixpoint queries are dominated by per-round scheduling, which the
+# cache cannot touch. The cache is kept for the 100 TB shape, where
+# the MinHash+band+pair-join build over the full corpus is the
+# dominant cost and rebuilding it once per consumer (7x) would be the
+# bug; at that scale this persist becomes a written-once shared table.
+_EDGE_CACHE: dict[tuple[int, str], tuple] = {}
+
+
 def _candidate_edges(spark: SparkSession, sf: str) -> DataFrame:
-    return (
+    import weakref
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import _session_stopped
+
+    for k, (ref, _df) in list(_EDGE_CACHE.items()):
+        sess = ref()
+        if sess is None or _session_stopped(sess):
+            _EDGE_CACHE.pop(k, None)
+    key = (id(spark), sf)
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    edges = (
         near_dup_candidates(spark, sf)
         .filter(F.col("est_jaccard") >= _EDGE_THRESHOLD)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
     )
+    # Materialize now: consumers fork many branches off this frame
+    # (symmetrized unions, per-round joins); without the eager fill the
+    # first TWO branches race to compute the pipeline concurrently.
+    edges.count()
+    _EDGE_CACHE[key] = (weakref.ref(spark), edges)
+    return edges
 
 
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:

@@ -492,6 +492,173 @@ JOIN sigs sb ON sb.doc_id = doc_b
 NEAR_DUP_DELTA_SQL = _near_dup_delta_sql()
 
 
+# --- incremental exact dedup via a Bloom-filter membership prefilter --------
+
+# m bits / k probes. k = 4 because md5's 32 hex chars split into exactly
+# four independent 8-hex (32-bit) words — no re-hashing per probe. m is
+# sized for the fixtures (sf0.1 base ≈ 4.5k hashes → ~24% fill → FP ≈
+# 0.3%); production sizes m to the corpus (m ≈ 14.4·n bits for 0.1% FP)
+# and shards the filter, which stays a broadcastable few hundred MB even
+# at 10^10 documents — the whole point vs. a full-corpus anti-join per
+# ingest batch.
+_BLOOM_BITS = 65536
+_BLOOM_K = 4
+
+
+def _bloom_positions(hcol: Column, m: int) -> list[Column]:
+    """k bit positions for a 32-hex-char md5 content hash (portable:
+    both engines parse the same hex substrings)."""
+    return [
+        F.conv(F.substring(hcol, 1 + 8 * j, 8), 16, 10).cast("long") % m
+        for j in range(_BLOOM_K)
+    ]
+
+
+def dedup_exact_delta(
+    spark: SparkSession, sf: str, m: int = _BLOOM_BITS
+) -> DataFrame:
+    """Incremental exact dedup: classify each NEWLY ARRIVED document
+    against the already-ingested base corpus using a Bloom-filter
+    membership prefilter — the exact-dedup counterpart of
+    :func:`near_dup_delta` (same batch convention: ``doc_id %
+    {_DELTA_MOD} == 0`` is the new batch; production uses the ingest
+    partition).
+
+    The base corpus' content hashes are folded into an m-bit Bloom
+    filter materialized AS DATA — ``⌈m/63⌉`` ``(word_idx, word)`` rows via
+    one ``bit_or`` aggregate (63 bits per word: DuckDB raises on
+    ``1 << 63`` signed overflow where Spark wraps, so bit 63 is never
+    used) — and broadcast to the probe side. Only
+    probes the filter cannot rule out (``bloom_maybe``) reach the
+    confirm join against the base hash table; a definite-miss batch row
+    never shuffles corpus-sized state. Per-batch cost is O(|batch|) +
+    |candidates|·join, vs. the O(corpus) anti-join a naive re-dedup
+    pays per ingest — the same append-path story as
+    `index.py:append_posting_index`.
+
+    Exactness is preserved: the filter has no false negatives by
+    construction, and every positive is confirmed by the join, so false
+    positives cost a probe but never a wrong answer. The DuckDB oracle
+    recomputes BOTH the filter (same bit arithmetic) and exact
+    membership from the full corpus — a false negative on the Spark
+    side would surface as an ``in_base`` value mismatch, so the gate is
+    end-to-end, not self-referential. ``bloom_sound`` (no-false-negative
+    invariant, must be uniformly TRUE) rides the output per the
+    self-validation recipe.
+
+    Output per new-batch document: content hash, the filter's verdict,
+    exact base membership + surviving base doc, and a three-way status
+    (``dup_of_base`` / ``dup_in_batch`` / ``unique``).
+    """
+    d = (
+        load_table(spark, "documents", sf)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("text_hash"))
+    )
+    is_new = F.col("doc_id") % _DELTA_MOD == 0
+    base = d.filter(~is_new)
+    new = d.filter(is_new)
+
+    base_pos = base.select(
+        F.explode(F.array(*_bloom_positions(F.col("text_hash"), m))).alias("pos")
+    )
+    words = base_pos.groupBy(F.expr("pos DIV 63").alias("word_idx")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+        ).alias("word")
+    )
+
+    probe = new.select(
+        "doc_id",
+        "text_hash",
+        F.explode(F.array(*_bloom_positions(F.col("text_hash"), m))).alias("pos"),
+    ).withColumn("word_idx", F.expr("pos DIV 63"))
+    bloom = (
+        probe.join(F.broadcast(words), "word_idx", "left")
+        .groupBy("doc_id", "text_hash")
+        .agg(
+            F.bool_and(
+                F.expr(
+                    "(shiftright(coalesce(word, CAST(0 AS BIGINT)),"
+                    " CAST(pos % 63 AS INT)) & 1) = 1"
+                )
+            ).alias("bloom_maybe")
+        )
+    )
+
+    base_hashes = base.groupBy("text_hash").agg(
+        F.min("doc_id").alias("base_keep_doc_id")
+    )
+    # Only bloom-positive probes pay the confirm join; definite misses
+    # are appended back untouched (the filter guarantees no member is
+    # among them — the invariant the oracle's full recompute checks).
+    confirmed = bloom.filter(F.col("bloom_maybe")).join(
+        base_hashes, "text_hash", "left"
+    )
+    misses = bloom.filter(~F.col("bloom_maybe")).withColumn(
+        "base_keep_doc_id", F.lit(None).cast("long")
+    )
+    out = confirmed.unionByName(misses)
+
+    batch_min = F.min("doc_id").over(Window.partitionBy("text_hash"))
+    in_base = F.col("base_keep_doc_id").isNotNull()
+    return out.select(
+        "doc_id",
+        "text_hash",
+        "bloom_maybe",
+        in_base.alias("in_base"),
+        "base_keep_doc_id",
+        F.when(in_base, F.lit("dup_of_base"))
+        .when(F.col("doc_id") > batch_min, F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+        (F.col("bloom_maybe") | ~in_base).alias("bloom_sound"),
+    )
+
+
+def _dedup_exact_delta_sql(m: int = _BLOOM_BITS) -> str:
+    pos_exprs = " UNION ALL ".join(
+        f"SELECT doc_id, text_hash, ('0x' || substring(text_hash, {1 + 8 * j}, 8))::BIGINT % {m} AS pos FROM {{src}}"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE text IS NOT NULL
+),
+base AS (SELECT * FROM d WHERE doc_id % {_DELTA_MOD} <> 0),
+newd AS (SELECT * FROM d WHERE doc_id % {_DELTA_MOD} = 0),
+base_pos AS ({pos_exprs.format(src="base")}),
+words AS (
+  SELECT pos // 63 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS word
+  FROM base_pos GROUP BY pos // 63
+),
+probe_pos AS ({pos_exprs.format(src="newd")}),
+bloom AS (
+  SELECT p.doc_id, p.text_hash,
+         BOOL_AND(((COALESCE(w.word, 0) >> CAST(p.pos % 63 AS INTEGER)) & 1) = 1)
+           AS bloom_maybe
+  FROM probe_pos p LEFT JOIN words w ON w.word_idx = p.pos // 63
+  GROUP BY p.doc_id, p.text_hash
+),
+base_hashes AS (
+  SELECT text_hash, MIN(doc_id) AS base_keep_doc_id FROM base GROUP BY text_hash
+)
+SELECT b.doc_id, b.text_hash, b.bloom_maybe,
+       bh.base_keep_doc_id IS NOT NULL AS in_base,
+       bh.base_keep_doc_id,
+       CASE WHEN bh.base_keep_doc_id IS NOT NULL THEN 'dup_of_base'
+            WHEN b.doc_id > MIN(b.doc_id) OVER (PARTITION BY b.text_hash)
+              THEN 'dup_in_batch'
+            ELSE 'unique' END AS status,
+       (b.bloom_maybe OR bh.base_keep_doc_id IS NULL) AS bloom_sound
+FROM bloom b LEFT JOIN base_hashes bh ON bh.text_hash = b.text_hash
+"""
+
+
+DEDUP_EXACT_DELTA_SQL = _dedup_exact_delta_sql()
+
+
 # --- SimHash near-duplicate fingerprint ------------------------------------
 
 SIMHASH_BITS = 32
@@ -1993,6 +2160,7 @@ TEXT_QUERIES: dict[str, QuerySpec] = {
     "minhash_bands": QuerySpec(minhash_bands, MINHASH_BANDS_SQL),
     "near_dup_candidates": QuerySpec(near_dup_candidates, NEAR_DUP_SQL),
     "near_dup_delta": QuerySpec(near_dup_delta, NEAR_DUP_DELTA_SQL),
+    "dedup_exact_delta": QuerySpec(dedup_exact_delta, DEDUP_EXACT_DELTA_SQL),
     "repetition_score": QuerySpec(repetition_score, REPETITION_SQL),
     "decontaminate": QuerySpec(decontaminate, DECONTAMINATE_SQL),
     "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_SQL),

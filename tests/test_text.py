@@ -427,3 +427,47 @@ def test_bpe_encode_consistent_with_trained_merges(spark, sf_dir):
         assert r.n_bpe_tokens == sum(word_units[t] for t in toks)
         c = Counter()  # fertility bounds: 1 <= fert <= max word len
         assert 1.0 <= r.fertility <= max(len(t) for t in toks)
+
+
+def test_dedup_exact_delta_planted_batch(spark, tmp_path):
+    """Planted ingest batch (doc_id % 10 == 0): one verbatim copy of a
+    base doc, one in-batch duplicate pair, one fresh doc. A deliberately
+    tiny filter (m=32, ~every bit set by 4 base docs x 4 probes) forces
+    the false-positive path through the confirm join — proving FPs cost
+    a probe, never a wrong answer — while the no-false-negative
+    invariant (bloom_sound) must hold at any m."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import dedup_exact_delta
+
+    docs = [
+        (1, "alpha beta gamma", "en", "srcA", 16),
+        (2, "one two three", "en", "srcA", 13),
+        (3, "shared duplicate body", "en", "srcA", 21),
+        (7, "seven lucky words", "en", "srcB", 17),
+        (10, "shared duplicate body", "en", "srcB", 21),   # dup of base 3
+        (20, "batch only duplicate", "en", "srcB", 20),    # batch-dup keeper
+        (30, "batch only duplicate", "en", "srcB", 20),    # batch-dup loser
+        (40, "genuinely new content", "en", "srcB", 21),   # unique
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    lake = tmp_path / "lake"
+    d.write.parquet(str(lake / "documents.parquet"))
+
+    for m in (8, 65536):
+        rows = {r.doc_id: r for r in dedup_exact_delta(spark, str(lake), m=m).collect()}
+        assert set(rows) == {10, 20, 30, 40}
+        assert all(r.bloom_sound for r in rows.values())
+        # exact membership regardless of filter size
+        assert rows[10].status == "dup_of_base" and rows[10].base_keep_doc_id == 3
+        assert rows[10].in_base and rows[10].bloom_maybe  # no false negative
+        assert rows[20].status == "unique" and rows[20].base_keep_doc_id is None
+        assert rows[30].status == "dup_in_batch" and not rows[30].in_base
+        assert rows[40].status == "unique"
+    # m=8 nearly saturates the filter: the batch-only duplicate IS a
+    # false positive there (bloom_maybe, resolved to not-in-base by the
+    # confirm join), while at m=65536 the filter correctly rules it out.
+    tiny = {r.doc_id: r for r in dedup_exact_delta(spark, str(lake), m=8).collect()}
+    big = {r.doc_id: r for r in dedup_exact_delta(spark, str(lake), m=65536).collect()}
+    assert tiny[20].bloom_maybe and not tiny[20].in_base
+    assert not big[20].bloom_maybe

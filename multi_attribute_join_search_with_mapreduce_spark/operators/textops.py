@@ -659,6 +659,160 @@ FROM bloom b LEFT JOIN base_hashes bh ON bh.text_hash = b.text_hash
 DEDUP_EXACT_DELTA_SQL = _dedup_exact_delta_sql()
 
 
+# --- URL canonicalization + dedup -------------------------------------------
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL as a pure native expression
+    (regexp split + higher-order array ops — no UDF, stays in codegen):
+
+    - scheme + host lowercased; ``http`` folded to ``https`` (the
+      standard crawl-dedup choice — because of the fold, both default
+      ports ``:80``/``:443`` are stripped);
+    - leading ``www.`` dropped;
+    - duplicate slashes in the path collapsed, trailing slash dropped;
+    - fragment dropped;
+    - query params split, tracking params (``utm_*``, ``fbclid``,
+      ``gclid``) removed, remainder sorted so param order is
+      insignificant; empty query drops the ``?``.
+
+    Deliberately NOT normalized: non-default ports, path case, and
+    %-escapes (case-significant / resource-changing in general).
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    scheme = F.when(scheme == "http", F.lit("https")).otherwise(scheme)
+    auth = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    host = F.regexp_replace(auth, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"/$", "")
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid)(=|$)"),
+    )
+    qs = F.array_join(F.sort_array(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+_CANON_URL_SQL = r"""
+CASE WHEN lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) = 'http'
+     THEN 'https' ELSE lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) END
+|| '://'
+|| regexp_replace(regexp_replace(lower(regexp_extract({u}, '^[^:]+://([^/?#]*)', 1)), ':(80|443)$', ''), '^www\.', '')
+|| regexp_replace(regexp_replace(regexp_extract({u}, '^[^:]+://[^/?#]*([^?#]*)', 1), '/{{2,}}', '/', 'g'), '/$', '')
+|| CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract({u}, '\?([^#]*)', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') = ''
+   THEN ''
+   ELSE '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract({u}, '\?([^#]*)', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') END
+"""
+
+
+def _raw_url() -> Column:
+    """Deterministic raw-URL variant for a document (fixture synthesis —
+    the engines must agree byte-for-byte, so everything derives from
+    doc_id arithmetic; evaluated against a frame exposing ``doc_id``).
+    Four documents (one canonical identity) per group ``doc_id DIV 4``;
+    the variant axes cover every rule the canonicalizer normalizes."""
+    grp = F.expr("CAST(doc_id DIV 4 AS BIGINT)")
+    v = F.expr("CAST(doc_id % 4 AS INT)")
+    host = F.concat(F.lit("site"), (grp % 50).cast("string"), F.lit(".example.com"))
+    path = F.concat(F.lit("/docs/"), (grp % 97).cast("string"), F.lit("/page"))
+    a = (grp % 7).cast("string")
+    b = (grp % 11).cast("string")
+    return (
+        F.when(
+            v == 0,
+            F.concat(F.lit("https://"), host, path, F.lit("?a="), a, F.lit("&b="), b),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.upper(host), F.lit(":443"), path,
+                F.lit("/?b="), b, F.lit("&a="), a, F.lit("&utm_source=feed#frag"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://"), host, F.lit(":80"),
+                F.regexp_replace(path, "/docs/", "//docs//"),
+                F.lit("?utm_campaign=x&b="), b, F.lit("&a="), a,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www."), host, path,
+                F.lit("?a="), a, F.lit("&utm_medium=em&b="), b, F.lit("#sec"),
+            )
+        )
+    )
+
+
+def url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-curation staple: group
+    raw URL variants by canonical form, keep the smallest doc as
+    survivor, report variant counts. Raw URLs are synthesized
+    deterministically from doc_id (:func:`_raw_url`; production reads a
+    real url column) so every canonicalizer rule — scheme/host case,
+    www, default ports, duplicate slashes, trailing slash, fragment,
+    tracking params, param order — is exercised and differentially
+    gated against DuckDB's independent regexp implementation.
+
+    Scale shape: canonicalization is per-row narrow work; the only
+    shuffle is the groupBy on the canonical string (bounded by distinct
+    canonical URLs). At 100 TB the canonical key would be md5'd to fix
+    the shuffle width, exactly like `duplicate_span_stats`."""
+    d = load_table(spark, "documents", sf).select("doc_id")
+    raw = d.select("doc_id", _raw_url().alias("raw_url"))
+    return (
+        raw.select(
+            "doc_id", "raw_url", canonicalize_url(F.col("raw_url")).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("raw_url").alias("n_distinct_raw"),
+        )
+    )
+
+
+_RAW_URL_SQL = """
+CASE CAST(doc_id % 4 AS INTEGER)
+  WHEN 0 THEN 'https://' || host || path || '?a=' || a || '&b=' || b
+  WHEN 1 THEN 'HTTPS://WWW.' || upper(host) || ':443' || path || '/?b=' || b || '&a=' || a || '&utm_source=feed#frag'
+  WHEN 2 THEN 'http://' || host || ':80' || replace(path, '/docs/', '//docs//') || '?utm_campaign=x&b=' || b || '&a=' || a
+  ELSE 'https://www.' || host || path || '?a=' || a || '&utm_medium=em&b=' || b || '#sec'
+END
+"""
+
+URL_CANONICAL_DEDUP_SQL = f"""
+WITH parts AS (
+  SELECT doc_id,
+         'site' || CAST((doc_id // 4) % 50 AS VARCHAR) || '.example.com' AS host,
+         '/docs/' || CAST((doc_id // 4) % 97 AS VARCHAR) || '/page' AS path,
+         CAST((doc_id // 4) % 7 AS VARCHAR) AS a,
+         CAST((doc_id // 4) % 11 AS VARCHAR) AS b
+  FROM documents
+),
+raw AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM parts),
+canon AS (SELECT doc_id, raw_url, {_CANON_URL_SQL.format(u="raw_url")} AS canonical_url FROM raw)
+SELECT canonical_url,
+       MIN(doc_id) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_distinct_raw
+FROM canon GROUP BY canonical_url
+"""
+
+
 # --- SimHash near-duplicate fingerprint ------------------------------------
 
 SIMHASH_BITS = 32
@@ -2161,6 +2315,7 @@ TEXT_QUERIES: dict[str, QuerySpec] = {
     "near_dup_candidates": QuerySpec(near_dup_candidates, NEAR_DUP_SQL),
     "near_dup_delta": QuerySpec(near_dup_delta, NEAR_DUP_DELTA_SQL),
     "dedup_exact_delta": QuerySpec(dedup_exact_delta, DEDUP_EXACT_DELTA_SQL),
+    "url_canonical_dedup": QuerySpec(url_canonical_dedup, URL_CANONICAL_DEDUP_SQL),
     "repetition_score": QuerySpec(repetition_score, REPETITION_SQL),
     "decontaminate": QuerySpec(decontaminate, DECONTAMINATE_SQL),
     "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_SQL),

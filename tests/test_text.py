@@ -471,3 +471,38 @@ def test_dedup_exact_delta_planted_batch(spark, tmp_path):
     big = {r.doc_id: r for r in dedup_exact_delta(spark, str(lake), m=65536).collect()}
     assert tiny[20].bloom_maybe and not tiny[20].in_base
     assert not big[20].bloom_maybe
+
+
+def test_canonicalize_url_planted_variants(spark):
+    """Every canonicalizer rule on explicit planted strings — variants
+    that MUST collapse to one canonical form, and lookalikes that must
+    NOT (non-default port, different path case, different param value)."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import canonicalize_url
+    from pyspark.sql import functions as F
+
+    variants = [
+        "https://site.example.com/docs/1/page?a=2&b=3",
+        "HTTPS://WWW.SITE.EXAMPLE.COM:443/docs/1/page/?b=3&a=2&utm_source=feed#frag",
+        "http://site.example.com:80//docs//1/page?utm_campaign=x&b=3&a=2",
+        "https://www.site.example.com/docs/1/page?a=2&utm_medium=em&b=3#sec",
+        "https://site.example.com/docs/1/page?fbclid=abc&a=2&b=3",
+        "https://site.example.com/docs/1/page?a=2&b=3&gclid=1",
+    ]
+    distinct = [
+        "https://site.example.com:8443/docs/1/page?a=2&b=3",  # non-default port
+        "https://site.example.com/DOCS/1/page?a=2&b=3",       # path case significant
+        "https://site.example.com/docs/1/page?a=2&b=4",       # value differs
+        "https://other.example.com/docs/1/page?a=2&b=3",      # host differs
+    ]
+    df = spark.createDataFrame([(u,) for u in variants + distinct], "url string")
+    out = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    want = "https://site.example.com/docs/1/page?a=2&b=3"
+    assert out[: len(variants)] == [want] * len(variants)
+    assert len(set(out[len(variants):])) == len(distinct)
+    assert want not in out[len(variants):]
+    # bare-host and query-less edge cases
+    edge = spark.createDataFrame(
+        [("http://WWW.Host.COM/",), ("https://host.com?utm_source=x",)], "url string"
+    )
+    got = [r.c for r in edge.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == ["https://host.com", "https://host.com"]

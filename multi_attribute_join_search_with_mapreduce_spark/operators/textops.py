@@ -861,6 +861,148 @@ SIMHASH_SQL = (
 )
 
 
+# --- HTML boilerplate extraction ---------------------------------------------
+
+def _html_segments(html: Column) -> Column:
+    """Tag-free text segments of an HTML document, in document order:
+    drop <script>/<style> subtrees (content and all), turn every
+    remaining tag into a segment break, trim, drop empties. Pure native
+    regexp + higher-order array ops — no parser UDF in the hot path
+    (lxml-grade parsing would slot in as a mapInPandas stage; the
+    frequency model below is parser-agnostic)."""
+    no_script = F.regexp_replace(html, r"(?s)<script[^>]*>.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?s)<style[^>]*>.*?</style>", " ")
+    broken = F.regexp_replace(no_style, r"<[^>]*>", "\n")
+    return F.filter(
+        F.transform(F.split(broken, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+_BOILER_DF_THRESHOLD = 0.5
+
+
+def html_boilerplate_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Template-frequency boilerplate EXTRACTION (not just the n-gram
+    boilerplate *share* of `boilerplate_phrases`): segment each HTML
+    page on tags, call a segment boilerplate when it appears in ≥ 50%
+    of the documents of its source (site templates — nav, footer,
+    titles — repeat per site; main content doesn't), and return each
+    document's main text with boilerplate removed. The CleanEval /
+    Gibson-2005 "page-frequency" model as two aggregates.
+
+    HTML is synthesized deterministically per document (site chrome
+    derived from ``source``, body = the document text) so both engines
+    segment identical bytes; ``recovered_exact`` asserts in-band that
+    extraction returns exactly the original body — a planted-truth
+    self-check, per the sketch-pair recipe.
+
+    Scale shape: segmentation is per-row narrow work; doc-frequency is
+    one (source, segment)-keyed aggregate (segment strings would be
+    md5'd at 100 TB like `duplicate_span_stats`); the per-source
+    boilerplate set is template-bounded and rides a broadcastable
+    per-source array back onto the docs — no row ever joins against
+    corpus-sized state.
+    """
+    d = load_table(spark, "documents", sf).filter(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><style>body{margin:0}</style>"
+              "<script>var x=1;</script></head><body><nav>Home | About | "),
+        F.col("source"),
+        F.lit("</nav><div>"), F.col("text"),
+        F.lit("</div><footer>(c) "), F.col("source"),
+        F.lit(" 2024</footer></body></html>"),
+    )
+    segs = d.select(
+        "doc_id", "source", "text", _html_segments(html).alias("seg_list")
+    ).persist()
+
+    ex = segs.select("doc_id", "source", F.explode("seg_list").alias("seg"))
+    docfreq = ex.groupBy("source", "seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    ndocs = segs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    bp = (
+        docfreq.join(ndocs, "source")
+        .filter(
+            F.col("df").cast("double") / F.col("n_docs") >= _BOILER_DF_THRESHOLD
+        )
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_set("seg")).alias("bp_segs"))
+    )
+
+    joined = segs.join(F.broadcast(bp), "source", "left")
+    kept = F.filter(
+        F.col("seg_list"),
+        lambda s: ~F.array_contains(
+            F.coalesce(F.col("bp_segs"), F.array().cast("array<string>")), s
+        ),
+    )
+    main = F.array_join(kept, " ")
+    return joined.select(
+        "doc_id",
+        F.md5(main).alias("main_text_hash"),
+        F.size("seg_list").cast("bigint").alias("n_segments"),
+        (F.size("seg_list") - F.size(kept)).cast("bigint").alias("n_boilerplate"),
+        (main == F.col("text")).alias("recovered_exact"),
+    )
+
+
+_HTML_SYNTH_SQL = (
+    "'<html><head><title>' || source || "
+    "'</title><style>body{margin:0}</style>"
+    "<script>var x=1;</script></head><body><nav>Home | About | ' || source || "
+    "'</nav><div>' || text || "
+    "'</div><footer>(c) ' || source || ' 2024</footer></body></html>'"
+)
+
+_HTML_SEGS_SQL = (
+    "list_filter(list_transform(string_split(regexp_replace(regexp_replace("
+    "regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),"
+    " '(?s)<style[^>]*>.*?</style>', ' ', 'g'),"
+    " '<[^>]*>', chr(10), 'g'), chr(10)),"
+    " s -> trim(s)), s -> s <> '')"
+)
+
+HTML_BOILERPLATE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source, text, {_HTML_SYNTH_SQL} AS html
+  FROM documents WHERE text IS NOT NULL
+),
+segs AS (SELECT doc_id, source, text, {_HTML_SEGS_SQL} AS seg_list FROM h),
+ex AS (
+  SELECT doc_id, source, u.seg
+  FROM segs, UNNEST(seg_list) AS u(seg)
+),
+docfreq AS (
+  SELECT source, seg, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY source, seg
+),
+ndocs AS (SELECT source, COUNT(*) AS n_docs FROM segs GROUP BY source),
+bp AS (
+  SELECT source, list(seg ORDER BY seg) AS bp_segs
+  FROM docfreq JOIN ndocs USING (source)
+  WHERE CAST(df AS DOUBLE) / n_docs >= {_BOILER_DF_THRESHOLD}
+  GROUP BY source
+),
+joined AS (
+  SELECT s.*, COALESCE(b.bp_segs, []) AS bp_segs
+  FROM segs s LEFT JOIN bp b USING (source)
+),
+final AS (
+  SELECT doc_id, text, seg_list,
+         list_filter(seg_list, x -> NOT list_contains(bp_segs, x)) AS kept
+  FROM joined
+)
+SELECT doc_id,
+       md5(array_to_string(kept, ' ')) AS main_text_hash,
+       CAST(len(seg_list) AS BIGINT) AS n_segments,
+       CAST(len(seg_list) - len(kept) AS BIGINT) AS n_boilerplate,
+       (array_to_string(kept, ' ') = text) AS recovered_exact
+FROM final
+"""
+
+
 # --- exact n-gram Jaccard over LSH candidate pairs --------------------------
 
 def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -2316,6 +2458,9 @@ TEXT_QUERIES: dict[str, QuerySpec] = {
     "near_dup_delta": QuerySpec(near_dup_delta, NEAR_DUP_DELTA_SQL),
     "dedup_exact_delta": QuerySpec(dedup_exact_delta, DEDUP_EXACT_DELTA_SQL),
     "url_canonical_dedup": QuerySpec(url_canonical_dedup, URL_CANONICAL_DEDUP_SQL),
+    "html_boilerplate_extract": QuerySpec(
+        html_boilerplate_extract, HTML_BOILERPLATE_SQL
+    ),
     "repetition_score": QuerySpec(repetition_score, REPETITION_SQL),
     "decontaminate": QuerySpec(decontaminate, DECONTAMINATE_SQL),
     "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_SQL),

@@ -506,3 +506,37 @@ def test_canonicalize_url_planted_variants(spark):
     )
     got = [r.c for r in edge.select(canonicalize_url(F.col("url")).alias("c")).collect()]
     assert got == ["https://host.com", "https://host.com"]
+
+
+def test_html_boilerplate_extract_planted(spark, tmp_path):
+    """Boundary behavior of the page-frequency model: a body repeated in
+    >=50% of a source's pages is (correctly) classified as template and
+    stripped, a unique body survives verbatim; script/style subtrees
+    vanish content-and-all."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        _html_segments,
+        html_boilerplate_extract,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "repeated promo body", "en", "tpl", 19),
+        (2, "repeated promo body", "en", "tpl", 19),
+        (3, "unique article text", "en", "tpl", 19),
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    lake = tmp_path / "lake"
+    d.write.parquet(str(lake / "documents.parquet"))
+    rows = {r.doc_id: r for r in html_boilerplate_extract(spark, str(lake)).collect()}
+    assert all(r.n_segments == 4 for r in rows.values())  # title nav div footer
+    # 2-of-3 repeated body -> boilerplate alongside the 3 chrome segments
+    assert rows[1].n_boilerplate == 4 and not rows[1].recovered_exact
+    assert rows[3].n_boilerplate == 3 and rows[3].recovered_exact
+
+    seg = spark.createDataFrame(
+        [('<p>keep</p><script type="x">var s;</script><style a=b>.c{}</style><b>also</b>',)],
+        "html string",
+    ).select(_html_segments(F.col("html")).alias("s")).collect()[0].s
+    assert seg == ["keep", "also"]

@@ -310,3 +310,24 @@ def test_rollup_router_prefers_exact_grain_match(tmp_path):
     assert cat.route("week") == ("week", "/w")
     assert cat.route("day") == ("day", "/d")
     assert cat.route("month") == ("day", "/d")  # week can't answer month
+
+
+def test_er_resolve_types_runtime_plan_is_bounded(spark, sf_dir):
+    """The iterative-unroll cap (VERDICT r4 #9): er_resolve_types runs a
+    convergence loop, but what a fresh action executes must stay a small
+    fixed tree — cached generations terminate the walk at
+    InMemoryTableScan leaves, and the loop's early break + periodic
+    localCheckpoint bound the one-time cache-build work. Text-matching
+    the formatted dump saw 487 'exchanges' because cached build plans
+    are re-printed inline; the live tree is ~8 shuffles."""
+    from tools.plan_audit import physical_node_counts
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["er_resolve_types"](spark, sf_dir)
+    counts = physical_node_counts(df)
+    n_shuffle = sum(v for k, v in counts.items() if "ShuffleExchange" in k)
+    n_bcast = sum(v for k, v in counts.items() if "BroadcastExchange" in k)
+    assert n_shuffle + n_bcast < 100, counts
+    assert n_shuffle <= 20, counts  # today: 8 shuffles + 3 broadcasts
+    assert counts.get("CartesianProductExec", 0) == 0

@@ -272,7 +272,25 @@ def registry() -> dict[str, QuerySpec]:
         "python_stream_source_scan", "rollup_router_weekly",
         "asof_cogrouped_pandas", "token_count_arrow",
     ]
-    front = never_green_r4
+    # Round-5 window: the driver samples the first ~50 entries, so lead
+    # with (1) the three queries new this round, (2) pca_project — hash-
+    # gated for the first time in late r4 (sign-canonicalized eigensolve),
+    # every prior round recorded it no_oracle, (3) the 15 queries never
+    # sampled by ANY driver round r1–r4 (VERDICT r4 #5; all green in the
+    # judge's driver-sim, but a real driver row is the gate that counts).
+    # The r4 front list follows, then registry order.
+    front_r5 = [
+        "dedup_exact_delta", "url_canonical_dedup", "html_boilerplate_extract",
+        "pca_project",
+        # never driver-sampled r1–r4
+        "native_session_window", "weighted_sample_docs", "value_trend_ols",
+        "er_resolve_types", "unpivot_part_metrics", "try_arithmetic_ratios",
+        "parameterized_sql_topn", "stream_snapshot_ingest", "media_resize",
+        "stream_sliding_counts", "python_datasource_scan",
+        "python_stream_source_scan", "rollup_router_weekly",
+        "asof_cogrouped_pandas", "token_count_arrow",
+    ]
+    front = front_r5 + [n for n in never_green_r4 if n not in front_r5]
     ordered = {name: merged[name] for name in front}
     ordered.update((n, s) for n, s in merged.items() if n not in ordered)
     return ordered

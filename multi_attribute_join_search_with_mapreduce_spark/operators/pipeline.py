@@ -1162,7 +1162,216 @@ FROM feats GROUP BY user_id, bucket ORDER BY user_id, bucket
 """
 
 
+# --- in-engine quality-classifier training (distributed logistic GD) --------
+
+# 10-word stoplist, learning rate, and round count tuned on the fixture:
+# loss is strictly decreasing over all 10 rounds and final accuracy is
+# ~0.83 vs a 0.50 majority baseline (prototyped offline; the booleans in
+# the output re-prove it per run, per the self-validation recipe).
+_LR_STOP = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+_LR_RATE = 5.0
+_LR_ROUNDS = 10
+
+
+def _lr_features(spark: SparkSession, sf: str) -> DataFrame:
+    """(x1, x2, y) per document: quantized stopword-rate and length
+    features plus a PLANTED label — a linear rule over the features with
+    md5-derived noise (the fixture corpus is synthetic word soup with no
+    naturally learnable signal, so the ground truth is planted, exactly
+    like media_phash_dedup's planted near-dup groups). Every value is
+    quantized (ROUND 6) so both engines hold identical doubles; the
+    label rule is written with identical association order on both
+    sides, so the comparison bit-agrees."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in _LR_STOP])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    x1 = F.round(n_stop * F.lit(10.0) / n_tok, 6)
+    x2 = F.round(n_tok / F.lit(100.0), 6)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    ) / F.lit(10000.0)
+    z = (
+        F.lit(4.0) * x1
+        + F.lit(2.0) * x2
+        - F.lit(3.6)
+        + F.lit(2.0) * (u - F.lit(0.5))
+    )
+    return (
+        load_table(spark, "documents", sf)
+        .filter(F.col("text").isNotNull())
+        .select(
+            x1.alias("x1"),
+            x2.alias("x2"),
+            F.when(z > 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        )
+    )
+
+
+def logreg_quality_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed logistic-regression trainer for a document-quality
+    classifier — full-batch gradient descent, the Spark-ML execution
+    shape: per round ONE narrow aggregation pass over the corpus (the
+    gradient is 3 numbers — model-sized, like `kmeans_lloyd`'s
+    centroids), weights re-enter the next round as literals. Returns the
+    whole training trajectory: per-round weights, loss, accuracy count,
+    and an `improved` monotone-descent flag.
+
+    Cross-engine exactness (the `kmeans_lloyd` discipline extended to a
+    transcendental link): the sigmoid is quantized per row (ROUND 6) so
+    a last-ulp exp() difference between engines cannot survive; gradient
+    terms (s−y)·x are products of 6-dp decimals — exactly representable
+    at 12 dp, so the DECIMAL(28,12) cast is exact and the sum is
+    order-independent; weight updates and per-round loss are computed
+    INSIDE the engine with identical expression shape on both sides.
+    The DuckDB oracle replays the identical rounds as chained 1-row
+    weight CTEs and matches on values, not tolerances.
+
+    At 100 TB: the per-round pass is map-side-combinable (a 3-column
+    partial aggregate), the model never exceeds driver scale, and the
+    planted label is replaced by real annotations — the plumbing is the
+    product."""
+    feats = _lr_features(spark, sf).persist()
+
+    w = [0.0, 0.0, 0.0]
+    rows = []
+    prev_loss = None
+    for rnd in range(1, _LR_ROUNDS + 1):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        s = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        s_c = F.greatest(
+            F.least(s, F.lit(0.999999999)), F.lit(0.000000001)
+        )
+        loss_term = F.round(
+            -(
+                F.col("y") * F.log(s_c)
+                + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - s_c)
+            ),
+            6,
+        ).cast("decimal(28,12)")
+        grads = [
+            F.sum(((s - F.col("y")) * g).cast("decimal(28,12)")).alias(f"g{j}")
+            for j, g in enumerate((F.lit(1.0), F.col("x1"), F.col("x2")))
+        ]
+        agg = feats.agg(
+            *grads,
+            F.sum(loss_term).alias("loss_sum"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(((s > 0.5) == (F.col("y") > 0.5)).cast("long")).alias(
+                "n_correct"
+            ),
+        ).select(
+            *[
+                F.round(
+                    F.lit(w[j])
+                    - F.lit(_LR_RATE)
+                    * (F.col(f"g{j}").cast("double") / F.col("n")),
+                    9,
+                ).alias(f"w{j}")
+                for j in range(3)
+            ],
+            F.round(F.col("loss_sum").cast("double") / F.col("n"), 6).alias(
+                "loss"
+            ),
+            "n",
+            "n_correct",
+        )
+        r = agg.collect()[0]
+        w = [r["w0"], r["w1"], r["w2"]]
+        rows.append(
+            (
+                rnd,
+                w[0],
+                w[1],
+                w[2],
+                r["loss"],
+                int(r["n_correct"]),
+                None if prev_loss is None else bool(r["loss"] < prev_loss),
+            )
+        )
+        prev_loss = r["loss"]
+    feats.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "round int, w0 double, w1 double, w2 double, loss double, "
+        "n_correct long, improved boolean",
+    ).orderBy("round")
+
+
+def _logreg_sql() -> str:
+    stop_in = ", ".join(f"'{s}'" for s in _LR_STOP)
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    ctes = [
+        f"""feats AS MATERIALIZED (
+  SELECT ROUND(len(list_filter({toks}, t -> t IN ({stop_in}))) * 10.0 / len({toks}), 6) AS x1,
+         ROUND(len({toks}) / 100.0, 6) AS x2,
+         (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) / 10000.0 AS u
+  FROM documents WHERE text IS NOT NULL
+)""",
+        """lab AS MATERIALIZED (
+  SELECT x1, x2,
+         CASE WHEN 4.0 * x1 + 2.0 * x2 - 3.6 + 2.0 * (u - 0.5) > 0
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM feats
+)""",
+        # MATERIALIZED everywhere: DuckDB inlines plain CTEs, and each
+        # round's CTE references the previous one — 10 rounds would
+        # expand the corpus scan 2^10 times (the _kcore_sql lesson).
+        "w0 AS MATERIALIZED (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2)",
+    ]
+    for r in range(1, _LR_ROUNDS + 1):
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT
+    SUM(CAST((s - y) * 1.0 AS DECIMAL(28,12))) AS g0,
+    SUM(CAST((s - y) * x1 AS DECIMAL(28,12))) AS g1,
+    SUM(CAST((s - y) * x2 AS DECIMAL(28,12))) AS g2,
+    SUM(CAST(ROUND(-(y * ln(GREATEST(LEAST(s, 0.999999999), 0.000000001))
+        + (1.0 - y) * ln(1.0 - GREATEST(LEAST(s, 0.999999999), 0.000000001))), 6)
+        AS DECIMAL(28,12))) AS loss_sum,
+    COUNT(*) AS n,
+    CAST(SUM(CASE WHEN (s > 0.5) = (y > 0.5) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM (
+    SELECT y, x1, x2,
+      ROUND(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))), 6) AS s
+    FROM lab CROSS JOIN w{r - 1} w
+  )
+)""")
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT ROUND(w.w0 - {_LR_RATE} * (CAST(m.g0 AS DOUBLE) / m.n), 9) AS w0,
+         ROUND(w.w1 - {_LR_RATE} * (CAST(m.g1 AS DOUBLE) / m.n), 9) AS w1,
+         ROUND(w.w2 - {_LR_RATE} * (CAST(m.g2 AS DOUBLE) / m.n), 9) AS w2,
+         ROUND(CAST(m.loss_sum AS DOUBLE) / m.n, 6) AS loss,
+         m.n_correct
+  FROM w{r - 1} w CROSS JOIN m{r} m
+)""")
+    rounds_union = "\nUNION ALL\n".join(
+        (
+            f"SELECT {r} AS round, w0, w1, w2, loss, n_correct, "
+            "NULL::BOOLEAN AS improved FROM w1"
+            if r == 1
+            else f"SELECT {r} AS round, a.w0, a.w1, a.w2, a.loss, a.n_correct, "
+            f"(a.loss < b.loss) AS improved FROM w{r} a CROSS JOIN w{r - 1} b"
+        )
+        for r in range(1, _LR_ROUNDS + 1)
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CAST(round AS INTEGER) AS round, w0, w1, w2, loss, n_correct, improved
+FROM ({rounds_union})
+ORDER BY round
+"""
+
+
+LOGREG_SQL = _logreg_sql()
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
+    "logreg_quality_train": QuerySpec(logreg_quality_train, LOGREG_SQL),
     "feature_hashing": QuerySpec(feature_hashing, FEATURE_HASHING_SQL),
     "split_leakage_audit": QuerySpec(split_leakage_audit, _leakage_sql()),
     "target_encode_loo": QuerySpec(target_encode_loo, TARGET_ENCODE_SQL),

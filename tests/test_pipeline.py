@@ -335,3 +335,25 @@ def test_feature_hashing_reconstructs_from_raw_events(spark, sf_dir):
         for r in feature_hashing(spark, sf_dir).collect()
     }
     assert got == {k: v for k, v in acc.items()}
+
+
+def test_logreg_quality_train_learns_the_planted_rule(spark, sf_dir):
+    """Training dynamics on the planted label: loss strictly decreases
+    every round (the `improved` flags are the in-band proof) and final
+    accuracy beats the majority baseline by a real margin."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import (
+        logreg_quality_train,
+        _lr_features,
+    )
+    from pyspark.sql import functions as F
+
+    rows = logreg_quality_train(spark, sf_dir).collect()
+    assert [r["round"] for r in rows] == list(range(1, 11))
+    assert rows[0].improved is None
+    assert all(r.improved for r in rows[1:])
+    assert rows[0].loss == 0.693147  # ln 2 at w=0
+    lab = _lr_features(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    ).collect()[0]
+    majority = max(lab.pos, lab.n - lab.pos)
+    assert rows[-1].n_correct > majority + 0.05 * lab.n

@@ -2106,6 +2106,122 @@ FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id
 """
 
 
+_BIGRAM_K = 0.5
+
+
+def bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained add-k-smoothed
+    BIGRAM language model — the second-order upgrade of
+    `lm_cross_entropy`'s unigram filter (catches word-salad documents
+    whose individual words are common but whose transitions are not).
+    Model training and scoring fuse into one job: bigram events are
+    exploded once with a ``<s>`` sentinel, aggregated to per-doc partial
+    counts, and the model tables are two further (map-side combinable)
+    aggregates over those partials.
+
+    ``p(cur|prev) = (c2 + k) / (c1 + k·(V+1))`` with k = {k}, V the
+    continuation vocabulary (+1 for unseen); ``CE_d = −Σ k_d·ln p / n_d``
+    and ``ppl = exp(CE)`` (exp applied to the already-rounded CE so both
+    engines exponentiate identical doubles).
+
+    Scale shape: the (doc, prev, cur) → model join is bigram-keyed with
+    partial aggregation on both inputs; observed-bigram cardinality grows
+    sublinearly (Heaps' law on word pairs), so this stays a plain
+    vocabulary-keyed shuffle join — never corpus×corpus. V crosses as a
+    broadcast 1-row frame. Hash gate: Σ k·ln p is the same documented
+    ROUND-4 tolerance class as `lm_cross_entropy`/`word_entropy`.
+    """
+    d = load_table(spark, "documents", sf).filter(F.col("text").isNotNull())
+    toks = _tokens(F.col("text"))
+    padded = F.concat(F.array(F.lit("<s>")), toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.struct(
+            F.element_at(padded, i).alias("prev"),
+            F.element_at(toks, i).alias("cur"),
+        ),
+    )
+    bg = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur"))
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("k"))
+    ).persist()
+    c2 = bg.groupBy("prev", "cur").agg(F.sum("k").cast("long").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").cast("long").alias("c1"))
+    vsize = bg.agg(F.countDistinct("cur").cast("long").alias("v"))
+    model = c2.join(c1, "prev").crossJoin(F.broadcast(vsize)).select(
+        "prev",
+        "cur",
+        (
+            (F.col("c2").cast("double") + F.lit(_BIGRAM_K))
+            / (
+                F.col("c1").cast("double")
+                + F.lit(_BIGRAM_K) * (F.col("v").cast("double") + F.lit(1.0))
+            )
+        ).alias("p"),
+    )
+    return (
+        bg.join(model, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("k") * F.log(F.col("p")))
+                / F.sum("k").cast("double"),
+                4,
+            ).alias("bigram_ce"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bigram_ce",
+            F.round(F.exp(F.col("bigram_ce")), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+bigram_lm_perplexity.__doc__ = bigram_lm_perplexity.__doc__.format(k=_BIGRAM_K)
+
+BIGRAM_LM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+),
+ev AS (
+  SELECT doc_id,
+         list_extract(list_prepend('<s>', toks), i.i) AS prev,
+         list_extract(toks, i.i) AS cur
+  FROM base, UNNEST(generate_series(1, len(toks))) AS i(i)
+),
+bg AS (
+  SELECT doc_id, prev, cur, COUNT(*) AS k FROM ev GROUP BY doc_id, prev, cur
+),
+c2 AS (
+  SELECT prev, cur, CAST(SUM(k) AS BIGINT) AS c2 FROM bg GROUP BY prev, cur
+),
+c1 AS (
+  SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev
+),
+vsize AS (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) AS v FROM bg),
+model AS (
+  SELECT c2.prev, c2.cur,
+         (CAST(c2 AS DOUBLE) + {_BIGRAM_K})
+           / (CAST(c1 AS DOUBLE) + {_BIGRAM_K} * (CAST(v AS DOUBLE) + 1.0)) AS p
+  FROM c2 JOIN c1 USING (prev) CROSS JOIN vsize
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(k) AS BIGINT) AS n_tokens,
+         ROUND(-SUM(k * ln(p)) / CAST(SUM(k) AS DOUBLE), 4) AS bigram_ce
+  FROM bg JOIN model USING (prev, cur)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, bigram_ce, ROUND(exp(bigram_ce), 4) AS ppl
+FROM scored ORDER BY doc_id
+"""
+
+
 def lm_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document cross-entropy under the corpus-wide unigram MLE
     language model — the classic perplexity-style quality filter (a
@@ -2461,6 +2577,7 @@ TEXT_QUERIES: dict[str, QuerySpec] = {
     "html_boilerplate_extract": QuerySpec(
         html_boilerplate_extract, HTML_BOILERPLATE_SQL
     ),
+    "bigram_lm_perplexity": QuerySpec(bigram_lm_perplexity, BIGRAM_LM_SQL),
     "repetition_score": QuerySpec(repetition_score, REPETITION_SQL),
     "decontaminate": QuerySpec(decontaminate, DECONTAMINATE_SQL),
     "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_SQL),

@@ -540,3 +540,44 @@ def test_html_boilerplate_extract_planted(spark, tmp_path):
         "html string",
     ).select(_html_segments(F.col("html")).alias("s")).collect()[0].s
     assert seg == ["keep", "also"]
+
+
+def test_bigram_lm_perplexity_closed_form(spark, tmp_path):
+    """Hand-computed add-k bigram model on a 2-doc corpus, plus the
+    ordering property the filter exists for: a document made of the
+    corpus' dominant transitions scores lower perplexity than one with
+    unseen-order transitions."""
+    import math
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        _BIGRAM_K,
+        bigram_lm_perplexity,
+    )
+
+    docs = [
+        (1, "a b a b a b", "en", "s", 11),   # dominant a->b / b->a loop
+        (2, "b a x a", "en", "s", 7),        # rarer transitions + x
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    lake = tmp_path / "lake"
+    d.write.parquet(str(lake / "documents.parquet"))
+    rows = {r.doc_id: r for r in bigram_lm_perplexity(spark, str(lake)).collect()}
+
+    # corpus events: doc1 <s>a ab ba ab ba ab ; doc2 <s>b ba ax xa
+    c2 = {("<s>","a"):1, ("a","b"):3, ("b","a"):3, ("<s>","b"):1, ("a","x"):1, ("x","a"):1}
+    c1 = {"<s>":2, "a":4, "b":3, "x":1}
+    V = 3  # continuations: a, b, x
+    k = _BIGRAM_K
+
+    def p(prev, cur):
+        return (c2[(prev, cur)] + k) / (c1[prev] + k * (V + 1))
+
+    ce1 = -(math.log(p("<s>","a")) + 3*math.log(p("a","b")) + 2*math.log(p("b","a"))) / 6
+    ce2 = -(math.log(p("<s>","b")) + math.log(p("b","a")) + math.log(p("a","x")) + math.log(p("x","a"))) / 4
+    assert rows[1].n_tokens == 6 and rows[2].n_tokens == 4
+    assert rows[1].bigram_ce == round(ce1, 4)
+    assert rows[2].bigram_ce == round(ce2, 4)
+    assert rows[1].ppl == round(math.exp(round(ce1, 4)), 4)
+    assert rows[1].ppl < rows[2].ppl

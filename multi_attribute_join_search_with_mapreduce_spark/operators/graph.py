@@ -637,6 +637,76 @@ ORDER BY d.doc_id
 """
 
 
+def dedup_decision_log(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document curation DECISION LOG — the auditable artifact a
+    production dedup stage actually emits (what was dropped, why, and
+    which survivor owns it), composing the exact and near-dup tiers
+    into one cascade:
+
+    1. ``drop_exact``    — not the min-doc_id of its content-hash group;
+                           ``kept_by`` = the exact keeper.
+    2. ``drop_near_dup`` — exact keeper, but its LSH component's
+                           representative (min reachable doc_id) is
+                           another doc; ``kept_by`` = the representative.
+    3. ``keep``          — survives both tiers (``kept_by`` NULL).
+
+    A component representative is always the min doc_id of the whole
+    cluster, hence also the exact keeper of its own hash group — so a
+    ``kept_by`` pointer never targets an exact-dropped doc; at most one
+    near-dup hop (audit-log convention: pointers are one level, chains
+    are resolved by reading the target's own row).
+
+    Scale shape: the exact tier is one hash-keyed aggregate + join; the
+    near-dup tier reuses the session-cached candidate edge graph
+    (`_EDGE_CACHE`) and the iterative CC operator — nothing here adds a
+    shuffle beyond the tiers it composes."""
+    d = (
+        load_table(spark, "documents", sf)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("h"))
+    )
+    ex = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    comp = connected_components(_candidate_edges(spark, sf)).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    joined = d.join(ex, "h").join(comp, "doc_id", "left")
+    is_exact_drop = F.col("doc_id") != F.col("keeper")
+    is_near_drop = F.col("cluster_id").isNotNull() & (
+        F.col("cluster_id") != F.col("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        F.when(is_exact_drop, F.lit("drop_exact"))
+        .when(is_near_drop, F.lit("drop_near_dup"))
+        .otherwise(F.lit("keep"))
+        .alias("status"),
+        F.when(is_exact_drop, F.col("keeper"))
+        .when(is_near_drop, F.col("cluster_id"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("kept_by"),
+    ).orderBy("doc_id")
+
+
+DEDUP_DECISION_SQL = f"""
+{_cc_ctes()},
+d AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+),
+ex AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h)
+SELECT d.doc_id,
+  CASE WHEN d.doc_id <> ex.keeper THEN 'drop_exact'
+       WHEN comp.cluster_id IS NOT NULL AND comp.cluster_id <> d.doc_id
+         THEN 'drop_near_dup'
+       ELSE 'keep' END AS status,
+  CASE WHEN d.doc_id <> ex.keeper THEN ex.keeper
+       WHEN comp.cluster_id IS NOT NULL AND comp.cluster_id <> d.doc_id
+         THEN comp.cluster_id
+       ELSE NULL END AS kept_by
+FROM d JOIN ex USING (h) LEFT JOIN comp ON comp.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 _KC_ROUNDS = 5
 
 
@@ -1096,6 +1166,7 @@ GRAPH_QUERIES: dict[str, QuerySpec] = {
     "pagerank_near_dup": QuerySpec(pagerank_near_dup, _pagerank_sql()),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_canonical": QuerySpec(dedup_canonical, DEDUP_CANONICAL_SQL),
+    "dedup_decision_log": QuerySpec(dedup_decision_log, DEDUP_DECISION_SQL),
     "semantic_dedup": QuerySpec(semantic_dedup, _semantic_dedup_sql()),
     "triangle_count_near_dup": QuerySpec(triangle_count_near_dup, TRIANGLE_SQL),
 }

@@ -383,3 +383,37 @@ def test_cluster_rep_is_max_quality_member(spark, sf_dir):
         assert r.rep_quality == best_q
         assert r.rep_doc_id == min(d for d in docs if quality[d] == best_q)
         assert r.cluster_size == len(docs)
+
+
+def test_dedup_decision_log_cascade_invariants(spark, sf_dir):
+    """The decision log must agree row-for-row with the tiers it
+    composes, and kept_by pointers must land on non-exact-dropped docs
+    (one-hop audit convention)."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.graph import dedup_decision_log
+
+    log = {r.doc_id: r for r in dedup_decision_log(spark, sf_dir).collect()}
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    keeper_of = {
+        r.doc_id: r.keeper
+        for r in docs.select(
+            "doc_id",
+            F.min("doc_id").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(F.md5("text"))
+            ).alias("keeper"),
+        ).collect()
+    }
+    cluster_of = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, sf_dir).collect()}
+    assert set(log) == set(keeper_of)
+    for doc, r in log.items():
+        if keeper_of[doc] != doc:
+            assert r.status == "drop_exact" and r.kept_by == keeper_of[doc]
+        elif cluster_of.get(doc, doc) != doc:
+            assert r.status == "drop_near_dup" and r.kept_by == cluster_of[doc]
+        else:
+            assert r.status == "keep" and r.kept_by is None
+        if r.kept_by is not None:
+            assert log[r.kept_by].status != "drop_exact"

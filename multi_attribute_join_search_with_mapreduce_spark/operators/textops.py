@@ -261,15 +261,20 @@ def _minhash_sql(seed: int) -> str:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-doc MinHash signature columns mh0..mh{N_HASHES-1}.
+def signatures_from_docs(d: DataFrame, persist: bool = True) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{N_HASHES-1} from any
+    ``(doc_id, text)`` frame — the frame-level kernel shared by the
+    batch path and the streaming ingest (`stream_near_dup_ingest`).
 
     Two-stage: the shingle array is materialized once (persisted), then
     the N_HASHES mins are computed over the in-memory array. Inlining
     the shingle construction into each hash expression instead doubles
-    end-to-end cost (the token/zip work runs once per seed)."""
-    d = load_table(spark, "documents", sf)
-    shingled = d.select("doc_id", _shingles(F.col("text")).alias("_shingles")).persist()
+    end-to-end cost (the token/zip work runs once per seed). Micro-batch
+    callers pass ``persist=False`` (the frame is consumed once inside a
+    foreachBatch whose lifetime Spark manages)."""
+    shingled = d.select("doc_id", _shingles(F.col("text")).alias("_shingles"))
+    if persist:
+        shingled = shingled.persist()
 
     def mh(seed: int) -> Column:
         return F.array_min(
@@ -277,6 +282,12 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
         ).alias(f"mh{seed}")
 
     return shingled.select("doc_id", *[mh(s) for s in range(N_HASHES)])
+
+
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc MinHash signatures of the ``documents`` table (the
+    lake-path wrapper over :func:`signatures_from_docs`)."""
+    return signatures_from_docs(load_table(spark, "documents", sf))
 
 
 def _bands_from_sigs(with_sig: DataFrame) -> DataFrame:

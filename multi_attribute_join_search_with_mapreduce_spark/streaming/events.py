@@ -712,6 +712,118 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.events import ( 
 )
 
 
+def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate maintenance — the production ingest
+    path for LSH dedup: documents arrive in micro-batches
+    (``maxFilesPerTrigger=1`` over a 4-file split of the corpus) and a
+    ``foreachBatch`` loop (1) MinHashes only the new batch, (2) appends
+    its band buckets and signatures to a persisted store, (3) joins the
+    NEW bands against the store — O(batch · bucket) work per trigger,
+    the whole corpus is never re-LSHed — and appends the discovered
+    pairs. A pair is discovered exactly when its later member arrives,
+    so the union over triggers is the complete candidate set.
+
+    The gate is the strongest available: the accumulated incremental
+    result must be BYTE-EQUAL to the one-shot batch rebuild — the
+    oracle is `NEAR_DUP_SQL` itself (streaming build ≡ batch rebuild),
+    the same equivalence `near_dup_delta` asserts for one planted batch,
+    here proven across a real multi-trigger streaming run with
+    checkpointing. est_jaccard is computed once at the end from the
+    signature store (identical md5 agreement math).
+
+    At 100 TB the store is a bucketed lakehouse table (`snapshots.py`
+    ingest path) and the per-trigger join is band-bucket-keyed with the
+    new batch broadcast — per-trigger cost scales with the batch, not
+    the corpus."""
+    import tempfile
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        N_HASHES,
+        _bands_from_sigs,
+        signatures_from_docs,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    base = tempfile.mkdtemp(prefix="majs_stream_neardup_")
+    src_dir = f"{base}/src"
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    d.repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    bands_dir, sigs_dir, pairs_dir = (
+        f"{base}/bands",
+        f"{base}/sigs",
+        f"{base}/pairs",
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        sigs_b = signatures_from_docs(batch_df, persist=False)
+        bands_b = _bands_from_sigs(sigs_b).persist()
+        bands_b.write.mode("append").parquet(bands_dir)
+        sigs_b.write.mode("append").parquet(sigs_dir)
+        store = spark.read.parquet(bands_dir)  # includes this batch
+        new, all_ = bands_b.alias("n"), store.alias("s")
+        pairs_b = (
+            new.join(
+                all_,
+                (F.col("n.band") == F.col("s.band"))
+                & (F.col("n.band_hash") == F.col("s.band_hash"))
+                & (F.col("n.doc_id") != F.col("s.doc_id")),
+            )
+            .select(
+                F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+                F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        pairs_b.write.mode("append").parquet(pairs_dir)
+        bands_b.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = spark.read.parquet(pairs_dir).distinct()
+    sigs = spark.read.parquet(sigs_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / N_HASHES, 4).alias("est_jaccard"),
+        )
+    )
+
+
+# Oracle: the one-shot batch rebuild — incremental streaming maintenance
+# must reproduce it exactly.
+from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (  # noqa: E402
+    NEAR_DUP_SQL as STREAM_NEAR_DUP_SQL,
+)
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (driver-gated): the watermarked SLIDING-window
     aggregation as a real streaming query, complete-mode memory drain;
@@ -790,6 +902,7 @@ FROM events ORDER BY event_id
 
 
 STREAM_QUERIES: dict[str, QuerySpec] = {
+    "stream_near_dup_ingest": QuerySpec(stream_near_dup_ingest, STREAM_NEAR_DUP_SQL),
     "stream_snapshot_ingest": QuerySpec(stream_snapshot_ingest, STREAM_SNAPSHOT_SQL),
     "stream_sliding_counts": QuerySpec(stream_sliding_counts, STREAM_SLIDING_SQL),
     "stream_incremental_rollup": QuerySpec(

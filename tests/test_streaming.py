@@ -232,3 +232,22 @@ def test_stream_stream_left_outer_emits_evicted_null_rows(spark, sf_dir):
     # inner portion unchanged by the outer mode
     assert out.filter(F.col("click_id").isNotNull()).count() == out.count() - len(want)
     out.unpersist()
+
+
+def test_stream_near_dup_ingest_equals_batch_rebuild(spark, sf_dir):
+    """Incremental streaming LSH maintenance must reproduce the one-shot
+    batch rebuild exactly — same pairs, same estimates — across a real
+    multi-trigger run."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import near_dup_candidates
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import stream_near_dup_ingest
+
+    inc = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in stream_near_dup_ingest(spark, sf_dir).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in near_dup_candidates(spark, sf_dir).collect()
+    }
+    assert inc == full
+    assert len(inc) > 0

@@ -281,6 +281,8 @@ def registry() -> dict[str, QuerySpec]:
     # The r4 front list follows, then registry order.
     front_r5 = [
         "dedup_exact_delta", "url_canonical_dedup", "html_boilerplate_extract",
+        "logreg_quality_train", "bigram_lm_perplexity", "dedup_decision_log",
+        "stream_near_dup_ingest",
         "pca_project",
         # never driver-sampled r1–r4
         "native_session_window", "weighted_sample_docs", "value_trend_ols",

@@ -761,9 +761,14 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
-        sigs_b = signatures_from_docs(batch_df, persist=False)
+        # coalesce(1): a micro-batch's bands/sigs are KB-scale here and
+        # MB-scale in production — 32-partition appends would litter the
+        # store with tiny files and make every subsequent store read
+        # open trigger x 32 of them (the classic streaming small-files
+        # bug; real deployments compact, this writes compact).
+        sigs_b = signatures_from_docs(batch_df, persist=False).coalesce(1)
         bands_b = _bands_from_sigs(sigs_b).persist()
-        bands_b.write.mode("append").parquet(bands_dir)
+        bands_b.coalesce(1).write.mode("append").parquet(bands_dir)
         sigs_b.write.mode("append").parquet(sigs_dir)
         store = spark.read.parquet(bands_dir)  # includes this batch
         new, all_ = bands_b.alias("n"), store.alias("s")
@@ -780,7 +785,7 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        pairs_b.write.mode("append").parquet(pairs_dir)
+        pairs_b.coalesce(1).write.mode("append").parquet(pairs_dir)
         bands_b.unpersist()
 
     q = (

@@ -112,22 +112,37 @@ def _session_stopped(spark: SparkSession) -> bool:
         return True
 
 
+def session_cached(cache: dict, spark: SparkSession, key_suffix: tuple, build):
+    """Session-scoped memoization, the ONE implementation behind
+    `_INDEX_CACHE`, `similarity._IVF_CACHE`, and `graph._EDGE_CACHE`:
+    sweep entries whose session died or stopped (the weakref guards the
+    CPython id-reuse hazard documented above `_INDEX_CACHE`), key on
+    (id(session), *suffix), call ``build()`` on a miss and remember the
+    result for the session's lifetime."""
+    for k, (ref, _v) in list(cache.items()):
+        sess = ref()
+        if sess is None or _session_stopped(sess):
+            cache.pop(k, None)
+    key = (id(spark),) + tuple(key_suffix)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit[1]
+    val = build()
+    cache[key] = (weakref.ref(spark), val)
+    return val
+
+
 def cached_posting_index(
     spark: SparkSession,
     sf_dir: str,
     specs: tuple[TableSpec, ...] = LAKE_TABLES,
 ) -> DataFrame:
-    for k, (ref, _df) in list(_INDEX_CACHE.items()):
-        sess = ref()
-        if sess is None or _session_stopped(sess):
-            _INDEX_CACHE.pop(k, None)
-    key = (id(spark), sf_dir, specs)
-    hit = _INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit[1]
-    df = build_posting_index(spark, sf_dir, specs).persist()
-    _INDEX_CACHE[key] = (weakref.ref(spark), df)
-    return df
+    return session_cached(
+        _INDEX_CACHE,
+        spark,
+        (sf_dir, specs),
+        lambda: build_posting_index(spark, sf_dir, specs).persist(),
+    )
 
 
 def write_posting_index(

@@ -256,30 +256,22 @@ _EDGE_CACHE: dict[tuple[int, str], tuple] = {}
 
 
 def _candidate_edges(spark: SparkSession, sf: str) -> DataFrame:
-    import weakref
+    from multi_attribute_join_search_with_mapreduce_spark.index import session_cached
 
-    from multi_attribute_join_search_with_mapreduce_spark.index import _session_stopped
+    def _build() -> DataFrame:
+        edges = (
+            near_dup_candidates(spark, sf)
+            .filter(F.col("est_jaccard") >= _EDGE_THRESHOLD)
+            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .persist()
+        )
+        # Materialize now: consumers fork many branches off this frame
+        # (symmetrized unions, per-round joins); without the eager fill
+        # the first TWO branches race to compute the pipeline twice.
+        edges.count()
+        return edges
 
-    for k, (ref, _df) in list(_EDGE_CACHE.items()):
-        sess = ref()
-        if sess is None or _session_stopped(sess):
-            _EDGE_CACHE.pop(k, None)
-    key = (id(spark), sf)
-    hit = _EDGE_CACHE.get(key)
-    if hit is not None:
-        return hit[1]
-    edges = (
-        near_dup_candidates(spark, sf)
-        .filter(F.col("est_jaccard") >= _EDGE_THRESHOLD)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist()
-    )
-    # Materialize now: consumers fork many branches off this frame
-    # (symmetrized unions, per-round joins); without the eager fill the
-    # first TWO branches race to compute the pipeline concurrently.
-    edges.count()
-    _EDGE_CACHE[key] = (weakref.ref(spark), edges)
-    return edges
+    return session_cached(_EDGE_CACHE, spark, (sf,), _build)
 
 
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:

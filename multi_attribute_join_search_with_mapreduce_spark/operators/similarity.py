@@ -496,18 +496,9 @@ def build_ivf_index(spark: SparkSession, sf: str) -> IvfIndex:
     then collected — it is tens of rows), assign every vector to its
     nearest cell with one narrow argmax pass, persist the assignment.
     Probes never re-run this (asserted by tests/test_similarity.py)."""
-    import weakref
+    from multi_attribute_join_search_with_mapreduce_spark.index import session_cached
 
-    from multi_attribute_join_search_with_mapreduce_spark.index import _session_stopped
-
-    for k, (ref, _idx) in list(_IVF_CACHE.items()):
-        sess = ref()
-        if sess is None or _session_stopped(sess):
-            _IVF_CACHE.pop(k, None)
-    key = (id(spark), sf)
-    hit = _IVF_CACHE.get(key)
-    idx = hit[1] if hit is not None else None
-    if idx is None:
+    def _build() -> IvfIndex:
         e = load_table(spark, "embeddings", sf)
         codebook = [
             (int(r["cell"]), [float(v) for v in r["cvec"]])
@@ -516,9 +507,9 @@ def build_ivf_index(spark: SparkSession, sf: str) -> IvfIndex:
         assignment = (
             _assign_cells_literal(e, codebook, 1).repartition("cell").persist()
         )
-        idx = IvfIndex(codebook, assignment)
-        _IVF_CACHE[key] = (weakref.ref(spark), idx)
-    return idx
+        return IvfIndex(codebook, assignment)
+
+    return session_cached(_IVF_CACHE, spark, (sf,), _build)
 
 
 def ivf_probe(

@@ -341,6 +341,36 @@ def _minhash_bands_sql() -> str:
 MINHASH_BANDS_SQL = _minhash_bands_sql()
 
 
+def score_pairs(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """``(doc_a, doc_b, est_jaccard)`` for candidate pairs against a
+    signature frame (``doc_id, mh0..mh{N_HASHES-1}``): the estimate is
+    the fraction of agreeing minhash components. The ONE scoring
+    definition shared by the full build, the delta build, and the
+    streaming ingest — the three are gate-compared against each other,
+    so a drift in rounding or agreement math must be impossible by
+    construction."""
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / N_HASHES, 4).alias("est_jaccard"),
+        )
+    )
+
+
 def near_dup_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Candidate near-duplicate pairs + estimated Jaccard similarity.
 
@@ -360,20 +390,7 @@ def near_dup_candidates(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = with_sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)])
-    sb = with_sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_HASHES)])
-    agree = sum(
-        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(N_HASHES)
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(agree.cast("double") / N_HASHES, 4).alias("est_jaccard"),
-        )
-    )
+    return score_pairs(pairs, with_sig)
 
 
 def _near_dup_sql() -> str:
@@ -448,24 +465,7 @@ def near_dup_delta(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = with_sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)]
-    )
-    sb = with_sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_HASHES)]
-    )
-    agree = sum(
-        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(N_HASHES)
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(agree.cast("double") / N_HASHES, 4).alias("est_jaccard"),
-        )
-    )
+    return score_pairs(pairs, with_sig)
 
 
 def _near_dup_delta_sql() -> str:
@@ -697,7 +697,10 @@ def canonicalize_url(url: Column) -> Column:
     path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/{2,}", "/")
     path = F.regexp_replace(path, r"/$", "")
-    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # Strip the fragment BEFORE extracting the query: '?' may legally
+    # appear inside a fragment ('https://h/p#sec?x=1' has NO query), and
+    # a bare \\?([^#]*) over the whole URL would resurrect it as one.
+    q = F.regexp_extract(F.regexp_replace(url, r"#.*$", ""), r"\?(.*)", 1)
     params = F.filter(
         F.split(q, "&"),
         lambda p: (p != "") & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid)(=|$)"),
@@ -718,10 +721,10 @@ CASE WHEN lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) = 'htt
 || '://'
 || regexp_replace(regexp_replace(lower(regexp_extract({u}, '^[^:]+://([^/?#]*)', 1)), ':(80|443)$', ''), '^www\.', '')
 || regexp_replace(regexp_replace(regexp_extract({u}, '^[^:]+://[^/?#]*([^?#]*)', 1), '/{{2,}}', '/', 'g'), '/$', '')
-|| CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract({u}, '\?([^#]*)', 1), '&'),
+|| CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(regexp_replace({u}, '#.*$', ''), '\?(.*)', 1), '&'),
         p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') = ''
    THEN ''
-   ELSE '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract({u}, '\?([^#]*)', 1), '&'),
+   ELSE '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(regexp_replace({u}, '#.*$', ''), '\?(.*)', 1), '&'),
         p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') END
 """
 

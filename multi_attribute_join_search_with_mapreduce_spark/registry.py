@@ -34,22 +34,36 @@ class QuerySpec:
     sql: str | None | Callable[[], str]
 
 
+_ORACLE_PIN_SF = "/root/testdata/sf0.01"  # the driver's correctness scale
+_LAZY_SQL_CACHE: dict[tuple[int, str], str] = {}
+
+
 def resolve_sql(spec: "QuerySpec", sf_dir: str | None = None) -> str | None:
     """Resolve a QuerySpec's oracle to its SQL text (or None).
 
     Lazy oracles derive literals from the data, so they need the sf dir:
     pass it when known (tests / driver_sim) and it is exported as
-    ``SPARK_GRAFT_ORACLE_SF_DIR`` for the callable; the driver itself
-    calls ``oracle_sql()`` without one and the callable falls back to
-    sf0.01 — the driver's pinned correctness scale.
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` for the callable; with no sf_dir the
+    var is explicitly (re)pinned to sf0.01 — the driver's correctness
+    scale — so a leftover export from an earlier scale-specific
+    resolve_sql in the same process can never leak into a bare
+    ``oracle_sql()`` call (wrong-scale literals would red-flag a correct
+    engine). Resolutions are memoized per (callable, sf): the pca oracle
+    runs a DuckDB gram read + eigensolve, which should happen once per
+    scale, not once per oracle_sql() call.
     """
     if not callable(spec.sql):
         return spec.sql
     import os
 
-    if sf_dir is not None:
-        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    return spec.sql()
+    effective = sf_dir if sf_dir is not None else _ORACLE_PIN_SF
+    key = (id(spec.sql), effective)
+    if key in _LAZY_SQL_CACHE:
+        return _LAZY_SQL_CACHE[key]
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = effective
+    out = spec.sql()
+    _LAZY_SQL_CACHE[key] = out
+    return out
 
 
 # Queries whose PURPOSE is the Python-executed surface itself — the one

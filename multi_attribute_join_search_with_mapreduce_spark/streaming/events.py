@@ -738,7 +738,6 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
-        N_HASHES,
         _bands_from_sigs,
         signatures_from_docs,
     )
@@ -760,16 +759,27 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/pairs",
     )
 
-    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
-        # coalesce(1): a micro-batch's bands/sigs are KB-scale here and
-        # MB-scale in production — 32-partition appends would litter the
-        # store with tiny files and make every subsequent store read
-        # open trigger x 32 of them (the classic streaming small-files
-        # bug; real deployments compact, this writes compact).
-        sigs_b = signatures_from_docs(batch_df, persist=False).coalesce(1)
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # IDEMPOTENT store writes: foreachBatch is at-least-once, so a
+        # batch that re-executes after its appends committed (crash
+        # between write and checkpoint commit) must not duplicate store
+        # rows. Each batch OVERWRITES its own partition directory
+        # (batch=<id>) — a replay rewrites the same partition and the
+        # store stays exactly-once; partition discovery on the root read
+        # sees every batch. coalesce(1): a micro-batch's bands/sigs are
+        # KB-scale here and MB-scale in production — 32-partition writes
+        # would litter the store with tiny files (the classic streaming
+        # small-files bug; this writes what a compactor would produce).
+        # The signature frame is persisted for the batch's lifetime: it
+        # feeds both the sigs write and the band derivation, and an
+        # unpersisted 8-tree signature projection collapses out of
+        # whole-stage codegen (the minhash_bands lesson).
+        sigs_b = signatures_from_docs(batch_df, persist=False).coalesce(1).persist()
         bands_b = _bands_from_sigs(sigs_b).persist()
-        bands_b.coalesce(1).write.mode("append").parquet(bands_dir)
-        sigs_b.write.mode("append").parquet(sigs_dir)
+        bands_b.coalesce(1).write.mode("overwrite").parquet(
+            f"{bands_dir}/batch={batch_id}"
+        )
+        sigs_b.write.mode("overwrite").parquet(f"{sigs_dir}/batch={batch_id}")
         store = spark.read.parquet(bands_dir)  # includes this batch
         new, all_ = bands_b.alias("n"), store.alias("s")
         pairs_b = (
@@ -785,8 +795,11 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        pairs_b.coalesce(1).write.mode("append").parquet(pairs_dir)
+        pairs_b.coalesce(1).write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={batch_id}"
+        )
         bands_b.unpersist()
+        sigs_b.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(ingest)
@@ -798,28 +811,15 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    pairs = spark.read.parquet(pairs_dir).distinct()
-    sigs = spark.read.parquet(sigs_dir)
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)],
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_HASHES)],
-    )
-    agree = sum(
-        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(N_HASHES)
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(agree.cast("double") / N_HASHES, 4).alias("est_jaccard"),
-        )
-    )
+    # Drop the partition-discovery `batch` column BEFORE distinct —
+    # the same pair legitimately appears in several batch partitions
+    # (same-band rediscovery), and a (doc_a, doc_b, batch)-wide distinct
+    # would keep those duplicates.
+    pairs = spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
+    sigs = spark.read.parquet(sigs_dir).drop("batch")
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import score_pairs
+
+    return score_pairs(pairs, sigs)
 
 
 # Oracle: the one-shot batch rebuild — incremental streaming maintenance

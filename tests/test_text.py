@@ -500,12 +500,24 @@ def test_canonicalize_url_planted_variants(spark):
     assert out[: len(variants)] == [want] * len(variants)
     assert len(set(out[len(variants):])) == len(distinct)
     assert want not in out[len(variants):]
-    # bare-host and query-less edge cases
+    # bare-host, query-less, and fragment-with-'?' edge cases (a '?'
+    # inside the fragment is NOT a query and must vanish with it)
     edge = spark.createDataFrame(
-        [("http://WWW.Host.COM/",), ("https://host.com?utm_source=x",)], "url string"
+        [
+            ("http://WWW.Host.COM/",),
+            ("https://host.com?utm_source=x",),
+            ("https://host.com/p#sec?x=1",),
+            ("https://host.com/p?a=1#sec?x=2",),
+        ],
+        "url string",
     )
     got = [r.c for r in edge.select(canonicalize_url(F.col("url")).alias("c")).collect()]
-    assert got == ["https://host.com", "https://host.com"]
+    assert got == [
+        "https://host.com",
+        "https://host.com",
+        "https://host.com/p",
+        "https://host.com/p?a=1",
+    ]
 
 
 def test_html_boilerplate_extract_planted(spark, tmp_path):

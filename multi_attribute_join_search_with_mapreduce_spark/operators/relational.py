@@ -835,15 +835,32 @@ def try_arithmetic_ratios(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_extendedprice").cast("double"),
         (F.col("l_quantity") - F.col("l_quantity")).cast("double"),  # always 0 -> NULL
     )
-    safe = F.try_divide(F.col("l_extendedprice").cast("double"), F.col("l_quantity").cast("double"))
+    # sum_unit_price quantizes extendedprice/quantity at 6 dp in pure
+    # BIGINT arithmetic: extendedprice is 2-dp money (cents =
+    # ROUND(e*100) is an exact integer) and quantity is an integer, so
+    # round-half-up(e/q * 1e6) = (2*cents*1e4 + q) DIV (2*q) — exact on
+    # any engine. A per-row double->DECIMAL cast here diverges: Spark
+    # rounds the shortest-string repr HALF_UP while DuckDB rounds the
+    # binary value, and q in {8,16,32,...} puts ratios exactly on
+    # decimal rounding boundaries. ROUND before the BIGINT cast is
+    # load-bearing too: Spark's double->bigint cast truncates, DuckDB's
+    # rounds — ROUND makes the double integer-valued first.
+    r6 = F.expr(
+        "(2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000"
+        " + CAST(ROUND(l_quantity) AS BIGINT))"
+        " DIV (2 * CAST(ROUND(l_quantity) AS BIGINT))"
+    )
     return (
-        li.groupBy("l_linestatus")
+        li.withColumn("ratio_e6", r6)
+        .groupBy("l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count(ratio).alias("n_div_by_zero_survivors"),
-            F.round(
-                F.sum(safe.cast("decimal(18,4)")).cast("double"), 4
-            ).alias("sum_unit_price"),
+            # final 4-dp round stays in integer space; the closing
+            # /10000 of an exact <2^53 integer is IEEE-deterministic.
+            F.expr("CAST((2 * SUM(ratio_e6) + 100) DIV 200 AS DOUBLE) / 10000").alias(
+                "sum_unit_price"
+            ),
         )
         .orderBy("l_linestatus")
     )
@@ -853,7 +870,9 @@ TRY_ARITH_SQL = """
 SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(COUNT(CAST(l_extendedprice AS DOUBLE) / NULLIF(l_quantity - l_quantity, 0)) AS BIGINT)
     AS n_div_by_zero_survivors,
-  ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE), 4)
+  CAST((2 * SUM((2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000
+                 + CAST(ROUND(l_quantity) AS BIGINT))
+                // (2 * CAST(ROUND(l_quantity) AS BIGINT))) + 100) // 200 AS DOUBLE) / 10000
     AS sum_unit_price
 FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """

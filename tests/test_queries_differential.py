@@ -83,3 +83,37 @@ def test_incremental_join_rollup_deltas_are_exercised(spark, sf_dir):
     assert j(o_new, li_old) > 0
     assert j(o_old, li_new) > 0
     assert j(o_new, li_new) > 0
+
+
+def test_try_arith_integer_quantization_on_rounding_boundaries(spark):
+    """Closed-form gate for the r6 rounding-parity fix: quantities in
+    {8, 16, 32} put extendedprice/quantity exactly on decimal rounding
+    boundaries (2-dp money over a power of two terminates at <=7 dp),
+    the class where Spark's double->DECIMAL cast (HALF_UP on the
+    shortest-string repr) and DuckDB's (binary-value rounding) diverge.
+    The BIGINT formulation must equal the exact Fraction arithmetic."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (100.04, 8.0),    # 12.505      -> tie at 6 dp? terminates at 3 dp
+        (0.45, 32.0),     # 0.0140625   -> terminates at 7 dp, 5 at 7th
+        (123.45, 32.0),   # 3.8578125   -> 5 exactly at the 7th dp
+        (99.99, 16.0),    # 6.2493750   -> 5 at the 6th dp (round-half case)
+        (104997.88, 7.0), # repeating decimal, magnitude ceiling
+        (901.82, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "l_extendedprice double, l_quantity double")
+    r6 = F.expr(
+        "(2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000"
+        " + CAST(ROUND(l_quantity) AS BIGINT))"
+        " DIV (2 * CAST(ROUND(l_quantity) AS BIGINT))"
+    )
+    got = [r[0] for r in df.select(r6).collect()]
+    for (e, q), g in zip(rows, got):
+        cents = round(Fraction(str(e)) * 100)
+        exact = Fraction(cents, int(q)) * 10**4
+        # round-half-UP (floor(exact + 1/2)), not Python's banker's rounding
+        expected = (2 * exact.numerator + exact.denominator) // (2 * exact.denominator)
+        assert g == expected, (e, q, g)

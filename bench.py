@@ -6,11 +6,12 @@ Mirrors the reference's four-phase wall-clock breakdown (``log_runtime``,
 query is one lazy Catalyst DAG, so import/probe/join/score phases fuse.
 
 Prints ONE JSON line on stdout:
-``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "phases":
-{...}, "regressions": [...], "sf": ...}`` where ``queries`` is the FULL
-per-query timing map, slowest first (r4 judge: top-8-only hid
-regressions in the rest). ``bench_queries.json`` and ``bench_result.json``
-carry file copies in case a consumer truncates the stdout line (r01 did).
+``{"metric": ..., "value": N, "unit": "sec", "queries": {top-10}, "phases":
+{...}, "regressions": [...], "n_queries": N, "sf": ...}`` — kept under
+2000 chars because the driver tail-captures stdout (r5's full-map line
+overflowed it and the round lost its parsed artifact). The FULL
+per-query timing map, slowest first, is written to ``bench_result.json``
+and ``bench_queries.json`` every run.
 
 ``regressions`` compares this run to ``BENCH_BASELINE.json`` (last
 known-good per-query timings) and lists queries >1.5x slower; empty in
@@ -66,7 +67,12 @@ def main() -> None:
     # slowest-8 set reshuffles completely between runs). The minimum is
     # the reproducible cost — a real regression shows up in every rep,
     # noise doesn't.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Run policy (r5 verdict task 4): best-of-3 per query, matching the
+    # baseline's min-merge semantics — the committed r5 run vs an
+    # immediate re-run differed 12% in total, larger than most tracked
+    # regressions, so single-run (or min-of-2) totals are too noisy to
+    # grade against.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # Sorted order decouples per-query timings from registry() order
     # (which is arranged for the correctness harness's entry cap, and
     # changes between rounds); shared-state warming effects stay put.
@@ -148,30 +154,39 @@ def main() -> None:
             if b is not None and dt > 1.75 * b and dt - b > 0.75:
                 regressions.append(f"{name}: {b:.2f}s -> {dt:.2f}s")
 
-    # FULL per-query map on stdout (slowest first so a human skim still
-    # reads like a hot list): regression tracking and baseline min-merge
-    # need every query, and the r4 judge flagged the top-8 truncation as
-    # hiding regressions in the other ~195. The file copies below remain
-    # the safety net against consumer-side line truncation (r01 lost the
-    # artifact that way).
+    # stdout gets a COMPACT line: the consumer tail-captures only 2000
+    # chars of stdout, and the full 209-query map (~6.5KB) pushed r5's
+    # artifact past it (`parsed: null`). Top-10 slowest + phases +
+    # regressions (capped) + totals fits with margin; the FULL per-query
+    # map lives in bench_result.json / bench_queries.json, written above
+    # and below, which survive any consumer-side capture limit.
     by_cost = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    full_doc = {
+        "metric": "total_query_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": by_cost,
+        "phases": phases,
+        "regressions": regressions,
+        "n_queries": len(timings),
+        "reps": reps,
+        "sf": sf,
+    }
+    with open(os.path.join(repo_dir, "bench_result.json"), "w") as f:
+        f.write(json.dumps(full_doc) + "\n")
     line = json.dumps(
         {
-            "metric": "total_query_seconds",
-            "value": round(total, 4),
-            "unit": "sec",
-            "queries": by_cost,
-            "phases": phases,
-            "regressions": regressions,
-            "n_queries": len(timings),
-            "sf": sf,
+            **{k: v for k, v in full_doc.items() if k != "queries"},
+            "queries": dict(list(by_cost.items())[:10]),
+            "regressions": regressions[:15],
+            "n_regressions": len(regressions),
+            "full_map": "bench_result.json",
         }
     )
-    # The same line goes to a file: r01's BENCH artifact was lost to
-    # stdout tail-truncation (`parsed: null`); a file copy survives any
-    # consumer-side capture failure.
-    with open(os.path.join(repo_dir, "bench_result.json"), "w") as f:
-        f.write(line + "\n")
+    if len(line) > 1900:  # hard guard: never exceed the capture window
+        line = json.dumps(
+            {k: full_doc[k] for k in ("metric", "value", "unit", "n_queries", "sf")}
+        )
     print(line)
 
 

@@ -888,9 +888,25 @@ def _canon_eigh(G, n_components: int):
     return vals, vecs
 
 
-# Memoized per (sf, k): pca_project and pca_validate share one solve,
-# and bench doesn't pay the exact-decimal gram twice.
-_PCA_CACHE: dict[tuple[str, int], tuple] = {}
+# Memoized per (session, sf, k, parquet fingerprint): pca_project and
+# pca_validate share one solve, and bench doesn't pay the exact-decimal
+# gram twice. Routed through the same session_cached helper as the
+# index/IVF/edge caches; the mtime fingerprint invalidates the solve if
+# the embeddings parquet at a given path is rewritten in-process (e.g. a
+# fixture-regenerating tool), which a bare (sf, k) key would survive
+# with stale eigencomponents.
+_PCA_CACHE: dict[tuple, tuple] = {}
+
+
+def _parquet_fingerprint(sf: str, table: str) -> tuple:
+    import os
+
+    path = os.path.join(sf, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)  # non-local path (URL lake) — fall back to path-only key
 
 
 def _pca_components(spark: SparkSession, sf: str, n_components: int):
@@ -910,17 +926,23 @@ def _pca_components(spark: SparkSession, sf: str, n_components: int):
     """
     import numpy as np
 
-    key = (sf, n_components)
-    if key in _PCA_CACHE:
-        return _PCA_CACHE[key]
-    g_rows = _gram_exact(load_table(spark, "embeddings", sf)).collect()
-    d = max(r["j"] for r in g_rows) + 1
-    G = np.zeros((d, d))
-    for r in g_rows:
-        G[r["i"], r["j"]] = r["g"]
-        G[r["j"], r["i"]] = r["g"]
-    _PCA_CACHE[key] = _canon_eigh(G, n_components)
-    return _PCA_CACHE[key]
+    from multi_attribute_join_search_with_mapreduce_spark.index import session_cached
+
+    def build():
+        g_rows = _gram_exact(load_table(spark, "embeddings", sf)).collect()
+        d = max(r["j"] for r in g_rows) + 1
+        G = np.zeros((d, d))
+        for r in g_rows:
+            G[r["i"], r["j"]] = r["g"]
+            G[r["j"], r["i"]] = r["g"]
+        return _canon_eigh(G, n_components)
+
+    return session_cached(
+        _PCA_CACHE,
+        spark,
+        (sf, n_components, _parquet_fingerprint(sf, "embeddings")),
+        build,
+    )
 
 
 def _dot_exact(a: Column, b: Column) -> Column:

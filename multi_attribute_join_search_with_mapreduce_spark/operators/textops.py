@@ -2148,12 +2148,14 @@ def bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, "documents", sf).filter(F.col("text").isNotNull())
     toks = _tokens(F.col("text"))
     padded = F.concat(F.array(F.lit("<s>")), toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks)),
-        lambda i: F.struct(
-            F.element_at(padded, i).alias("prev"),
-            F.element_at(toks, i).alias("cur"),
-        ),
+    # zip_with over the <s>-shifted slice, NOT transform(sequence, i ->
+    # element_at(toks, i)): inside a lambda the captured token-array
+    # expression re-evaluates per element, re-running the regex split
+    # O(tokens) times per row (the _shingles lesson, ~20x end-to-end).
+    grams = F.zip_with(
+        F.slice(padded, 1, F.size(toks)),
+        toks,
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
     )
     bg = (
         d.select("doc_id", F.explode(grams).alias("g"))

@@ -18,9 +18,29 @@ assert parity with the batch renditions in ``operators/events.py``.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# One scratch root per process, removed at interpreter exit: the
+# streaming queries stage a parquet copy of their source plus stores and
+# checkpoints, and leaving each run's mkdtemp behind accumulates
+# corpus-sized directories across bench/test/driver runs. Results stay
+# readable for the process lifetime (the returned DataFrames read these
+# files lazily); rmtree runs only at exit, after any driver collect.
+_SCRATCH_ROOT: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="majs_stream_scratch_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -482,12 +502,11 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inner join; the outer rows ride the same eviction sweep, so
     there is no extra state class to size.
     """
-    import tempfile
     import time
 
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
-    base = tempfile.mkdtemp(prefix="majs_stream_louter_")
+    base = _scratch_dir("majs_stream_louter_")
     # NULL event times never pass a watermark operator (Structured
     # Streaming drops them at the watermark node), so they are filtered
     # from the source — and, critically, from the batch-side expected
@@ -635,11 +654,9 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly and SUM stays decimal until the final projection, so the
     end state is bit-identical to the oracle's one-shot full recompute.
     """
-    import tempfile
-
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
-    base = tempfile.mkdtemp(prefix="majs_stream_rollup_")
+    base = _scratch_dir("majs_stream_rollup_")
     src_dir = f"{base}/src"
     e = load_table(spark, "events", sf_dir).select("ts", "event_type", "value")
     e.repartition(4).write.parquet(src_dir)
@@ -735,15 +752,13 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest path) and the per-trigger join is band-bucket-keyed with the
     new batch broadcast — per-trigger cost scales with the batch, not
     the corpus."""
-    import tempfile
-
     from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
         _bands_from_sigs,
         signatures_from_docs,
     )
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
-    base = tempfile.mkdtemp(prefix="majs_stream_neardup_")
+    base = _scratch_dir("majs_stream_neardup_")
     src_dir = f"{base}/src"
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     d.repartition(4).write.parquet(src_dir)
@@ -859,15 +874,13 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing. Readers meanwhile get snapshot isolation and time travel
     over the ingest history for free.
     """
-    import tempfile
-
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
     from multi_attribute_join_search_with_mapreduce_spark.sources.snapshots import (
         snapshot_append_batch,
         snapshot_read,
     )
 
-    base = tempfile.mkdtemp(prefix="majs_stream_snap_")
+    base = _scratch_dir("majs_stream_snap_")
     e = load_table(spark, "events", sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

@@ -263,13 +263,16 @@ def _candidate_edges(spark: SparkSession, sf: str) -> DataFrame:
             near_dup_candidates(spark, sf)
             .filter(F.col("est_jaccard") >= _EDGE_THRESHOLD)
             .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-            .persist()
         )
-        # Materialize now: consumers fork many branches off this frame
-        # (symmetrized unions, per-round joins); without the eager fill
-        # the first TWO branches race to compute the pipeline twice.
-        edges.count()
-        return edges
+        # localCheckpoint (eager), NOT persist+count: persist caches the
+        # DATA but the returned frame still carries the whole
+        # LSH-pipeline logical plan, and every fixpoint round embeds
+        # that plan several times — at sf0.01 Catalyst re-analysis of
+        # the carried lineage cost ~4s per consumer query on a 25-edge
+        # graph (measured r6), dwarfing execution. Checkpointing
+        # truncates the lineage to a scan of the materialized
+        # partitions, so the per-round plans stay edge-sized.
+        return edges.localCheckpoint()
 
     return session_cached(_EDGE_CACHE, spark, (sf,), _build)
 

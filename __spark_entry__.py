@@ -292,7 +292,46 @@ def registry() -> dict[str, QuerySpec]:
         "python_stream_source_scan", "rollup_router_weekly",
         "asof_cogrouped_pandas", "token_count_arrow",
     ]
-    front = front_r5 + [n for n in never_green_r4 if n not in front_r5]
+    # Round-6 window: (1) try_arithmetic_ratios FIRST — the registry's
+    # only-ever red row (r5: double->decimal rounding parity), rebuilt
+    # this round on exact BIGINT quantization; its green driver row
+    # closes the registry at 209/209 ever-green. (2) Every query whose
+    # code path changed this round (graph family over the now-
+    # checkpointed shared edge frame; zip_with bigram build; session-
+    # cached PCA solve; scratch-dir streaming stores). (3) Oldest-green
+    # rotation (VERDICT r5 #8): with all 209 sampled at least once, the
+    # hash gates only help if they re-run on current code — fill the
+    # window with the 32 queries whose last driver row is r1, so every
+    # query re-verifies within ~4 rounds.
+    front_r6 = [
+        "try_arithmetic_ratios",
+        # new this round: embedded-Derby JDBC roundtrip gates S3's
+        # external-DB surface (the one reference surface with no driver
+        # row through r5)
+        "jdbc_nation_roundtrip",
+        # touched this round
+        "kcore_near_dup", "lpa_communities", "contamination_radius",
+        "dedup_clusters", "dedup_canonical", "cluster_rep_sample",
+        "pagerank_near_dup", "triangle_count_near_dup",
+        "dedup_decision_log", "semantic_dedup", "bigram_lm_perplexity",
+        "pca_project", "pca_validate", "stream_near_dup_ingest",
+        "stream_stream_left_outer", "stream_incremental_rollup",
+        "stream_snapshot_ingest",
+        # last driver-sampled in r1 (oldest first by family)
+        "anti_join_customers", "case_bucketing", "cube_orders",
+        "dedup_exact", "distinct_aggregates", "doc_fingerprint",
+        "embedding_near_dup", "full_outer_nation_counts",
+        "grouping_sets_orders", "knn_brute_cosine", "knn_bucketed_cosine",
+        "knn_ivf_cosine", "label_centroid_norms", "lang_id",
+        "left_join_order_counts", "minhash_bands", "mixture_sample",
+        "mjs_posting_index", "mjs_search_3attr", "mjs_search_columns",
+        "mjs_search_tables", "near_dup_candidates", "ngram_jaccard",
+        "pivot_returnflag", "quality_score", "rollup_customers",
+        "scalar_functions", "semi_join_parts", "set_except_customers",
+        "set_intersect_customers", "simhash", "tfidf_top_terms",
+    ]
+    front = front_r6 + [n for n in front_r5 if n not in front_r6]
+    front += [n for n in never_green_r4 if n not in front]
     ordered = {name: merged[name] for name in front}
     ordered.update((n, s) for n, s in merged.items() if n not in ordered)
     return ordered

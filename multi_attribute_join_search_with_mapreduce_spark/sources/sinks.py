@@ -283,10 +283,92 @@ ORDER BY table_name
 """
 
 
+def jdbc_nation_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gated proof of the JDBC connector pair (SURVEY.md §2.1 S3
+    — the reference reads its posting table from a warehouse DB over
+    JDBC, ``handlers.py:42-59``): write the nation table to an EMBEDDED
+    Apache Derby database (the JDBC engine Spark itself ships for its
+    Hive metastore, so the probe needs no external service), read it
+    back through :func:`..lake.read_jdbc_source` as a PARTITIONED range
+    scan, and aggregate — the oracle computes the same aggregate from
+    the parquet fixture, so a green row proves the connector path is
+    lossless end-to-end.
+
+    The read passes partitionColumn/numPartitions (4 parallel range
+    queries over n_nationkey): a JDBC scan without a partition column
+    is a single-task straw, and the split path is exactly what a
+    warehouse-scale ingest needs exercised.
+
+    ``createTableColumnTypes`` pins n_name to VARCHAR: Spark's Derby
+    dialect maps StringType to CLOB, which Derby can neither GROUP BY
+    nor compare.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import (
+        load_table,
+        read_jdbc_source,
+    )
+
+    # Keep Derby's engine-wide side files (derby.log) in the scratch
+    # dir, not the process cwd. A no-op if the property raced another
+    # Derby boot; harmless then — the DB path below is absolute.
+    scratch = tempfile.mkdtemp(prefix="majs_jdbc_")
+    try:
+        spark._jvm.System.setProperty("derby.stream.error.file",
+                                      os.path.join(scratch, "derby.log"))
+    except Exception:
+        pass
+    url = f"jdbc:derby:{os.path.join(scratch, 'nation_db')};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    n = load_table(spark, "nation", sf).select("n_nationkey", "n_regionkey", "n_name")
+    (
+        n.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_probe")
+        .option("driver", driver)
+        .option("createTableColumnTypes", "n_name VARCHAR(128)")
+        .mode("overwrite")
+        .save()
+    )
+    back = read_jdbc_source(
+        spark,
+        url,
+        "nation_probe",
+        partition_column="n_nationkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=32,
+        driver=driver,
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("sum_key"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+JDBC_ROUNDTRIP_SQL = """
+SELECT n_regionkey,
+  CAST(COUNT(*) AS BIGINT) AS n_nations,
+  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+  MIN(n_name) AS first_name
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
 
 SINK_QUERIES: dict[str, QuerySpec] = {
     "file_provenance": QuerySpec(file_provenance, FILE_PROVENANCE_SQL),
+    "jdbc_nation_roundtrip": QuerySpec(jdbc_nation_roundtrip, JDBC_ROUNDTRIP_SQL),
     "jsonl_roundtrip": QuerySpec(jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "partitioned_scan_prune": QuerySpec(
         partitioned_scan_prune, PARTITIONED_SCAN_PRUNE_SQL

@@ -6,18 +6,26 @@ regression guard compares against known-good, not against a possibly
 noisy previous round. Queries new in the latest run enter at their
 first measured time; queries removed from the registry are dropped.
 
-Usage: python tools/refresh_baseline.py
+Usage: python tools/refresh_baseline.py [--reset name ...]
+
+``--reset``: take the named queries' times from the latest run INSTEAD
+of min-merging — for when a query's SEMANTICS changed and the old min
+belongs to a different computation (approx_sketches' r1–r3 min predates
+the self-validating exact-grading pass, so min-merging pinned the
+sketch-only cost as the bar forever).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    reset = set(sys.argv[2:]) if len(sys.argv) > 2 and sys.argv[1] == "--reset" else set()
     with open(os.path.join(REPO, "bench_queries.json")) as f:
         latest = json.load(f)
     base_path = os.path.join(REPO, "BENCH_BASELINE.json")
@@ -28,7 +36,9 @@ def main() -> None:
         if prev.get("sf") == latest["sf"]:
             base = prev
     merged = {
-        name: round(min(dt, base["queries"].get(name, dt)), 4)
+        name: round(
+            dt if name in reset else min(dt, base["queries"].get(name, dt)), 4
+        )
         for name, dt in latest["queries"].items()
     }
     phases = {
@@ -44,6 +54,7 @@ def main() -> None:
                 "n_queries": len(merged),
                 "new": sorted(set(merged) - set(base["queries"])),
                 "dropped": dropped,
+                "reset": sorted(reset & set(merged)),
             }
         )
     )

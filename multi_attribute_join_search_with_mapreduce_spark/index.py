@@ -141,7 +141,16 @@ def cached_posting_index(
         _INDEX_CACHE,
         spark,
         (sf_dir, specs),
-        lambda: build_posting_index(spark, sf_dir, specs).persist(),
+        # localCheckpoint, not persist: the cached frame is joined by
+        # every search-stage query, and persist alone carries the whole
+        # union-of-melts logical plan into each consumer's analysis
+        # (the r6 graph-tier lesson, `operators/graph.py:_candidate_edges`
+        # — measured ~0.7s of Catalyst re-analysis per flagship search
+        # at sf0.1). Checkpointing truncates the lineage to a scan of
+        # the materialized partitions; at warehouse scale the durable
+        # form of the same idea is `write_posting_index` (a bucketed
+        # table on disk).
+        lambda: build_posting_index(spark, sf_dir, specs).localCheckpoint(),
     )
 
 

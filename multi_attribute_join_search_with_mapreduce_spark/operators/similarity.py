@@ -504,8 +504,11 @@ def build_ivf_index(spark: SparkSession, sf: str) -> IvfIndex:
             (int(r["cell"]), [float(v) for v in r["cvec"]])
             for r in _centroid_df(e).collect()
         ]
+        # localCheckpoint (r6 lineage rule, see index.cached_posting_index):
+        # probes join this frame per query; truncating the assign-pass
+        # lineage keeps their plans cell-sized.
         assignment = (
-            _assign_cells_literal(e, codebook, 1).repartition("cell").persist()
+            _assign_cells_literal(e, codebook, 1).repartition("cell").localCheckpoint()
         )
         return IvfIndex(codebook, assignment)
 

@@ -40,6 +40,15 @@ SMJ_ALLOWED = {
     # scale side turns out small.
     "dedup_clusters",
     "dedup_canonical",
+    # decision log's docs ⨝ CC-labels join: the label frame is derived
+    # from the checkpointed edge store (no static size estimate) and is
+    # corpus-scale at 100 TB like dedup_clusters above; AQE broadcasts
+    # at runtime when the fixture side is small. (Entered the list in
+    # r6 when the edge cache switched from persist to localCheckpoint —
+    # the InMemoryRelation's fixture-size stats had been making the
+    # static planner broadcast it, which is exactly the estimate that
+    # would NOT hold at scale.)
+    "dedup_decision_log",
     # cluster labels ⨝ quality scores: both sides are corpus-derived
     # (component labels and per-doc quality are each one row per
     # clustered document — fact-sized at 100 TB, no static size

@@ -308,7 +308,7 @@ def registry() -> dict[str, QuerySpec]:
         # new this round: embedded-Derby JDBC roundtrip gates S3's
         # external-DB surface (the one reference surface with no driver
         # row through r5)
-        "jdbc_nation_roundtrip",
+        "jdbc_nation_roundtrip", "orc_roundtrip",
         # touched this round
         "kcore_near_dup", "lpa_communities", "contamination_radius",
         "dedup_clusters", "dedup_canonical", "cluster_rep_sample",

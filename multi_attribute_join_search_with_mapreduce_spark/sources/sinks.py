@@ -62,6 +62,19 @@ def read_json_source(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, mode: str = "error", compression: str = "zstd"
+) -> None:
+    """ORC sink — the second columnar interchange format after parquet
+    (native in Spark, binary-exact for floats, predicate-pushdown-able
+    on read like parquet)."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def read_orc_source(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 # --- driver-gated roundtrip proofs -----------------------------------------
 
 
@@ -283,6 +296,55 @@ ORDER BY table_name
 """
 
 
+def orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gated proof of the ORC sink + scan pair: write a lineitem
+    projection as zstd ORC (including a DOUBLE — columnar formats are
+    binary-exact, so floats roundtrip bit-for-bit, unlike the JSONL
+    probe which confines itself to exact-text types), read it back with
+    a pushed-down filter, and aggregate; the oracle computes the same
+    aggregate from the parquet fixture. The filter on the read side
+    exercises ORC predicate pushdown (the scan skips stripes by
+    min/max), which is what makes the format a lake citizen rather than
+    an export format.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    path = os.path.join(tempfile.mkdtemp(prefix="majs_orc_"), "lineitem_orc")
+    li = load_table(spark, "lineitem", sf).select(
+        "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    write_orc(li, path, mode="overwrite")
+    back = read_orc_source(spark, path).filter(F.col("l_quantity") >= 25)
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("l_orderkey").cast("long").alias("min_okey"),
+            F.max("l_orderkey").cast("long").alias("max_okey"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT l_linestatus,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  CAST(MIN(l_orderkey) AS BIGINT) AS min_okey,
+  CAST(MAX(l_orderkey) AS BIGINT) AS max_okey
+FROM lineitem WHERE l_quantity >= 25
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
 def jdbc_nation_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gated proof of the JDBC connector pair (SURVEY.md §2.1 S3
     — the reference reads its posting table from a warehouse DB over
@@ -370,6 +432,7 @@ SINK_QUERIES: dict[str, QuerySpec] = {
     "file_provenance": QuerySpec(file_provenance, FILE_PROVENANCE_SQL),
     "jdbc_nation_roundtrip": QuerySpec(jdbc_nation_roundtrip, JDBC_ROUNDTRIP_SQL),
     "jsonl_roundtrip": QuerySpec(jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
+    "orc_roundtrip": QuerySpec(orc_roundtrip, ORC_ROUNDTRIP_SQL),
     "partitioned_scan_prune": QuerySpec(
         partitioned_scan_prune, PARTITIONED_SCAN_PRUNE_SQL
     ),

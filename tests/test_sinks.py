@@ -174,3 +174,74 @@ def test_metadata_row_index_matches_duckdb_file_row_number(spark, tmp_path):
     assert got == want
     assert len(got) == 4
     assert all(lo == 0 and hi == n - 1 for n, lo, hi in got.values())
+
+
+def test_jdbc_roundtrip_reads_in_parallel_partitions(spark, sf_dir):
+    """The S3 connector gate's scale property: the JDBC read must be a
+    partitioned range scan (4 parallel queries over n_nationkey), not a
+    single-task straw — assert the scan RDD's partition count, and that
+    the roundtrip is lossless vs the parquet source."""
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from multi_attribute_join_search_with_mapreduce_spark.sources.sinks import (
+        jdbc_nation_roundtrip,
+    )
+
+    out = jdbc_nation_roundtrip(spark, sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    want = {
+        (r["n_regionkey"], r["n_nations"])
+        for r in n.groupBy("n_regionkey").count().withColumnRenamed("count", "n_nations").collect()
+    }
+    got = {(r["n_regionkey"], r["n_nations"]) for r in out.collect()}
+    assert got == want
+
+    # plumbing: the raw partitioned read plans 4 input partitions
+    import os
+    import tempfile
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import (
+        read_jdbc_source,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="majs_jdbc_test_")
+    url = f"jdbc:derby:{os.path.join(scratch, 'db')};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        n.select("n_nationkey", "n_regionkey")
+        .write.format("jdbc")
+        .option("url", url).option("dbtable", "t").option("driver", drv)
+        .mode("overwrite").save()
+    )
+    back = read_jdbc_source(
+        spark, url, "t", partition_column="n_nationkey",
+        num_partitions=4, lower_bound=0, upper_bound=32, driver=drv,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == n.count()
+
+
+def test_orc_roundtrip_pushes_filter_to_scan(spark, sf_dir, tmp_path):
+    """ORC is only a lake citizen if predicates reach the stripe reader:
+    assert the scan plan carries PushedFilters for the quantity
+    predicate, and that a float column roundtrips binary-exact."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from multi_attribute_join_search_with_mapreduce_spark.sources.sinks import (
+        read_orc_source,
+        write_orc,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path, mode="overwrite")
+    back = read_orc_source(spark, path).filter(F.col("l_quantity") >= 25)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters", 1)[1][:200]
+
+    exact = read_orc_source(spark, path)
+    # binary-exact float roundtrip: anti-join on the full row is empty
+    diff = li.exceptAll(exact).count() + exact.exceptAll(li).count()
+    assert diff == 0

@@ -352,13 +352,15 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, spec in registry().items():
         # Lazy oracles (pca_project) derive literals from the sf0.01
-        # parquet via duckdb/numpy at resolve time; if that environment
+        # parquet via duckdb/numpy at resolve time; if that ENVIRONMENT
         # is missing, drop just that entry (the driver then runs its
         # rows-only check) instead of letting one unresolvable oracle
-        # take down the whole map.
+        # take down the whole map. Only environment errors are caught —
+        # a code bug in a resolve path must stay loud, not silently
+        # downgrade that query's differential gate to rows-only.
         try:
             sql = resolve_sql(spec)
-        except Exception as exc:  # noqa: BLE001 - isolate per-oracle env failures
+        except (ImportError, OSError) as exc:
             import sys
 
             print(f"# oracle_sql: dropping {name}: {exc}", file=sys.stderr)

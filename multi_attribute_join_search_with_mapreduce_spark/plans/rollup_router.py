@@ -29,6 +29,8 @@ to prevent.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
 from pyspark.sql import functions as F
 
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
@@ -116,9 +118,8 @@ def rollup_router_weekly(spark: SparkSession, sf: str) -> DataFrame:
     partials (plan-asserted in tests: the routed scan reads the rollup
     path, not the events table). Oracle = direct weekly GROUP BY over
     the raw facts, so the rewrite is proven answer-preserving."""
-    import tempfile
 
-    path = tempfile.mkdtemp(prefix="majs_rollup_router_") + "/daily"
+    path = scratch_dir("majs_rollup_router_") + "/daily"
     materialize_daily_rollup(spark, sf, path)
     catalog = RollupCatalog()
     catalog.register("day", path)

@@ -28,6 +28,8 @@ import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
 from pyspark.sql import functions as F
 
 
@@ -259,14 +261,13 @@ def zorder_clustered_scan(spark: SparkSession, sf: str) -> DataFrame:
     predicate box, in either dimension — the property a single-column
     sort cannot give.
     """
-    import tempfile
 
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
     li = load_table(spark, "lineitem", sf).select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
-    dst = os.path.join(tempfile.mkdtemp(prefix="majs_zorder_"), "lineitem_z")
+    dst = os.path.join(scratch_dir("majs_zorder_"), "lineitem_z")
     cluster_by_zorder(li, ("l_partkey", "l_suppkey"), dst, n_files=8)
     back = spark.read.parquet(dst).where(
         (F.col("l_partkey") <= 100) & (F.col("l_suppkey") <= 50)

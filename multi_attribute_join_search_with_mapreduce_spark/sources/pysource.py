@@ -26,6 +26,8 @@ demonstration and the aggregation downstream is ordinary Catalyst.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
 from pyspark.sql import functions as F
 
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
@@ -166,7 +168,6 @@ def python_stream_source_scan(spark: SparkSession, sf: str) -> DataFrame:
     pagination provably delivers every row exactly once across the 5
     micro-batches.
     """
-    import tempfile
 
     spark.dataSource.register(_make_stream_source())
     stream = (
@@ -186,7 +187,7 @@ def python_stream_source_scan(spark: SparkSession, sf: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
         )
     )
-    ckpt = tempfile.mkdtemp(prefix="majs_pyds_stream_")
+    ckpt = scratch_dir("majs_pyds_stream_")
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+
 
 def write_parquet(
     df: DataFrame,
@@ -92,13 +94,12 @@ def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     are binary-exact; see ``test_sinks.py`` for the float cases.)
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
-    path = os.path.join(tempfile.mkdtemp(prefix="majs_jsonl_"), "events_jsonl")
+    path = os.path.join(scratch_dir("majs_jsonl_"), "events_jsonl")
     e = load_table(spark, "events", sf).select("event_id", "user_id", "event_type")
     write_json(e, path, mode="overwrite")
     back = read_json_source(
@@ -139,13 +140,12 @@ def partitioned_scan_prune(spark: SparkSession, sf: str) -> DataFrame:
     write relocated every row to the right directory and lost none.
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
-    path = os.path.join(tempfile.mkdtemp(prefix="majs_part_"), "events_by_type")
+    path = os.path.join(scratch_dir("majs_part_"), "events_by_type")
     e = load_table(spark, "events", sf).select(
         "event_id", "user_id", "value", "event_type"
     )
@@ -185,13 +185,12 @@ def schema_evolution_merge(spark: SparkSession, sf: str) -> DataFrame:
     explicit NULL for the legacy half.
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
-    path = os.path.join(tempfile.mkdtemp(prefix="majs_evolve_"), "orders_evolving")
+    path = os.path.join(scratch_dir("majs_evolve_"), "orders_evolving")
     o = load_table(spark, "orders", sf)
     v1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     v2 = o.where(F.col("o_orderkey") % 2 != 0).select(
@@ -308,13 +307,12 @@ def orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     an export format.
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
-    path = os.path.join(tempfile.mkdtemp(prefix="majs_orc_"), "lineitem_orc")
+    path = os.path.join(scratch_dir("majs_orc_"), "lineitem_orc")
     li = load_table(spark, "lineitem", sf).select(
         "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
     )
@@ -366,7 +364,6 @@ def jdbc_nation_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     nor compare.
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -378,7 +375,7 @@ def jdbc_nation_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # Keep Derby's engine-wide side files (derby.log) in the scratch
     # dir, not the process cwd. A no-op if the property raced another
     # Derby boot; harmless then — the DB path below is absolute.
-    scratch = tempfile.mkdtemp(prefix="majs_jdbc_")
+    scratch = scratch_dir("majs_jdbc_")
     try:
         spark._jvm.System.setProperty("derby.stream.error.file",
                                       os.path.join(scratch, "derby.log"))

@@ -32,6 +32,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+
 _MANIFEST_DIR = "_manifests"
 
 
@@ -317,13 +319,12 @@ def snapshot_diff_audit(spark: SparkSession, sf: str) -> DataFrame:
     which is precisely what the oracle states, so a green row proves
     upsert, delete, time travel AND the diff classifier in one pass.
     """
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
-    table_dir = tempfile.mkdtemp(prefix="majs_snapdiff_")
+    table_dir = scratch_dir("majs_snapdiff_")
     base = load_table(spark, "events", sf).select("event_id", "user_id", "value")
     m = F.col("event_id") % 4
     snapshot_append(base.where(m < 3), table_dir)  # v1: classes 0,1,2
@@ -372,13 +373,12 @@ def snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     snapshot isolation; v3 matching v2 proves compaction preserves
     content. Oracle: the same stats computed straight from the fixture.
     """
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
-    table_dir = tempfile.mkdtemp(prefix="majs_snapshots_")
+    table_dir = scratch_dir("majs_snapshots_")
     e = load_table(spark, "events", sf).select("event_id", "user_id", "value")
     snapshot_append(e.where(F.col("event_id") % 2 == 0), table_dir)
     snapshot_append(e.where(F.col("event_id") % 2 != 0), table_dir)

@@ -18,29 +18,17 @@ assert parity with the batch renditions in ``operators/events.py``.
 
 from __future__ import annotations
 
-import atexit
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# One scratch root per process, removed at interpreter exit: the
-# streaming queries stage a parquet copy of their source plus stores and
-# checkpoints, and leaving each run's mkdtemp behind accumulates
-# corpus-sized directories across bench/test/driver runs. Results stay
-# readable for the process lifetime (the returned DataFrames read these
-# files lazily); rmtree runs only at exit, after any driver collect.
-_SCRATCH_ROOT: list[str] = []
-
-
-def _scratch_dir(prefix: str) -> str:
-    if not _SCRATCH_ROOT:
-        root = tempfile.mkdtemp(prefix="majs_stream_scratch_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _SCRATCH_ROOT.append(root)
-    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
+# Streaming queries stage a parquet copy of their source plus stores and
+# checkpoints; they draw from the shared per-process scratch root
+# (removed at interpreter exit) so repeated bench/test/driver runs never
+# accumulate corpus-sized temp directories.
+from multi_attribute_join_search_with_mapreduce_spark.scratch import (
+    scratch_dir as _scratch_dir,
+)
 
 EVENTS_SCHEMA = T.StructType(
     [

@@ -25,9 +25,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    reset = set(sys.argv[2:]) if len(sys.argv) > 2 and sys.argv[1] == "--reset" else set()
+    args = sys.argv[1:]
+    reset: set[str] = set()
+    if args:
+        # strict: a transposed or misspelled invocation must fail loudly,
+        # not silently min-merge while the operator believes a stale
+        # entry was discarded.
+        if args[0] != "--reset" or len(args) < 2:
+            raise SystemExit(
+                f"unrecognized arguments {args!r}; usage: "
+                "refresh_baseline.py [--reset name ...]"
+            )
+        reset = set(args[1:])
     with open(os.path.join(REPO, "bench_queries.json")) as f:
         latest = json.load(f)
+    unknown = reset - set(latest["queries"])
+    if unknown:
+        raise SystemExit(
+            f"--reset names not present in the latest bench run: {sorted(unknown)}"
+        )
     base_path = os.path.join(REPO, "BENCH_BASELINE.json")
     base = {"sf": latest["sf"], "queries": {}, "phases": {}}
     if os.path.exists(base_path):

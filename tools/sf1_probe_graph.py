@@ -8,17 +8,20 @@ remaining expensive families at ×10 volume:
 1. the iterative graph tier — ``kcore_near_dup``, ``lpa_communities``,
    ``contamination_radius`` — over the adversarial 10-clique lake
    (the sf0.1 documents self-unioned ×10 with verbatim text), where the
-   near-dup edge set blows up ~×370 (every band bucket holds a
-   10-clique), so the fixpoints run on a graph two orders denser than
-   the bench's;
+   near-dup EDGE set blows up ~three orders of magnitude (measured
+   ×979: every band bucket holds a 10-clique, and the ≥0.5-jaccard
+   edge filter passes the verbatim pairs), so the fixpoints run on a
+   graph ~1000× denser than the bench's;
 2. ``stream_near_dup_ingest`` — the checkpointed multi-trigger LSH
    ingest, whose per-trigger work must stay O(batch·bucket), not
-   O(corpus).
+   O(corpus). (Its candidate PAIR output grows ×372 — a different
+   number than the edge blowup above, because pairs are pre-threshold.)
 
 A family is scale-sound if its ×10 wall-clock ratio stays well under
-the ×370 edge blowup (fixpoints are per-round edge-linear) / under ×10
-(streaming is batch-linear). Ratios are vs the same queries on the ×1
-lake in the same session, min of 2 reps per volume.
+its structure blowup — the measured edge blowup (×979) for the
+edge-linear fixpoints, ×10 input volume for the batch-linear streaming
+ingest. Ratios are vs the same queries on the ×1 lake in the same
+session, min of 2 reps per volume.
 
 Usage: python tools/sf1_probe_graph.py [sf_dir] [out_json]
 Writes one JSON blob; numbers are cited in SCALE.md.

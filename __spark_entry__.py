@@ -117,9 +117,10 @@ def _search_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     table) append.
     """
     import os
-    import tempfile
 
-    idx_dir = os.path.join(tempfile.mkdtemp(prefix="majs_incr_idx_"), "pidx")
+    from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+
+    idx_dir = os.path.join(scratch_dir("majs_incr_idx_"), "pidx")
     # initial build: everything except `part`
     base = tuple(s for s in LAKE_TABLES if s.name != "part")
     from multi_attribute_join_search_with_mapreduce_spark.index import build_posting_index
@@ -308,7 +309,7 @@ def registry() -> dict[str, QuerySpec]:
         # new this round: embedded-Derby JDBC roundtrip gates S3's
         # external-DB surface (the one reference surface with no driver
         # row through r5)
-        "jdbc_nation_roundtrip", "orc_roundtrip",
+        "jdbc_nation_roundtrip", "orc_roundtrip", "zipf_vocab_fit",
         # touched this round
         "kcore_near_dup", "lpa_communities", "contamination_radius",
         "dedup_clusters", "dedup_canonical", "cluster_rep_sample",

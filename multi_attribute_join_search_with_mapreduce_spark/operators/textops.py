@@ -2563,7 +2563,112 @@ ORDER BY n_ab DESC, bigram LIMIT {_PMI_TOP}
 """
 
 
+_ZIPF_TOP = 500
+
+
+def zipf_vocab_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-health diagnostic: the Zipf rank-frequency fit. Natural
+    text has ``ln(freq) ≈ intercept − s·ln(rank)`` with ``s ≈ 1`` over
+    the head of the vocabulary; templated/synthetic corpora flatten
+    (s ≪ 1) or cliff (s ≫ 1), so the fitted slope is a one-number
+    pre-training corpus screen alongside `word_entropy`/`lang_id`.
+
+    Plan: token explode → global term frequencies (map-side combinable)
+    → top-{top} head by (freq DESC, token ASC) — the deterministic
+    tie-break keeps both engines' rankings identical — then the
+    closed-form OLS of `value_trend_ols` over (ln rank, ln freq):
+    per-row ``ln`` quantized to 6 dp (the documented transcendental
+    class), 6-dp decimals multiply exactly at 12 dp, so the moment sums
+    are order-independent and slope/intercept are one double expression
+    over exact inputs (association order mirrored verbatim in the
+    oracle). The ranking window runs over the already-LIMITed {top}-row
+    head, and the head selection itself is a TakeOrdered over the
+    vocabulary aggregate — Heaps-law-bounded, never corpus-sized; at
+    100 TB this is a top-k over a term dictionary.
+    """
+    d = load_table(spark, "documents", sf).filter(F.col("text").isNotNull())
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = vocab.orderBy(F.col("freq").desc(), F.col("tok")).limit(_ZIPF_TOP)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("tok"))),
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("freq").cast("double")), 6).cast("decimal(18,6)")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("sxx"),
+    )
+    totals = vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return m.crossJoin(F.broadcast(totals)).select(
+        "vocab_size",
+        "n_tokens",
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+zipf_vocab_fit.__doc__ = zipf_vocab_fit.__doc__.format(top=_ZIPF_TOP)
+
+
+ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT t.tok FROM documents, LATERAL UNNEST({_TOKENS_SQL}) AS t(tok)
+  WHERE text IS NOT NULL AND t.tok != ''
+),
+vocab AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+top AS (SELECT tok, freq FROM vocab ORDER BY freq DESC, tok LIMIT {_ZIPF_TOP}),
+ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank FROM top
+),
+q AS (
+  SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lx,
+         CAST(ROUND(LN(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ly
+  FROM ranked
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(CAST(lx * ly AS DECIMAL(38,12))) AS sxy,
+         SUM(CAST(lx * lx AS DECIMAL(38,12))) AS sxx
+  FROM q
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(freq) AS BIGINT) AS n_tokens
+  FROM vocab
+)
+SELECT t.vocab_size, t.n_tokens, CAST(m.n AS BIGINT) AS n_ranks,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+    AS zipf_slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE), 6) AS intercept
+FROM m CROSS JOIN t
+"""
+
+
 TEXT_QUERIES: dict[str, QuerySpec] = {
+    "zipf_vocab_fit": QuerySpec(zipf_vocab_fit, ZIPF_SQL),
     "boilerplate_phrases": QuerySpec(boilerplate_phrases, BOILERPLATE_SQL),
     "containment_join": QuerySpec(containment_join, CONTAINMENT_SQL),
     "pmi_collocations": QuerySpec(pmi_collocations, PMI_SQL),

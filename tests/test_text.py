@@ -593,3 +593,37 @@ def test_bigram_lm_perplexity_closed_form(spark, tmp_path):
     assert rows[2].bigram_ce == round(ce2, 4)
     assert rows[1].ppl == round(math.exp(round(ce1, 4)), 4)
     assert rows[1].ppl < rows[2].ppl
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """Closed-form gate: a corpus planted with freq(rank) = floor(6000 /
+    rank) is Zipfian with exponent 1, so the fitted log-log slope must
+    land near -1 — and a frequency TIE must rank by token ascending (the
+    deterministic tie-break both engines share)."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators import textops
+
+    docs = []
+    for r in range(1, 41):
+        # zero-padded token names keep lexicographic order deterministic
+        docs.append((r, " ".join([f"tok{r:03d}"] * (6000 // r))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        textops, "load_table", lambda _s, _t, _sf: df
+    ):
+        out = textops.zipf_vocab_fit(spark, "unused").collect()[0]
+    assert out["vocab_size"] == 40
+    assert out["n_ranks"] == 40
+    assert -1.08 < out["zipf_slope"] < -0.92, out["zipf_slope"]
+
+    # tie-break: two tokens with identical frequency rank alphabetically
+    tie = spark.createDataFrame(
+        [(1, "bb bb aa aa cc")], "doc_id long, text string"
+    )
+    with mock.patch.object(textops, "load_table", lambda _s, _t, _sf: tie):
+        row = textops.zipf_vocab_fit(spark, "unused").collect()[0]
+    # aa(2) and bb(2) tie at ranks 1-2, cc(1) is rank 3: slope over
+    # x=[ln1,ln2,ln3], y=[ln2,ln2,ln1] must be the aa-first fit
+    assert row["n_ranks"] == 3

@@ -309,7 +309,7 @@ def registry() -> dict[str, QuerySpec]:
         # new this round: embedded-Derby JDBC roundtrip gates S3's
         # external-DB surface (the one reference surface with no driver
         # row through r5)
-        "jdbc_nation_roundtrip", "orc_roundtrip", "zipf_vocab_fit",
+        "jdbc_nation_roundtrip", "orc_roundtrip", "xml_roundtrip", "zipf_vocab_fit",
         # touched this round
         "kcore_near_dup", "lpa_communities", "contamination_radius",
         "dedup_clusters", "dedup_canonical", "cluster_rep_sample",

@@ -64,6 +64,26 @@ def read_json_source(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "error"
+) -> None:
+    """XML sink (native in Spark 4 — no external package): the
+    interchange format regulated/B2B feeds still arrive in."""
+    df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)
+
+
+def read_xml_source(
+    spark: SparkSession, path: str, row_tag: str = "row", schema=None
+) -> DataFrame:
+    """XML reader; pass an explicit schema in production — inference
+    parses the documents twice, and XML has no native numeric types to
+    anchor it."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def write_orc(
     df: DataFrame, path: str, mode: str = "error", compression: str = "zstd"
 ) -> None:
@@ -295,6 +315,54 @@ ORDER BY table_name
 """
 
 
+def xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gated proof of the XML sink + scan pair (Spark 4 ships the
+    XML source natively): write a nation projection as XML, read it back
+    with an explicit schema, join it to region through the roundtripped
+    key, and aggregate — the oracle computes the same join-aggregate
+    from the parquet fixtures, so a green row proves the XML path is
+    lossless AND join-able, not just count-stable.
+
+    Same exact-text-type discipline as `jsonl_roundtrip`: integers and
+    strings only (XML is text; a DOUBLE through decimal text can come
+    back one ulp off — floats belong to the binary columnar formats,
+    `orc_roundtrip`).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    path = os.path.join(scratch_dir("majs_xml_"), "nation_xml")
+    n = load_table(spark, "nation", sf).select("n_nationkey", "n_regionkey", "n_name")
+    write_xml(n, path, mode="overwrite")
+    back = read_xml_source(
+        spark, path, schema="n_nationkey long, n_regionkey long, n_name string"
+    )
+    r = load_table(spark, "region", sf).select("r_regionkey", "r_name")
+    return (
+        back.join(F.broadcast(r), back["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("sum_key"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("r_name")
+    )
+
+
+XML_ROUNDTRIP_SQL = """
+SELECT r.r_name,
+  CAST(COUNT(*) AS BIGINT) AS n_nations,
+  CAST(SUM(n.n_nationkey) AS BIGINT) AS sum_key,
+  MIN(n.n_name) AS first_nation
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+"""
+
+
 def orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gated proof of the ORC sink + scan pair: write a lineitem
     projection as zstd ORC (including a DOUBLE — columnar formats are
@@ -430,6 +498,7 @@ SINK_QUERIES: dict[str, QuerySpec] = {
     "jdbc_nation_roundtrip": QuerySpec(jdbc_nation_roundtrip, JDBC_ROUNDTRIP_SQL),
     "jsonl_roundtrip": QuerySpec(jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "orc_roundtrip": QuerySpec(orc_roundtrip, ORC_ROUNDTRIP_SQL),
+    "xml_roundtrip": QuerySpec(xml_roundtrip, XML_ROUNDTRIP_SQL),
     "partitioned_scan_prune": QuerySpec(
         partitioned_scan_prune, PARTITIONED_SCAN_PRUNE_SQL
     ),

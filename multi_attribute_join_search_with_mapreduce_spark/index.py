@@ -132,6 +132,29 @@ def session_cached(cache: dict, spark: SparkSession, key_suffix: tuple, build):
     return val
 
 
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and truncate its lineage — the ONE
+    implementation behind every shared-cache checkpoint in the engine
+    (posting index, near-dup edge set, IVF assignments).
+
+    ``localCheckpoint`` trades fault tolerance for plan size: the
+    blocks are UNREPLICATED executor-local state with lineage gone, so
+    on a real cluster (executor loss, dynamic allocation shrink) every
+    downstream query fails permanently instead of recomputing. That
+    trade is correct in local mode — one JVM, no executor churn — but
+    at cluster scale a durable form is MANDATORY, not optional: set
+    ``sc.setCheckpointDir(<reliable store>)`` and this helper upgrades
+    to a reliable ``checkpoint()`` (HDFS/object-store backed, survives
+    executor loss), or persist the artifact outright
+    (`write_posting_index`, the bucketed on-disk form).
+    """
+    try:
+        has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint()
+
+
 def cached_posting_index(
     spark: SparkSession,
     sf_dir: str,
@@ -141,7 +164,7 @@ def cached_posting_index(
         _INDEX_CACHE,
         spark,
         (sf_dir, specs),
-        # localCheckpoint, not persist: the cached frame is joined by
+        # truncate_lineage, not persist: the cached frame is joined by
         # every search-stage query, and persist alone carries the whole
         # union-of-melts logical plan into each consumer's analysis
         # (the r6 graph-tier lesson, `operators/graph.py:_candidate_edges`
@@ -149,8 +172,9 @@ def cached_posting_index(
         # at sf0.1). Checkpointing truncates the lineage to a scan of
         # the materialized partitions; at warehouse scale the durable
         # form of the same idea is `write_posting_index` (a bucketed
-        # table on disk).
-        lambda: build_posting_index(spark, sf_dir, specs).localCheckpoint(),
+        # table on disk). See truncate_lineage for the cluster
+        # durability contract.
+        lambda: truncate_lineage(build_posting_index(spark, sf_dir, specs)),
     )
 
 

@@ -264,15 +264,19 @@ def _candidate_edges(spark: SparkSession, sf: str) -> DataFrame:
             .filter(F.col("est_jaccard") >= _EDGE_THRESHOLD)
             .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         )
-        # localCheckpoint (eager), NOT persist+count: persist caches the
-        # DATA but the returned frame still carries the whole
+        # truncate_lineage (eager), NOT persist+count: persist caches
+        # the DATA but the returned frame still carries the whole
         # LSH-pipeline logical plan, and every fixpoint round embeds
         # that plan several times — at sf0.01 Catalyst re-analysis of
         # the carried lineage cost ~4s per consumer query on a 25-edge
         # graph (measured r6), dwarfing execution. Checkpointing
         # truncates the lineage to a scan of the materialized
-        # partitions, so the per-round plans stay edge-sized.
-        return edges.localCheckpoint()
+        # partitions, so the per-round plans stay edge-sized. On a
+        # cluster the helper upgrades to reliable checkpoint() — see
+        # index.truncate_lineage for the durability contract.
+        from multi_attribute_join_search_with_mapreduce_spark.index import truncate_lineage
+
+        return truncate_lineage(edges)
 
     return session_cached(_EDGE_CACHE, spark, (sf,), _build)
 

@@ -74,6 +74,53 @@ class SearchStages:
     columns: DataFrame  # scoring: top-2k column scores
 
 
+def _probe_broadcastable(query_df: DataFrame) -> bool:
+    """Auto decision for the query-derived broadcast hints.
+
+    The explicit ``broadcast()`` hints on the probe side bypass
+    ``spark.sql.autoBroadcastJoinThreshold`` — correct for the normal
+    case (a query table of thousands of rows against a 100 TB index)
+    but wrong when a user probes with a FACT-sized query table, where a
+    forced broadcast would OOM the driver. The auto path applies
+    Catalyst's own rule to the probe's source: hint only when the
+    optimizer's size estimate of the (projected, deduped) query table
+    is within the session's broadcast threshold; otherwise drop every
+    query-derived hint and let AQE pick the strategy from runtime stats
+    (which still converts to broadcast when the probe turns out small).
+    """
+    spark = query_df.sparkSession
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            thr = int(raw)  # plain bytes, incl. the disabled sentinel "-1"
+        except ValueError:
+            thr = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                    raw
+                )
+            )
+    except Exception:
+        thr = 10 << 20  # Spark's default threshold
+    if thr <= 0:
+        return False  # user disabled auto-broadcast: respect it
+    try:
+        est = int(
+            query_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return True  # no estimate (e.g. local relation): fixture-scale default
+    return est <= thr
+
+
+def _hinter(query_df: DataFrame, broadcast_probe: bool | None):
+    """The broadcast-hint applicator for query-derived join sides:
+    identity when the probe side must not be forced resident."""
+    bcast = (
+        _probe_broadcastable(query_df) if broadcast_probe is None else broadcast_probe
+    )
+    return F.broadcast if bcast else (lambda df: df)
+
+
 def _query_mappings(query_df: DataFrame, attrs: list[str]) -> DataFrame:
     """Normalize + dedup the query table; unpivot to (key, MapKey) pairs."""
     norm = query_df.select(
@@ -97,8 +144,16 @@ def multi_attribute_join_search(
     attrs: list[str],
     k: int = DEFAULT_TOP_K,
     strategy: str = "rare_key",
+    broadcast_probe: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(table_scores, column_scores)`` DataFrames.
+
+    ``broadcast_probe``: force (True) or suppress (False) the explicit
+    broadcast hints on the query-derived join sides; ``None`` (default)
+    decides from the optimizer's size estimate of the query table vs
+    ``spark.sql.autoBroadcastJoinThreshold`` (see
+    :func:`_probe_broadcastable`) — fact-sized probes degrade to
+    AQE-chosen strategies instead of a forced driver-resident build.
 
     ``table_scores``: ``(table INT, join_score BIGINT)`` — top-k.
     ``column_scores``: ``(table INT, column INT, join_score BIGINT)`` — top-2k.
@@ -132,16 +187,17 @@ def multi_attribute_join_search(
       per-row round trips to batch differently in the first place.
     """
     if strategy in ("rare_key", "row", "cell"):
-        st = _rare_key_stages(postings, query_df, attrs, k)
+        st = _rare_key_stages(postings, query_df, attrs, k, broadcast_probe)
         return st.tables, st.columns
     if strategy != "mapkey":
         raise ValueError(f"unknown strategy: {strategy!r}")
+    hint = _hinter(query_df, broadcast_probe)
     n = len(attrs)
     mappings = _query_mappings(query_df, attrs)
     keys = mappings.select("key").distinct()
 
     # Probe: semi-join the index with the (small, broadcast) key set.
-    probed = postings.join(F.broadcast(keys), "key", "left_semi")
+    probed = postings.join(hint(keys), "key", "left_semi")
 
     # One explicit (table,row) shuffle that every downstream op reuses:
     # hash-partitioning on (table,row) satisfies the dedup groupBy's
@@ -165,7 +221,7 @@ def multi_attribute_join_search(
 
     # Attribute matched postings to query rows; keep (table,row,MapKey)
     # groups where all n attributes of that query row hit.
-    mapped = reduced.join(F.broadcast(mappings), "key")
+    mapped = reduced.join(hint(mappings), "key")
     w_match = Window.partitionBy("table", "row", "MapKey")
     matches = (
         mapped.withColumn("_cnt", F.count(F.lit(1)).over(w_match))
@@ -201,11 +257,12 @@ def search_stages(
     query_df: DataFrame,
     attrs: list[str],
     k: int = DEFAULT_TOP_K,
+    broadcast_probe: bool | None = None,
 ) -> SearchStages:
     """Public phase-exposing variant of the default (rare_key) search —
     used by ``bench.py`` for the reference's 4-phase wall-clock
     breakdown (``log_runtime``, ``Par_Search.py:16-32``)."""
-    return _rare_key_stages(postings, query_df, attrs, k)
+    return _rare_key_stages(postings, query_df, attrs, k, broadcast_probe)
 
 
 def _rare_key_stages(
@@ -213,6 +270,7 @@ def _rare_key_stages(
     query_df: DataFrame,
     attrs: list[str],
     k: int = DEFAULT_TOP_K,
+    broadcast_probe: bool | None = None,
 ) -> SearchStages:
     """Selectivity-ordered probe (see :func:`multi_attribute_join_search`).
 
@@ -241,6 +299,7 @@ def _rare_key_stages(
        exchange-reuse rule, so the r1 shape recomputed the probe+dedup
        subtree (and its shuffle) three times per query.
     """
+    hint = _hinter(query_df, broadcast_probe)
     n = len(attrs)
     norm = query_df.select(
         *[normalize_col(F.col(a)).alias(f"_a{i}") for i, a in enumerate(attrs)]
@@ -257,13 +316,13 @@ def _rare_key_stages(
     )
     keys = melted.select("key").distinct()
 
-    probed = postings.join(F.broadcast(keys), "key", "left_semi")
+    probed = postings.join(hint(keys), "key", "left_semi")
 
     # Probe-key selection works off the raw (pre-dedup) probe: the index
     # is persisted, so this branch is a cache scan + one small shuffle
     # on key — it shares nothing heavy with the match pipeline below.
     freq = probed.groupBy("key").agg(F.count(F.lit(1)).alias("_freq"))
-    with_freq = freq.join(F.broadcast(melted), "key")
+    with_freq = freq.join(hint(melted), "key")
     w_rare = Window.partitionBy("MapKey").orderBy(F.asc("_freq"), F.asc("key"))
     rarest = (
         with_freq.withColumn("_rn", F.row_number().over(w_rare))
@@ -306,7 +365,7 @@ def _rare_key_stages(
     # pass over the postings, no (table,row) self-join.
     hits = kc.select(
         "table", "row", "_m", F.explode(F.map_keys("_m")).alias("key")
-    ).join(F.broadcast(probe), F.col("key") == F.col("probe_key"))
+    ).join(hint(probe), F.col("key") == F.col("probe_key"))
 
     verified = hits
     for i in range(n):
@@ -354,6 +413,7 @@ def multi_attribute_join_search_batch(
     postings: DataFrame,
     batch: list[tuple[str, DataFrame, list[str]]],
     k: int = DEFAULT_TOP_K,
+    broadcast_probe: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Amortized batch form of the flagship search: B query tables
     answered in ONE pass over the posting index.
@@ -397,11 +457,15 @@ def multi_attribute_join_search_batch(
 
     melted = qrows.select("qid", "MapKey", "_n", F.explode("_attrs").alias("key"))
     keys = melted.select("key").distinct()
+    # Same hint discipline as the single-query form: the union of B
+    # query tables is still probe-side, so a fact-sized batch degrades
+    # to AQE-chosen strategies instead of a forced broadcast.
+    hint = _hinter(qrows, broadcast_probe)
 
-    probed = postings.join(F.broadcast(keys), "key", "left_semi")
+    probed = postings.join(hint(keys), "key", "left_semi")
 
     freq = probed.groupBy("key").agg(F.count(F.lit(1)).alias("_freq"))
-    with_freq = freq.join(F.broadcast(melted), "key")
+    with_freq = freq.join(hint(melted), "key")
     w_rare = Window.partitionBy("qid", "MapKey").orderBy(F.asc("_freq"), F.asc("key"))
     rarest = (
         with_freq.withColumn("_rn", F.row_number().over(w_rare))
@@ -437,7 +501,7 @@ def multi_attribute_join_search_batch(
         "row",
         "_m",
         F.explode(F.map_keys("_m")).alias("key"),
-    ).join(F.broadcast(probe), F.col("key") == F.col("probe_key"))
+    ).join(hint(probe), F.col("key") == F.col("probe_key"))
 
     # forall over the heterogeneous attr array: presence of every attr
     # in the row's key map. The map lookup inside the lambda is still

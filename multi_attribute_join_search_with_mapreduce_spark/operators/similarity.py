@@ -504,11 +504,14 @@ def build_ivf_index(spark: SparkSession, sf: str) -> IvfIndex:
             (int(r["cell"]), [float(v) for v in r["cvec"]])
             for r in _centroid_df(e).collect()
         ]
-        # localCheckpoint (r6 lineage rule, see index.cached_posting_index):
+        # truncate_lineage (r6 lineage rule, see index.cached_posting_index):
         # probes join this frame per query; truncating the assign-pass
-        # lineage keeps their plans cell-sized.
-        assignment = (
-            _assign_cells_literal(e, codebook, 1).repartition("cell").localCheckpoint()
+        # lineage keeps their plans cell-sized. Reliable checkpoint on
+        # a cluster (index.truncate_lineage durability contract).
+        from multi_attribute_join_search_with_mapreduce_spark.index import truncate_lineage
+
+        assignment = truncate_lineage(
+            _assign_cells_literal(e, codebook, 1).repartition("cell")
         )
         return IvfIndex(codebook, assignment)
 

@@ -2616,12 +2616,18 @@ def zipf_vocab_fit(spark: SparkSession, sf: str) -> DataFrame:
     sxx = F.col("sxx").cast("double")
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
+    # A single-rank vocabulary makes the OLS denominator exactly 0;
+    # Spark's double x/0 (NaN) and DuckDB's (configurable: error or
+    # inf/NaN) need not agree, so a degenerate corpus would turn into a
+    # spurious gate mismatch. NULL the fit on BOTH sides when n < 2 —
+    # a one-word corpus has no slope, and NULL is the honest answer.
+    fit_ok = F.col("n") >= 2
     return m.crossJoin(F.broadcast(totals)).select(
         "vocab_size",
         "n_tokens",
         F.col("n").cast("long").alias("n_ranks"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round(intercept, 6).alias("intercept"),
+        F.when(fit_ok, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(fit_ok, F.round(intercept, 6)).alias("intercept"),
     )
 
 
@@ -2655,14 +2661,17 @@ t AS (
   FROM vocab
 )
 SELECT t.vocab_size, t.n_tokens, CAST(m.n AS BIGINT) AS n_ranks,
-  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-    AS zipf_slope,
-  ROUND((CAST(sy AS DOUBLE)
-         - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-           * CAST(sx AS DOUBLE))
-        / CAST(n AS DOUBLE), 6) AS intercept
+  CASE WHEN m.n >= 2 THEN
+    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+  END AS zipf_slope,
+  CASE WHEN m.n >= 2 THEN
+    ROUND((CAST(sy AS DOUBLE)
+           - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE), 6)
+  END AS intercept
 FROM m CROSS JOIN t
 """
 

@@ -411,6 +411,47 @@ GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
 
+# One embedded-Derby database per process (see jdbc_nation_roundtrip's
+# docstring for why). [0] = the jdbc URL once booted.
+_DERBY_DB: list[str] = []
+
+
+def _derby_db_url(spark: SparkSession) -> str:
+    """Boot (once per process) and return the embedded Derby DB URL."""
+    import atexit
+    import os
+
+    if _DERBY_DB:
+        return _DERBY_DB[0]
+    scratch = scratch_dir("majs_jdbc_")
+    # Keep Derby's engine-wide side files (derby.log) in the scratch
+    # dir, not the process cwd. Only honored on the FIRST engine boot
+    # in the JVM — which is exactly this one; a no-op if something else
+    # booted Derby first (harmless, the DB path below is absolute).
+    try:
+        spark._jvm.System.setProperty(
+            "derby.stream.error.file", os.path.join(scratch, "derby.log")
+        )
+    except Exception:
+        pass
+    url = f"jdbc:derby:{os.path.join(scratch, 'nation_db')};create=true"
+
+    def _shutdown_engine() -> None:
+        # A clean engine shutdown ALWAYS raises SQLException XJ015 —
+        # that is Derby's documented success signal. Guard everything:
+        # at interpreter exit the JVM gateway may already be gone.
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                "jdbc:derby:;shutdown=true"
+            )
+        except Exception:
+            pass
+
+    atexit.register(_shutdown_engine)
+    _DERBY_DB.append(url)
+    return url
+
+
 def jdbc_nation_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gated proof of the JDBC connector pair (SURVEY.md §2.1 S3
     — the reference reads its posting table from a warehouse DB over
@@ -430,9 +471,18 @@ def jdbc_nation_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ``createTableColumnTypes`` pins n_name to VARCHAR: Spark's Derby
     dialect maps StringType to CLOB, which Derby can neither GROUP BY
     nor compare.
-    """
-    import os
 
+    The database path is ONE per process (``_derby_db_url``): embedded
+    Derby keeps every booted database resident in the JVM (page cache,
+    open file handles) until engine shutdown, so a fresh DB per
+    invocation × bench reps × driver reruns would accumulate them for
+    process lifetime — and the scratch atexit rmtree would be deleting
+    directories Derby still holds open. Reps reuse the single DB
+    (``mode("overwrite")`` recreates the table, not the database) and an
+    atexit hook shuts the engine down cleanly BEFORE the scratch rmtree
+    runs (atexit is LIFO; the scratch root registers at first use, which
+    this call forces first).
+    """
     from pyspark.sql import functions as F
 
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import (
@@ -440,16 +490,7 @@ def jdbc_nation_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         read_jdbc_source,
     )
 
-    # Keep Derby's engine-wide side files (derby.log) in the scratch
-    # dir, not the process cwd. A no-op if the property raced another
-    # Derby boot; harmless then — the DB path below is absolute.
-    scratch = scratch_dir("majs_jdbc_")
-    try:
-        spark._jvm.System.setProperty("derby.stream.error.file",
-                                      os.path.join(scratch, "derby.log"))
-    except Exception:
-        pass
-    url = f"jdbc:derby:{os.path.join(scratch, 'nation_db')};create=true"
+    url = _derby_db_url(spark)
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     n = load_table(spark, "nation", sf).select("n_nationkey", "n_regionkey", "n_name")
     (

@@ -195,16 +195,16 @@ def test_jdbc_roundtrip_reads_in_parallel_partitions(spark, sf_dir):
     got = {(r["n_regionkey"], r["n_nations"]) for r in out.collect()}
     assert got == want
 
-    # plumbing: the raw partitioned read plans 4 input partitions
-    import os
-    import tempfile
-
+    # plumbing: the raw partitioned read plans 4 input partitions.
+    # Reuse the per-process Derby DB (table 't' alongside the gate's
+    # 'nation_probe') — a bare mkdtemp here would leak both the
+    # directory and a second resident embedded DB across runs.
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import (
         read_jdbc_source,
     )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.sinks import _derby_db_url
 
-    scratch = tempfile.mkdtemp(prefix="majs_jdbc_test_")
-    url = f"jdbc:derby:{os.path.join(scratch, 'db')};create=true"
+    url = _derby_db_url(spark)
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
     (
         n.select("n_nationkey", "n_regionkey")

@@ -18,6 +18,8 @@ assert parity with the batch renditions in ``operators/events.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -717,6 +719,69 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.events import ( 
 )
 
 
+# Bucket count for the streaming LSH band store. 8 matches the fixture
+# parallelism; a 100 TB deployment sizes it to executor count once at
+# table creation (bucketing is an ingest-time layout decision).
+_BAND_STORE_BUCKETS = 8
+
+
+def _append_bands_bucketed(bands: DataFrame, tbl: str, location: str, batch_id: int) -> None:
+    """Append one micro-batch's band rows to the bucketed store table.
+
+    The table is partitioned by ``batch`` and bucketed+sorted by the
+    join keys within each partition, so (a) the foreachBatch replay
+    guard (at-least-once: a batch whose append already committed must
+    not re-append) is a PARTITION-PRUNED existence probe — metadata
+    work, never a store scan — and (b) the per-trigger candidate join
+    reads the store through its bucketing, exchange-free. (A crash
+    exactly between a partial append and the checkpoint commit can
+    still leave a partial partition — closing that window needs a
+    transactional table format (Delta/Iceberg), which this sandbox
+    lacks; the pairs output stays exactly-once regardless because the
+    candidate join is followed by a distinct over batches.)
+    """
+    spark = bands.sparkSession
+    if spark.catalog.tableExists(tbl):
+        already = (
+            spark.table(tbl).where(F.col("batch") == batch_id).limit(1).count()
+        )
+        if already:
+            return
+    (
+        bands.withColumn("batch", F.lit(batch_id))
+        .write.mode("append")
+        .format("parquet")
+        .option("path", location)
+        .partitionBy("batch")
+        .bucketBy(_BAND_STORE_BUCKETS, "band", "band_hash")
+        .sortBy("band", "band_hash")
+        .saveAsTable(tbl)
+    )
+
+
+def _band_store_join(new_bands: DataFrame, store: DataFrame) -> DataFrame:
+    """The per-trigger candidate join: the NEW batch's bands against the
+    FULL accumulated store. The store side is a bucketed scan on exactly
+    the join keys ``(band, band_hash)``, so it NEVER exchanges — the
+    planner either broadcasts the batch-sized new side or hashes it into
+    the store's bucketing; store-side cost is a scan either way
+    (plan-gated in ``tests/test_streaming.py``)."""
+    new, all_ = new_bands.alias("n"), store.alias("s")
+    return (
+        new.join(
+            all_,
+            (F.col("n.band") == F.col("s.band"))
+            & (F.col("n.band_hash") == F.col("s.band_hash"))
+            & (F.col("n.doc_id") != F.col("s.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-duplicate maintenance — the production ingest
     path for LSH dedup: documents arrive in micro-batches
@@ -736,10 +801,13 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointing. est_jaccard is computed once at the end from the
     signature store (identical md5 agreement math).
 
-    At 100 TB the store is a bucketed lakehouse table (`snapshots.py`
-    ingest path) and the per-trigger join is band-bucket-keyed with the
-    new batch broadcast — per-trigger cost scales with the batch, not
-    the corpus."""
+    The band store IS the 100 TB form: a table bucketed+sorted on the
+    join keys ``(band, band_hash)`` (`_append_bands_bucketed`), so the
+    per-trigger candidate join (`_band_store_join`) plans with NO
+    store-side exchange — the planner broadcasts the batch-sized new
+    side or hashes it into the store's bucketing; either way per-trigger
+    shuffle work scales with the batch, never the corpus
+    (plan-asserted in ``tests/test_streaming.py``)."""
     from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
         _bands_from_sigs,
         signatures_from_docs,
@@ -756,48 +824,33 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    bands_dir, sigs_dir, pairs_dir = (
-        f"{base}/bands",
-        f"{base}/sigs",
-        f"{base}/pairs",
-    )
+    sigs_dir, pairs_dir = f"{base}/sigs", f"{base}/pairs"
+    bands_tbl = f"majs_band_store_{os.path.basename(base).strip('_').lower()}"
+    bands_loc = f"{base}/bands_tbl"
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         # IDEMPOTENT store writes: foreachBatch is at-least-once, so a
         # batch that re-executes after its appends committed (crash
         # between write and checkpoint commit) must not duplicate store
-        # rows. Each batch OVERWRITES its own partition directory
-        # (batch=<id>) — a replay rewrites the same partition and the
-        # store stays exactly-once; partition discovery on the root read
-        # sees every batch. coalesce(1): a micro-batch's bands/sigs are
-        # KB-scale here and MB-scale in production — 32-partition writes
-        # would litter the store with tiny files (the classic streaming
-        # small-files bug; this writes what a compactor would produce).
+        # rows. Sigs/pairs OVERWRITE their own partition directory
+        # (batch=<id>) — a replay rewrites the same partition; the band
+        # store appends to the bucketed table with a per-batch replay
+        # guard (`_append_bands_bucketed`). coalesce(1): a micro-batch's
+        # bands/sigs are KB-scale here and MB-scale in production —
+        # 32-partition writes would litter the store with tiny files
+        # (the classic streaming small-files bug; this writes what a
+        # compactor would produce; the bucketed write fans that one
+        # partition into its 8 bucket files).
         # The signature frame is persisted for the batch's lifetime: it
         # feeds both the sigs write and the band derivation, and an
         # unpersisted 8-tree signature projection collapses out of
         # whole-stage codegen (the minhash_bands lesson).
         sigs_b = signatures_from_docs(batch_df, persist=False).coalesce(1).persist()
         bands_b = _bands_from_sigs(sigs_b).persist()
-        bands_b.coalesce(1).write.mode("overwrite").parquet(
-            f"{bands_dir}/batch={batch_id}"
-        )
+        _append_bands_bucketed(bands_b.coalesce(1), bands_tbl, bands_loc, batch_id)
         sigs_b.write.mode("overwrite").parquet(f"{sigs_dir}/batch={batch_id}")
-        store = spark.read.parquet(bands_dir)  # includes this batch
-        new, all_ = bands_b.alias("n"), store.alias("s")
-        pairs_b = (
-            new.join(
-                all_,
-                (F.col("n.band") == F.col("s.band"))
-                & (F.col("n.band_hash") == F.col("s.band_hash"))
-                & (F.col("n.doc_id") != F.col("s.doc_id")),
-            )
-            .select(
-                F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_a"),
-                F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_b"),
-            )
-            .distinct()
-        )
+        store = spark.table(bands_tbl)  # includes this batch
+        pairs_b = _band_store_join(bands_b, store)
         pairs_b.coalesce(1).write.mode("overwrite").parquet(
             f"{pairs_dir}/batch={batch_id}"
         )
@@ -813,11 +866,15 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    # The result reads only the pairs/sigs stores; unregister the band
+    # table so bench reps / driver reruns don't accumulate catalog
+    # entries (the files live under the atexit-cleaned scratch root).
+    spark.sql(f"DROP TABLE IF EXISTS {bands_tbl}")
 
-    # Drop the partition-discovery `batch` column BEFORE distinct —
-    # the same pair legitimately appears in several batch partitions
-    # (same-band rediscovery), and a (doc_a, doc_b, batch)-wide distinct
-    # would keep those duplicates.
+    # Drop the per-batch `batch` column BEFORE distinct — the same pair
+    # legitimately appears in several batch partitions (same-band
+    # rediscovery), and a (doc_a, doc_b, batch)-wide distinct would
+    # keep those duplicates.
     pairs = spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
     sigs = spark.read.parquet(sigs_dir).drop("batch")
     from multi_attribute_join_search_with_mapreduce_spark.operators.textops import score_pairs

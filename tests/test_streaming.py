@@ -251,3 +251,59 @@ def test_stream_near_dup_ingest_equals_batch_rebuild(spark, sf_dir):
     }
     assert inc == full
     assert len(inc) > 0
+
+
+def test_band_store_join_has_no_store_side_exchange(spark, sf_dir, tmp_path):
+    """The streaming band store's 100 TB contract (VERDICT r6 #1): the
+    accumulated store is a table bucketed on the join keys
+    ``(band, band_hash)``, so the per-trigger candidate join NEVER
+    exchanges the store side — only the batch-sized new side moves.
+    Built through the real ingest helpers (two appended "triggers"),
+    joined through the real per-trigger join, broadcast disabled to pin
+    the shape the 100 TB plan takes (SMJ through the bucketing)."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        _bands_from_sigs,
+        signatures_from_docs,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        _append_bands_bucketed,
+        _band_store_join,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    half_a, half_b = d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1")
+    tbl, loc = "majs_test_band_store", str(tmp_path / "bands_tbl")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    b0 = _bands_from_sigs(signatures_from_docs(half_a, persist=False)).coalesce(1)
+    b1 = _bands_from_sigs(signatures_from_docs(half_b, persist=False)).coalesce(1)
+    try:
+        _append_bands_bucketed(b0, tbl, loc, 0)
+        _append_bands_bucketed(b1, tbl, loc, 1)
+        # replay guard: re-appending a committed batch is a no-op
+        before = spark.table(tbl).count()
+        _append_bands_bucketed(b1, tbl, loc, 1)
+        assert spark.table(tbl).count() == before
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = _band_store_join(b1, spark.table(tbl))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in plan, plan
+        # split the SMJ's two child branches: in toString trees the first
+        # child's lines are prefixed ':', the second child's are not
+        smj_tail = plan.split("SortMergeJoin", 1)[1].splitlines()[1:]
+        first = [ln for ln in smj_tail if ln.lstrip().startswith(":")]
+        second = [ln for ln in smj_tail if not ln.lstrip().startswith(":")]
+        store_branch = first if any(tbl in ln for ln in first) else second
+        assert any(tbl in ln for ln in store_branch), plan
+        assert not any("Exchange" in ln for ln in store_branch), (
+            "store side of the band join exchanged:\n" + plan
+        )
+        # and the store scan really is a bucketed read
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -88,6 +88,23 @@ _BATCH = [
     ("nation1", "nation", ["n_name"]),
 ]
 
+# B=8 heterogeneous batch (VERDICT r6 #8): 1/2/3-attribute searches over
+# FIVE distinct query tables in one index pass — the amortization story
+# at the width a real curation workload batches at. part_bt2 probes the
+# same attributes as part2 in reversed order: MapKey construction is
+# order-sensitive, so this exercises distinct per-query metadata over an
+# identical key set.
+_BATCH8 = [
+    ("part2", "part", FLAGSHIP_ATTRS),
+    ("part3", "part", THREE_ATTRS),
+    ("nation1", "nation", ["n_name"]),
+    ("region1", "region", ["r_name"]),
+    ("supplier1", "supplier", ["s_name"]),
+    ("customer2", "customer", ["c_name", "c_mktsegment"]),
+    ("cust_seg1", "customer", ["c_mktsegment"]),
+    ("part_bt2", "part", ["p_type", "p_brand"]),
+]
+
 
 def _search_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated proof of the on-disk bucketed index path: persist
@@ -136,10 +153,13 @@ def _search_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl
 
 
-def _search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _search_batch(
+    spark: SparkSession, sf_dir: str, spec: list | None = None
+) -> DataFrame:
     postings = cached_posting_index(spark, sf_dir)
     batch = [
-        (qid, load_table(spark, tbl, sf_dir), attrs) for qid, tbl, attrs in _BATCH
+        (qid, load_table(spark, tbl, sf_dir), attrs)
+        for qid, tbl, attrs in (spec or _BATCH)
     ]
     tables, _ = multi_attribute_join_search_batch(postings, batch)
     return tables
@@ -171,6 +191,12 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     # Batch mode: B searches, one index pass (exchanges constant in B).
     "mjs_search_batch": QuerySpec(
         _search_batch, join_search_batch_sql(posting_index_sql(), _BATCH)
+    ),
+    # B=8 heterogeneous batch (mixed 1/2/3-attr, five query tables):
+    # the amortization claim at realistic batch width.
+    "mjs_search_batch_hetero": QuerySpec(
+        lambda spark, sf: _search_batch(spark, sf, _BATCH8),
+        join_search_batch_sql(posting_index_sql(), _BATCH8),
     ),
     # On-disk bucketed index: write + probe (the repeated-probe scale
     # path; oracle identical to mjs_search_tables).

@@ -67,3 +67,40 @@ def test_batch_index_work_constant_in_width(spark, sf_dir):
     scans1, shuffles1 = index_work(1)
     assert scans3 == scans1
     assert shuffles3 == shuffles1 == 1
+
+
+def test_batch8_heterogeneous_index_work_constant(spark, sf_dir):
+    """VERDICT r6 #8: the constant-index-work claim at B=8 over five
+    distinct query tables (mixed 1/2/3-attr) — same index-scan count
+    and exactly one fact-sized (table,row) shuffle as at B=1, and
+    per-qid results equal to the single-query search."""
+    import re
+
+    from __spark_entry__ import _BATCH8
+
+    postings = cached_posting_index(spark, sf_dir)
+    batch8 = [
+        (qid, load_table(spark, tbl, sf_dir), attrs) for qid, tbl, attrs in _BATCH8
+    ]
+    assert len(batch8) == 8
+    assert len({tbl for _, tbl, _ in _BATCH8}) == 5
+
+    def index_work(b):
+        tables, _ = multi_attribute_join_search_batch(postings, b)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            tables.explain("formatted")
+        plan = buf.getvalue()
+        fact_shuffles = len(re.findall(r"hashpartitioning\(table[^)]*row", plan))
+        return plan.count("InMemoryTableScan"), fact_shuffles
+
+    assert index_work(batch8) == index_work(batch8[:1])
+    assert index_work(batch8)[1] == 1
+
+    tables, _ = multi_attribute_join_search_batch(postings, batch8)
+    got = {(r.qid, r.table, r.join_score) for r in tables.collect()}
+    want = set()
+    for qid, query_df, attrs in batch8:
+        t, _ = multi_attribute_join_search(postings, query_df, attrs)
+        want |= {(qid, r.table, r.join_score) for r in t.collect()}
+    assert got == want

@@ -1,5 +1,6 @@
 """Multimodal plumbing: schemas, Arrow-batched kernels, frame-sampling
-plan — the decode kernels are stubs, the Spark data path is real."""
+plan — BMP/PNG/WAV decode with real pure-Python parsers, the Spark
+data path is real end-to-end."""
 
 from __future__ import annotations
 
@@ -7,7 +8,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
-    _HAS_CODECS,
     decode_image,
     extract_features,
     frame_sample_plan,
@@ -35,10 +35,67 @@ def test_features_deterministic(spark):
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
 
 
-def test_decode_stub_gated():
-    if not _HAS_CODECS:
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\x00")
+def test_decode_rejects_unknown_containers():
+    """No stubbed codec path: an unsupported container is a loud
+    ValueError, never a NotImplementedError dead branch."""
+    with pytest.raises(ValueError):
+        decode_image(b"\x00")
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + bytes(32))  # JPEG magic
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The PNG parser is a real decoder: the encoder cycles all five
+    filter types across scanlines (height >= 5), so the roundtrip
+    value-checks sub/up/average/Paeth inversion, and corrupt payloads
+    (bad CRC, truncation, unsupported profile) fail loudly."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
+        _encode_bmp,
+        _encode_png,
+        _pack_png,
+        _parse_bmp,
+        _parse_png,
+    )
+
+    for mid, w, h in [(0, 4, 6), (3, 5, 7), (11, 16, 12), (7, 1, 5)]:
+        d = _parse_png(_encode_png(mid, w, h))
+        assert (d["width"], d["height"], d["n_units"]) == (w, h, w * h)
+        # same pixel sequence through the BMP container: identical stats
+        b = _parse_bmp(_encode_bmp(mid, w, h))
+        assert d["content_sum"] == b["content_sum"]
+        # dispatch through the public kernel
+        assert decode_image(_encode_png(mid, w, h)) == d
+
+    good = _encode_png(3, 5, 7)
+    # flip one IDAT byte -> CRC failure
+    bad = bytearray(good)
+    bad[len(good) - 20] ^= 0x01
+    with pytest.raises(ValueError):
+        _parse_png(bytes(bad))
+    with pytest.raises(ValueError):
+        _parse_png(good[:40])  # truncated
+    # grayscale (color type 0) is outside the supported profile
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+    )
+
+    gray = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(2 * 3)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _parse_png(gray)
+    # hand-built tiny image: decoded sum equals the raw pixel sum
+    rows = [bytes([1, 2, 3, 4, 5, 6]), bytes([7, 8, 9, 10, 11, 12])]
+    flat = _parse_png(_pack_png(2, 2, rows))
+    assert flat["content_sum"] == sum(sum(r) for r in rows)
 
 
 def test_frame_sample_plan(spark):

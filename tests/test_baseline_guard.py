@@ -1,0 +1,88 @@
+"""Baseline-reset guard (VERDICT r6 #7): the min-merge bench baseline
+can only move DOWN, except through an explicitly annotated reset —
+``refresh_baseline.py --reset ... --reason ...`` appends to
+``BASELINE_RESETS.json``, and these tests fail any working tree where a
+baseline entry was raised without a matching audit record. Laundering a
+regression through a reset now requires editing the audit file, which
+is a visible, reviewable diff."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(path):
+    with open(os.path.join(REPO, path)) as f:
+        return json.load(f)
+
+
+def _head_version(path):
+    try:
+        out = subprocess.run(
+            ["git", "show", f"HEAD:{path}"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+    except Exception:
+        return None
+    if out.returncode != 0:
+        return None
+    return json.loads(out.stdout)
+
+
+def test_baseline_raises_require_audit_entry():
+    base = _load("BENCH_BASELINE.json")
+    head = _head_version("BENCH_BASELINE.json")
+    if head is None or head.get("sf") != base.get("sf"):
+        pytest.skip("no committed baseline at the same sf to compare against")
+    audit = []
+    if os.path.exists(os.path.join(REPO, "BASELINE_RESETS.json")):
+        audit = _load("BASELINE_RESETS.json")
+    annotated = {r["query"] for r in audit}
+    raised = sorted(
+        q
+        for q, v in base["queries"].items()
+        if q in head["queries"] and v > head["queries"][q] + 1e-9
+    )
+    unannotated = [q for q in raised if q not in annotated]
+    assert not unannotated, (
+        "baseline entries raised without a BASELINE_RESETS.json record "
+        f"(run refresh_baseline.py --reset ... --reason ...): {unannotated}"
+    )
+
+
+def test_audit_entries_are_substantive():
+    path = os.path.join(REPO, "BASELINE_RESETS.json")
+    if not os.path.exists(path):
+        pytest.skip("no resets recorded yet")
+    audit = _load("BASELINE_RESETS.json")
+    assert isinstance(audit, list)
+    for entry in audit:
+        assert entry.get("query"), entry
+        # a one-liner like "slow" is not a justification; demand a real
+        # sentence naming what changed
+        assert len(entry.get("reason", "")) >= 40, (
+            f"reset of {entry.get('query')} lacks a substantive reason"
+        )
+        assert "new" in entry and entry["new"] is not None, entry
+
+
+def test_refresh_tool_refuses_reset_without_reason():
+    out = subprocess.run(
+        ["python", os.path.join(REPO, "tools", "refresh_baseline.py"),
+         "--reset", "approx_sketches"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode != 0
+    assert "--reason" in (out.stderr + out.stdout)

@@ -6,13 +6,21 @@ regression guard compares against known-good, not against a possibly
 noisy previous round. Queries new in the latest run enter at their
 first measured time; queries removed from the registry are dropped.
 
-Usage: python tools/refresh_baseline.py [--reset name ...]
+Usage: python tools/refresh_baseline.py
+       python tools/refresh_baseline.py --reset name ... --reason "why"
 
 ``--reset``: take the named queries' times from the latest run INSTEAD
 of min-merging — for when a query's SEMANTICS changed and the old min
 belongs to a different computation (approx_sketches' r1–r3 min predates
 the self-validating exact-grading pass, so min-merging pinned the
 sketch-only cost as the bar forever).
+
+``--reason``: REQUIRED with ``--reset``. Every reset is appended to
+``BASELINE_RESETS.json`` (query, reason, old/new values, bench sf) —
+the audit trail ``tests/test_baseline_guard.py`` checks, so a baseline
+entry can never be raised without a named, committed justification.
+A reset without a reason is exactly the laundering path the guard
+exists to close; the tool refuses it.
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     args = sys.argv[1:]
     reset: set[str] = set()
+    reason = None
     if args:
         # strict: a transposed or misspelled invocation must fail loudly,
         # not silently min-merge while the operator believes a stale
@@ -34,9 +43,21 @@ def main() -> None:
         if args[0] != "--reset" or len(args) < 2:
             raise SystemExit(
                 f"unrecognized arguments {args!r}; usage: "
-                "refresh_baseline.py [--reset name ...]"
+                'refresh_baseline.py [--reset name ... --reason "why"]'
             )
-        reset = set(args[1:])
+        rest = args[1:]
+        if "--reason" in rest:
+            i = rest.index("--reason")
+            reason = " ".join(rest[i + 1 :]).strip()
+            rest = rest[:i]
+        reset = set(rest)
+        if not reset:
+            raise SystemExit("--reset given with no query names")
+        if not reason:
+            raise SystemExit(
+                "--reset requires --reason \"<why the old min no longer "
+                "applies>\"; the reset is recorded in BASELINE_RESETS.json"
+            )
     with open(os.path.join(REPO, "bench_queries.json")) as f:
         latest = json.load(f)
     unknown = reset - set(latest["queries"])
@@ -62,6 +83,24 @@ def main() -> None:
         for ph, dt in latest["phases"].items()
     }
     dropped = sorted(set(base["queries"]) - set(merged))
+    if reset:
+        audit_path = os.path.join(REPO, "BASELINE_RESETS.json")
+        audit = []
+        if os.path.exists(audit_path):
+            with open(audit_path) as f:
+                audit = json.load(f)
+        for name in sorted(reset):
+            audit.append(
+                {
+                    "query": name,
+                    "reason": reason,
+                    "old": base["queries"].get(name),
+                    "new": merged[name],
+                    "sf": latest["sf"],
+                }
+            )
+        with open(audit_path, "w") as f:
+            json.dump(audit, f, indent=1)
     with open(base_path, "w") as f:
         json.dump({"sf": latest["sf"], "queries": merged, "phases": phases}, f, indent=1)
     print(

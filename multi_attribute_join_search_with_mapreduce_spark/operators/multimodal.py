@@ -736,10 +736,14 @@ def ahash_signatures(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, "media_id bigint, hash_hi bigint, hash_lo bigint")
 
 
-def media_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+def media_phash_dedup(
+    spark: SparkSession, sf: str, n_media: int = N_AHASH_MEDIA
+) -> DataFrame:
     """Perceptual near-duplicate image join (``sf`` unused — media is
-    generated): encode real BMPs → aHash signatures → banded candidate
-    join → exact Hamming verify.
+    generated; ``n_media`` sizes the corpus — the default is the gated
+    fixture, ``tools/sf1_probe_annmedia.py`` probes ×10): encode real
+    BMPs → aHash signatures → banded candidate join → exact Hamming
+    verify.
 
     The candidate join is the pigeonhole band trick (the bit-space twin
     of MinHash-LSH banding, `textops.near_dup_candidates`): the 64-bit
@@ -755,7 +759,9 @@ def media_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     the planted ground truth through both engines: every emitted pair
     being within-group IS the differential recall/precision check.
     """
-    spec = spark.range(0, N_AHASH_MEDIA, 1, 4).select(F.col("id").alias("media_id"))
+    spec = spark.range(0, n_media, 1, max(4, n_media // 15)).select(
+        F.col("id").alias("media_id")
+    )
 
     def encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

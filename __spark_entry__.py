@@ -357,7 +357,42 @@ def registry() -> dict[str, QuerySpec]:
         "scalar_functions", "semi_join_parts", "set_except_customers",
         "set_intersect_customers", "simhash", "tfidf_top_terms",
     ]
-    front = front_r6 + [n for n in front_r5 if n not in front_r6]
+    # Round-7 window — EXACTLY 50 names (the r6 list ran 53 long and its
+    # tail fell off the driver's 50-row window, stranding 5 rows at r1):
+    # (1) queries new or oracle-changed this round; (2) representatives
+    # of every r7 code-path change (broadcast-probe hints, bucketed band
+    # store, truncate_lineage caches, n_media param); (3) ALL 14 rows
+    # last sampled in r1; (4) 26 of the 46 r2-last-sampled rows — the
+    # 20 deferred to r8 are the TPC-H family, the registry's most
+    # stable plain-SQL tier.
+    front_r7 = [
+        # new / oracle changed
+        "mjs_search_batch_hetero", "png_decode_stats", "zipf_vocab_fit",
+        "jdbc_nation_roundtrip", "stream_near_dup_ingest",
+        # touched code paths
+        "mjs_search_tables", "mjs_search_batch", "media_phash_dedup",
+        "knn_ivf_cosine", "kcore_near_dup",
+        # last driver-sampled in r1
+        "set_except_customers", "set_intersect_customers", "simhash",
+        "tfidf_top_terms", "token_count_by_source", "token_stats",
+        "topk_orders", "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+        "train_test_split", "union_nation_keys", "window_running_total",
+        "window_topn_orders",
+        # last driver-sampled in r2 (non-TPC-H first)
+        "mjs_search_sql_level", "media_decode", "media_features",
+        "anonymize_events", "asof_purchase_click", "cdc_latest_state",
+        "decontaminate", "embedding_near_dup_multiprobe",
+        "event_type_funnel", "fuzzy_match_types", "json_props_extract",
+        "lang_confusion", "pack_shards", "pii_scrub", "quantile_gate",
+        "range_join_ship_window", "repetition_score",
+        "salted_event_counts", "salted_user_event_join", "sessionize",
+        "sliding_window_counts", "stream_sessionize",
+        "stream_static_enrich", "stream_tumbling_counts",
+        "tumbling_window_counts", "window_lag_events",
+    ]
+    front = front_r7 + [n for n in front_r6 if n not in front_r7]
+    front += [n for n in front_r5 if n not in front]
     front += [n for n in never_green_r4 if n not in front]
     ordered = {name: merged[name] for name in front}
     ordered.update((n, s) for n, s in merged.items() if n not in ordered)

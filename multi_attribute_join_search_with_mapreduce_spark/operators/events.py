@@ -155,15 +155,17 @@ def native_session_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _native_session_sql() -> str:
+def _native_session_sql(where: str = "") -> str:
     # strict > split at exact microsecond precision (see docstring) —
-    # not SESSIONIZE_SQL's floor-second date_diff test.
+    # not SESSIONIZE_SQL's floor-second date_diff test. ``where``
+    # narrows the source (the streaming variant excludes NULL event
+    # times, which never pass a watermark operator).
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     return f"""
 WITH with_gap AS (
   SELECT user_id, event_id, ts,
     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
-  FROM events
+  FROM events {where}
 ),
 flagged AS (
   SELECT *, CASE WHEN prev_ts IS NULL

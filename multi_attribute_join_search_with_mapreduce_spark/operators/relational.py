@@ -1077,7 +1077,83 @@ RECURSIVE_WALK_SQL = _RECURSIVE_WALK_BODY.format(p="").replace(
 )
 
 
+def observed_scan_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Pipeline telemetry via ``df.observe`` (CollectMetrics): ingest
+    health metrics — row count, price total, quantity bounds, null
+    count — accumulate DURING the rollup's own scan, not in a second
+    pass. At 100 TB this is how an ingest job reports volume/null-rate/
+    value-bound telemetry for free: CollectMetrics is an accumulator
+    piggybacked on the task stream, so the fact table is read once.
+
+    The observed values re-enter the result as literal columns on every
+    rollup row (the sanctioned model-sized driver hop, the `logreg`
+    discipline) — so the differential oracle value-checks that what the
+    observation COLLECTED equals what a direct aggregation computes;
+    a metrics stream that dropped or double-counted a partition turns
+    the row red."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, "lineitem", sf).select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("n_null_qty"),
+    )
+    rollup = (
+        observed.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("flag_price"),
+        )
+        .persist()
+    )
+    rollup.count()  # one action: runs the scan, fills the observation
+    m = obs.get
+    metrics = spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["sum_price"]),
+                float(m["min_qty"]),
+                float(m["max_qty"]),
+                int(m["n_null_qty"]),
+            )
+        ],
+        "obs_rows bigint, obs_price double, obs_min_qty double, "
+        "obs_max_qty double, obs_null_qty bigint",
+    )
+    return rollup.crossJoin(F.broadcast(metrics)).orderBy("l_returnflag")
+
+
+OBSERVED_SCAN_SQL = """
+WITH rollup AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS flag_price
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS obs_rows,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS obs_price,
+    CAST(MIN(l_quantity) AS DOUBLE) AS obs_min_qty,
+    CAST(MAX(l_quantity) AS DOUBLE) AS obs_max_qty,
+    CAST(COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT) AS obs_null_qty
+  FROM lineitem
+)
+SELECT r.*, m.* FROM rollup r CROSS JOIN m ORDER BY l_returnflag
+"""
+
+
 RELATIONAL_QUERIES: dict[str, QuerySpec] = {
+    "observed_scan_metrics": QuerySpec(observed_scan_metrics, OBSERVED_SCAN_SQL),
     "recursive_hierarchy_walk": QuerySpec(recursive_hierarchy_walk, RECURSIVE_WALK_SQL),
     "incremental_join_rollup": QuerySpec(
         incremental_join_rollup, INCREMENTAL_JOIN_ROLLUP_SQL

@@ -964,7 +964,119 @@ FROM events ORDER BY event_id
 """
 
 
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (driver-gated): sessionization through the
+    BUILT-IN streaming ``session_window`` aggregate — the stateful
+    merging-session-store operator, distinct from
+    `stateful_sessionize_stream`'s hand-rolled
+    ``applyInPandasWithState`` path. Append mode emits a session only
+    once the watermark passes its close (start of last event + gap), so
+    the state store holds open sessions, merges them as late-but-
+    in-watermark events arrive, and evicts exactly once.
+
+    A sentinel event 4h past the fixture's end (watermark delay 2h)
+    pushes the final watermark beyond every real session's close, so
+    the emitted set is exactly the batch sessionization of the real
+    events — `native_session_window`'s contract; the oracle is that
+    query's SQL restricted to non-NULL event times (rows with NULL
+    event time never pass a watermark operator). The sentinel's own
+    session stays open forever and is never emitted. The settle loop
+    waits for the exact batch-computed session count — no wall-clock
+    "looks done" heuristic.
+
+    At 100 TB the state store is per-(user, open-session) — bounded by
+    ACTIVE sessions inside the watermark horizon, not history; eviction
+    is the watermark no-data batch, and the operator shuffles on the
+    session key once (same exchange budget as the batch plan)."""
+    import time
+
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    base = _scratch_dir("majs_stream_sesswin_")
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", "user_id")
+    )
+    max_ts = e.agg(F.max("ts").alias("m")).first()["m"]
+    sent = spark.createDataFrame(
+        [(-1, max_ts, -1)], "event_id long, ts timestamp_ntz, user_id long"
+    ).select("event_id", F.expr("timestampadd(HOUR, 4, ts)").alias("ts"), "user_id")
+    src = f"{base}/src"
+    e.unionByName(sent).write.parquet(src)
+
+    gap = "30 minutes"
+    # exact expected cardinality, batch-side, same operator
+    expected = (
+        e.groupBy(F.session_window("ts", gap), "user_id").count().count()
+    )
+
+    # Watermarks require zoned TIMESTAMP; the lake's event time is NTZ.
+    # Pin the session to UTC so NTZ -> timestamp -> NTZ is lossless
+    # (the module-wide convention, see purchase_click_join_stream),
+    # cast on the way into the stateful operator and back on the way
+    # out — output stays engine-comparable NTZ.
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    out = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events",
+        )
+    )
+    tz_key = "spark.sql.session.timeZone"
+    saved_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_sesswin_sink")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            deadline = time.monotonic() + 120
+            n = -1
+            while time.monotonic() < deadline:
+                n = spark.sql("SELECT COUNT(*) FROM stream_sesswin_sink").first()[0]
+                if n == expected:
+                    break
+                if n > expected:
+                    raise RuntimeError(
+                        f"stream_sesswin_sink overshot: {n} rows, expected {expected}"
+                    )
+                time.sleep(0.25)
+            else:
+                raise RuntimeError(
+                    f"stream_sesswin_sink incomplete after 120s: {n}/{expected} "
+                    "(watermark no-data batch never evicted the closed sessions)"
+                )
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(tz_key, saved_tz)
+    return spark.sql("SELECT * FROM stream_sesswin_sink").orderBy(
+        "user_id", "window_start"
+    )
+
+
+from multi_attribute_join_search_with_mapreduce_spark.operators.events import (  # noqa: E402
+    _native_session_sql,
+)
+
+STREAM_SESSION_WINDOW_SQL = _native_session_sql("WHERE ts IS NOT NULL")
+
+
 STREAM_QUERIES: dict[str, QuerySpec] = {
+    "stream_session_window": QuerySpec(
+        stream_session_window, STREAM_SESSION_WINDOW_SQL
+    ),
     "stream_near_dup_ingest": QuerySpec(stream_near_dup_ingest, STREAM_NEAR_DUP_SQL),
     "stream_snapshot_ingest": QuerySpec(stream_snapshot_ingest, STREAM_SNAPSHOT_SQL),
     "stream_sliding_counts": QuerySpec(stream_sliding_counts, STREAM_SLIDING_SQL),

@@ -307,3 +307,28 @@ def test_band_store_join_has_no_store_side_exchange(spark, sf_dir, tmp_path):
         assert "SelectedBucketsCount" in plan, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_stream_session_window_equals_batch_native(spark, sf_dir):
+    """The built-in streaming session_window aggregate must emit exactly
+    the batch native_session_window sessions (non-NULL event times) once
+    the sentinel-advanced watermark closes them all."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.events import (
+        native_session_window,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        stream_session_window,
+    )
+
+    got = {
+        (r.user_id, r.window_start, r.window_end, r.n_events)
+        for r in stream_session_window(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.window_start, r.window_end, r.n_events)
+        for r in native_session_window(spark, sf_dir)
+        .filter("window_start IS NOT NULL")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -731,8 +731,9 @@ def _append_bands_bucketed(bands: DataFrame, tbl: str, location: str, batch_id: 
     The table is partitioned by ``batch`` and bucketed+sorted by the
     join keys within each partition, so (a) the foreachBatch replay
     guard (at-least-once: a batch whose append already committed must
-    not re-append) is a PARTITION-PRUNED existence probe — metadata
-    work, never a store scan — and (b) the per-trigger candidate join
+    not re-append) is a pure FILESYSTEM existence probe of the
+    ``batch=<id>`` partition directory — one namenode RPC, no Spark
+    job, never a store scan — and (b) the per-trigger candidate join
     reads the store through its bucketing, exchange-free. (A crash
     exactly between a partial append and the checkpoint commit can
     still leave a partial partition — closing that window needs a
@@ -742,10 +743,10 @@ def _append_bands_bucketed(bands: DataFrame, tbl: str, location: str, batch_id: 
     """
     spark = bands.sparkSession
     if spark.catalog.tableExists(tbl):
-        already = (
-            spark.table(tbl).where(F.col("batch") == batch_id).limit(1).count()
-        )
-        if already:
+        jvm = spark._jvm
+        part = jvm.org.apache.hadoop.fs.Path(f"{location}/batch={batch_id}")
+        fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(part):
             return
     (
         bands.withColumn("batch", F.lit(batch_id))

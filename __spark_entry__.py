@@ -362,14 +362,14 @@ def registry() -> dict[str, QuerySpec]:
     # (1) queries new or oracle-changed this round; (2) representatives
     # of every r7 code-path change (broadcast-probe hints, bucketed band
     # store, truncate_lineage caches, n_media param); (3) ALL 14 rows
-    # last sampled in r1; (4) 24 of the 46 r2-last-sampled rows — the
-    # 22 deferred to r8 are the TPC-H family plus two window/tumbling
+    # last sampled in r1; (4) 23 of the 46 r2-last-sampled rows — the
+    # 23 deferred to r8 are the TPC-H family plus three window/tumbling
     # queries, the registry's most stable plain-SQL tier.
     front_r7 = [
         # new / oracle changed
         "mjs_search_batch_hetero", "png_decode_stats", "zipf_vocab_fit",
         "jdbc_nation_roundtrip", "stream_near_dup_ingest",
-        "stream_session_window", "observed_scan_metrics",
+        "stream_session_window", "observed_scan_metrics", "encoding_quality",
         # touched code paths
         "mjs_search_tables", "mjs_search_batch", "media_phash_dedup",
         "knn_ivf_cosine", "kcore_near_dup",
@@ -389,7 +389,7 @@ def registry() -> dict[str, QuerySpec]:
         "range_join_ship_window", "repetition_score",
         "salted_event_counts", "salted_user_event_join", "sessionize",
         "sliding_window_counts", "stream_sessionize",
-        "stream_static_enrich", "stream_tumbling_counts",
+        "stream_static_enrich",
     ]
     front = front_r7 + [n for n in front_r6 if n not in front_r7]
     front += [n for n in front_r5 if n not in front]

@@ -1086,6 +1086,105 @@ NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
 BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
 
 
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"  # C0 controls minus \t \n \r
+
+
+def encoding_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-health screen for a web-scale corpus: per-source counts
+    of U+FFFD replacement characters (the scar UTF-8 decoding leaves on
+    mojibake) and C0 control characters (binary bleed-through;
+    tab/newline/CR exempt) — the first-pass filter every LLM ingest
+    runs before tokenization.
+
+    The fixture corpus is clean, so the gate plants corruption
+    deterministically (the URL-dedup planted-variant recipe): every
+    ``doc_id % 5 == 0`` doc gains a replacement char at offset 10,
+    every ``doc_id % 7 == 0`` a BEL at offset 5 — both engines build
+    the identical corrupted lake in-plan, so the counting logic (not
+    the absence of dirt) is what the hash gate checks. Counting is
+    pure native expressions: length deltas against ``replace`` /
+    ``regexp_replace`` — one corpus scan, one source-sized aggregate,
+    no UDF. At 100 TB this composes with `dq_audit` as a
+    scan-collocated screen."""
+    d = load_table(spark, "documents", sf).select("doc_id", "source", "text")
+    corrupted = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.substring("text", 1, 10),
+                F.lit("�"),
+                F.expr("substring(text, 11)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t1"),
+    ).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.substring("t1", 1, 5), F.lit("\x07"), F.expr("substring(t1, 6)")
+            ),
+        )
+        .otherwise(F.col("t1"))
+        .alias("text"),
+    )
+    n_repl = F.length("text") - F.length(F.replace(F.col("text"), F.lit("�")))
+    n_ctrl = F.length("text") - F.length(F.regexp_replace("text", _CTRL_RE, ""))
+    per_doc = corrupted.select(
+        "source",
+        n_repl.cast("long").alias("n_repl"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_repl").cast("long").alias("n_replacement"),
+            F.sum("n_ctrl").cast("long").alias("n_control"),
+            F.sum(((F.col("n_repl") > 0) | (F.col("n_ctrl") > 0)).cast("int"))
+            .cast("long")
+            .alias("n_flagged"),
+            F.max(F.col("n_repl") + F.col("n_ctrl")).cast("long").alias("max_dirt"),
+        )
+        .orderBy("source")
+    )
+
+
+ENCODING_QUALITY_SQL = r"""
+WITH corrupted AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 7 = 0 THEN substring(t1, 1, 5) || chr(7) || substring(t1, 6)
+         ELSE t1 END AS text
+  FROM (
+    SELECT doc_id, source,
+      CASE WHEN doc_id % 5 = 0
+           THEN substring(text, 1, 10) || chr(65533) || substring(text, 11)
+           ELSE text END AS t1
+    FROM documents
+  )
+),
+per_doc AS (
+  SELECT source,
+    CAST(LENGTH(text) - LENGTH(replace(text, chr(65533), '')) AS BIGINT) AS n_repl,
+    CAST(LENGTH(text)
+         - LENGTH(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+      AS BIGINT) AS n_ctrl
+  FROM corrupted
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_repl) AS BIGINT) AS n_replacement,
+  CAST(SUM(n_ctrl) AS BIGINT) AS n_control,
+  CAST(SUM(CASE WHEN n_repl > 0 OR n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(MAX(n_repl + n_ctrl) AS BIGINT) AS max_dirt
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic document quality: four 0/1 criteria averaged —
     avg token length in [3,10], stopword ratio in [0.05,0.6],
@@ -2693,6 +2792,7 @@ TEXT_QUERIES: dict[str, QuerySpec] = {
     "simhash": QuerySpec(simhash, SIMHASH_SQL),
     "ngram_jaccard": QuerySpec(ngram_jaccard, NGRAM_JACCARD_SQL),
     "quality_score": QuerySpec(quality_score, QUALITY_SQL),
+    "encoding_quality": QuerySpec(encoding_quality, ENCODING_QUALITY_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL),
     "token_count_by_source": QuerySpec(token_count_by_source, TOKEN_COUNT_SQL),

@@ -627,3 +627,36 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     # aa(2) and bb(2) tie at ranks 1-2, cc(1) is rank 3: slope over
     # x=[ln1,ln2,ln3], y=[ln2,ln2,ln1] must be the aa-first fit
     assert row["n_ranks"] == 3
+
+
+def test_encoding_quality_counts_planted_dirt(spark, sf_dir):
+    """Every doc_id%5==0 doc carries exactly one replacement char, every
+    doc_id%7==0 exactly one C0 control; the per-source sums must be the
+    closed-form counts of those id classes (fixture text is clean)."""
+    from pyspark.sql import functions as F
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import encoding_quality
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    got = {r.source: r for r in encoding_quality(spark, sf_dir).collect()}
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    want = {
+        r.source: r
+        for r in d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") % 5 == 0).cast("int")).alias("n_repl"),
+            F.sum((F.col("doc_id") % 7 == 0).cast("int")).alias("n_ctrl"),
+            F.sum(
+                ((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 7 == 0)).cast("int")
+            ).alias("n_flagged"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s].n_docs == want[s].n_docs
+        assert got[s].n_replacement == want[s].n_repl
+        assert got[s].n_control == want[s].n_ctrl
+        assert got[s].n_flagged == want[s].n_flagged
+        assert got[s].max_dirt <= 2

@@ -660,3 +660,39 @@ def test_encoding_quality_counts_planted_dirt(spark, sf_dir):
         assert got[s].n_control == want[s].n_ctrl
         assert got[s].n_flagged == want[s].n_flagged
         assert got[s].max_dirt <= 2
+
+
+def test_zipf_degenerate_corpus_engines_agree(spark, tmp_path):
+    """ADVICE r6: a single-token vocabulary makes the OLS denominator 0;
+    Spark double x/0 (NaN) and DuckDB need not agree. Both sides now
+    NULL the fit when n_ranks < 2 — prove it differentially on a
+    degenerate corpus, the exact input class the guard exists for."""
+    import duckdb
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
+        ZIPF_SQL,
+        zipf_vocab_fit,
+    )
+
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "hello hello hello", "en", "webcrawl", 17)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{lake}/documents.parquet")
+
+    got = zipf_vocab_fit(spark, lake).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.vocab_size, r.n_tokens, r.n_ranks) == (1, 3, 1)
+    assert r.zipf_slope is None and r.intercept is None
+
+    con = duckdb.connect()
+    # Spark writes the table as a directory of part files; glob it.
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{lake}/documents.parquet/*.parquet')"
+    )
+    er = con.execute(ZIPF_SQL).fetchall()
+    assert len(er) == 1
+    assert er[0][:3] == (1, 3, 1)
+    assert er[0][3] is None and er[0][4] is None

@@ -72,11 +72,15 @@ THREE_ATTRS = ["p_name", "p_brand", "p_type"]
 
 
 def _search(
-    spark: SparkSession, sf_dir: str, which: str, attrs: list[str] = FLAGSHIP_ATTRS
+    spark: SparkSession,
+    sf_dir: str,
+    which: str,
+    attrs: list[str] = FLAGSHIP_ATTRS,
+    top_n: int | None = None,
 ) -> DataFrame:
     postings = cached_posting_index(spark, sf_dir)
     query_df = load_table(spark, "part", sf_dir)
-    tbl, col = multi_attribute_join_search(postings, query_df, attrs)
+    tbl, col = multi_attribute_join_search(postings, query_df, attrs, top_n=top_n)
     return tbl if which == "tables" else col
 
 
@@ -182,6 +186,17 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_search_3attr": QuerySpec(
         lambda spark, sf: _search(spark, sf, "tables", THREE_ATTRS),
         join_search_sql(posting_index_sql(), "part", THREE_ATTRS, result="tables"),
+    ),
+    # Seq-Search's scoring dialect: table score = sum of the top TWO
+    # column scores regardless of attribute count (Object.py:78-79),
+    # vs Par's top-col_count (Par_Search.py:318-327). Gated at n=3,
+    # where the two dialects actually diverge — the oracle implements
+    # the Seq rule via join_search_sql(top_n=2).
+    "mjs_search_seq_top2": QuerySpec(
+        lambda spark, sf: _search(spark, sf, "tables", THREE_ATTRS, top_n=2),
+        join_search_sql(
+            posting_index_sql(), "part", THREE_ATTRS, result="tables", top_n=2
+        ),
     ),
     # Entry point C (SQL-level strategy): same contract via spark.sql text.
     "mjs_search_sql_level": QuerySpec(
@@ -434,13 +449,23 @@ def oracle_sql() -> dict[str, str]:
     # A dropped oracle silently weakens that query's gate to rows-only;
     # stderr alone is invisible to a stdout-capturing harness. Always
     # (re)write the machine-readable artifact — an empty map is the
-    # positive assertion that every registered oracle resolved.
+    # positive assertion that every registered oracle resolved. Written
+    # atomically (temp + os.replace) so parallel callers (pytest
+    # workers, concurrent harnesses) never see a torn file, and guarded
+    # so a read-only checkout degrades to stderr instead of breaking
+    # oracle resolution itself.
     import json
     import os
+    import tempfile
 
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "ORACLE_DEGRADED.json"),
-        "w",
-    ) as fh:
-        json.dump(dropped, fh, indent=1, sort_keys=True)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        fd, tmp = tempfile.mkstemp(dir=here, prefix=".oracle_degraded.", suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(dropped, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(here, "ORACLE_DEGRADED.json"))
+    except OSError as exc:
+        import sys
+
+        print(f"# oracle_sql: could not write ORACLE_DEGRADED.json: {exc}", file=sys.stderr)
     return out

@@ -1105,7 +1105,12 @@ def observed_scan_metrics(spark: SparkSession, sf: str) -> DataFrame:
         F.max("l_quantity").alias("max_qty"),
         F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("n_null_qty"),
     )
-    rollup = (
+    # The rollup is returnflag-sized (a handful of rows): collect it in
+    # the SAME action that fills the observation and re-enter it as a
+    # local DataFrame — one lineitem scan, and nothing persisted (each
+    # invocation creates a fresh Observation node, so a persist here
+    # would accumulate distinct cache entries for the process lifetime).
+    rollup_rows = (
         observed.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
@@ -1113,9 +1118,11 @@ def observed_scan_metrics(spark: SparkSession, sf: str) -> DataFrame:
             .cast("double")
             .alias("flag_price"),
         )
-        .persist()
+        .collect()
     )
-    rollup.count()  # one action: runs the scan, fills the observation
+    rollup = spark.createDataFrame(
+        rollup_rows, "l_returnflag string, n_items bigint, flag_price double"
+    )
     m = obs.get
     metrics = spark.createDataFrame(
         [

@@ -83,10 +83,14 @@ def _probe_broadcastable(query_df: DataFrame) -> bool:
     but wrong when a user probes with a FACT-sized query table, where a
     forced broadcast would OOM the driver. The auto path applies
     Catalyst's own rule to the probe's source: hint only when the
-    optimizer's size estimate of the (projected, deduped) query table
-    is within the session's broadcast threshold; otherwise drop every
-    query-derived hint and let AQE pick the strategy from runtime stats
-    (which still converts to broadcast when the probe turns out small).
+    optimizer's size estimate of the RAW query table is within the
+    session's broadcast threshold. The raw estimate is a conservative
+    UPPER BOUND on the derived key set actually hinted (projection +
+    dedup only shrink it), so the check can suppress hints for a wide
+    query table whose kilobyte-scale key projection would merit one —
+    in that case AQE still converts to broadcast from runtime stats,
+    so the cost of the conservatism is one planning round, not a
+    missed broadcast.
     """
     spark = query_df.sparkSession
     try:
@@ -145,6 +149,7 @@ def multi_attribute_join_search(
     k: int = DEFAULT_TOP_K,
     strategy: str = "rare_key",
     broadcast_probe: bool | None = None,
+    top_n: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(table_scores, column_scores)`` DataFrames.
 
@@ -154,6 +159,16 @@ def multi_attribute_join_search(
     ``spark.sql.autoBroadcastJoinThreshold`` (see
     :func:`_probe_broadcastable`) — fact-sized probes degrade to
     AQE-chosen strategies instead of a forced driver-resident build.
+
+    ``top_n``: how many of each table's best column scores sum into its
+    table score. ``None`` (default) = ``len(attrs)`` — Par-Search's
+    rule (``Par_Search.py:318-327`` keeps col_count ranks). Pass ``2``
+    for Seq-Search's semantics, which hard-codes the top TWO column
+    scores regardless of attribute count (``Object.py:78-79``:
+    ``self.score = sorted(counters)[-1] + sorted(counters)[-2]``). The
+    two coincide at n=2 (the reference's only exercised width) and
+    diverge for n>2; exposing the knob closes that semantic delta
+    instead of silently picking one dialect.
 
     ``table_scores``: ``(table INT, join_score BIGINT)`` — top-k.
     ``column_scores``: ``(table INT, column INT, join_score BIGINT)`` — top-2k.
@@ -187,12 +202,13 @@ def multi_attribute_join_search(
       per-row round trips to batch differently in the first place.
     """
     if strategy in ("rare_key", "row", "cell"):
-        st = _rare_key_stages(postings, query_df, attrs, k, broadcast_probe)
+        st = _rare_key_stages(postings, query_df, attrs, k, broadcast_probe, top_n)
         return st.tables, st.columns
     if strategy != "mapkey":
         raise ValueError(f"unknown strategy: {strategy!r}")
     hint = _hinter(query_df, broadcast_probe)
     n = len(attrs)
+    rank_n = n if top_n is None else top_n
     mappings = _query_mappings(query_df, attrs)
     keys = mappings.select("key").distinct()
 
@@ -237,7 +253,7 @@ def multi_attribute_join_search(
     )
     top_cols = (
         col_scores_all.withColumn("_rn", F.row_number().over(w_rank))
-        .filter(F.col("_rn") <= n)
+        .filter(F.col("_rn") <= rank_n)
         .drop("_rn")
     )
     table_scores = (
@@ -271,6 +287,7 @@ def _rare_key_stages(
     attrs: list[str],
     k: int = DEFAULT_TOP_K,
     broadcast_probe: bool | None = None,
+    top_n: int | None = None,
 ) -> SearchStages:
     """Selectivity-ordered probe (see :func:`multi_attribute_join_search`).
 
@@ -301,6 +318,7 @@ def _rare_key_stages(
     """
     hint = _hinter(query_df, broadcast_probe)
     n = len(attrs)
+    rank_n = n if top_n is None else top_n
     norm = query_df.select(
         *[normalize_col(F.col(a)).alias(f"_a{i}") for i, a in enumerate(attrs)]
     )
@@ -388,7 +406,7 @@ def _rare_key_stages(
     w_rank = Window.partitionBy("table").orderBy(F.desc("join_score"), F.asc("column"))
     top_cols = (
         col_scores_all.withColumn("_rn", F.row_number().over(w_rank))
-        .filter(F.col("_rn") <= n)
+        .filter(F.col("_rn") <= rank_n)
         .drop("_rn")
     )
     table_scores = (
@@ -584,14 +602,18 @@ def join_search_sql(
     attrs: list[str],
     k: int = DEFAULT_TOP_K,
     result: str = "tables",
+    top_n: int | None = None,
 ) -> str:
     """DuckDB SQL computing the identical result (differential oracle).
 
     ``index_sql`` is a SELECT producing ``(key, table, column, row)``
     (see :func:`..index.posting_index_sql`); ``result`` picks which of
-    the two outputs to return ('tables' or 'columns').
+    the two outputs to return ('tables' or 'columns'); ``top_n``
+    mirrors :func:`multi_attribute_join_search`'s scoring-rank knob
+    (None = len(attrs) = Par dialect; 2 = Seq dialect).
     """
     n = len(attrs)
+    rank_n = n if top_n is None else top_n
     norm_cols = ", ".join(
         f"{normalize_sql(a)} AS _a{i}" for i, a in enumerate(attrs)
     )
@@ -643,7 +665,7 @@ top_cols AS (
     SELECT "table", "column", join_score FROM col_scores
     QUALIFY ROW_NUMBER() OVER (
         PARTITION BY "table" ORDER BY join_score DESC, "column" ASC
-    ) <= {n}
+    ) <= {rank_n}
 )
 {final}
 """

@@ -731,23 +731,33 @@ def _append_bands_bucketed(bands: DataFrame, tbl: str, location: str, batch_id: 
     The table is partitioned by ``batch`` and bucketed+sorted by the
     join keys within each partition, so (a) the foreachBatch replay
     guard (at-least-once: a batch whose append already committed must
-    not re-append) is a pure FILESYSTEM existence probe of the
-    ``batch=<id>`` partition directory — one namenode RPC, no Spark
-    job, never a store scan — and (b) the per-trigger candidate join
-    reads the store through its bucketing, exchange-free. (A crash
-    exactly between a partial append and the checkpoint commit can
-    still leave a partial partition — closing that window needs a
-    transactional table format (Delta/Iceberg), which this sandbox
-    lacks; the pairs output stays exactly-once regardless because the
-    candidate join is followed by a distinct over batches.)
+    not re-append) is a pure FILESYSTEM probe of a per-batch commit
+    MARKER (``batch=<id>/_majs_committed``, touched by the driver only
+    after ``saveAsTable`` returns) — one namenode RPC, no Spark job,
+    never a store scan — and (b) the per-trigger candidate join reads
+    the store through its bucketing, exchange-free.
+
+    The marker makes the guard self-healing in BOTH directions a bare
+    directory-existence probe is not: a crash mid-append (some task
+    files committed, job commit incomplete) leaves the partition dir
+    WITHOUT the marker, so replay deletes the partial partition and
+    re-appends instead of skipping it (which would silently LOSE band
+    rows and therefore future candidate pairs); and on a cross-process
+    restart the probe still fires because it reads the filesystem, not
+    the in-memory catalog (``tableExists`` is false in a fresh session,
+    so the old guard was bypassed entirely and duplicate-appended).
     """
     spark = bands.sparkSession
-    if spark.catalog.tableExists(tbl):
-        jvm = spark._jvm
-        part = jvm.org.apache.hadoop.fs.Path(f"{location}/batch={batch_id}")
-        fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(part):
-            return
+    jvm = spark._jvm
+    part = jvm.org.apache.hadoop.fs.Path(f"{location}/batch={batch_id}")
+    marker = jvm.org.apache.hadoop.fs.Path(f"{location}/batch={batch_id}/_majs_committed")
+    fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        return
+    if fs.exists(part):
+        # Partition dir without marker = interrupted append (or a
+        # pre-marker store): repair by overwriting just this partition.
+        fs.delete(part, True)
     (
         bands.withColumn("batch", F.lit(batch_id))
         .write.mode("append")
@@ -758,6 +768,7 @@ def _append_bands_bucketed(bands: DataFrame, tbl: str, location: str, batch_id: 
         .sortBy("band", "band_hash")
         .saveAsTable(tbl)
     )
+    fs.create(marker, True).close()
 
 
 def _band_store_join(new_bands: DataFrame, store: DataFrame) -> DataFrame:

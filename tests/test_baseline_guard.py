@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import subprocess
+import sys
 
 import pytest
 
@@ -77,7 +78,7 @@ def test_audit_entries_are_substantive():
 
 def test_refresh_tool_refuses_reset_without_reason():
     out = subprocess.run(
-        ["python", os.path.join(REPO, "tools", "refresh_baseline.py"),
+        [sys.executable, os.path.join(REPO, "tools", "refresh_baseline.py"),
          "--reset", "approx_sketches"],
         cwd=REPO,
         capture_output=True,

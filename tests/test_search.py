@@ -109,6 +109,30 @@ def test_strategies_agree_three_attrs(spark, sf_dir):
     assert c_rare.collect() == c_map.collect()
 
 
+@pytest.mark.parametrize("strategy", ["rare_key", "mapkey"])
+def test_seq_top2_scoring_dialect(spark, sf_dir, strategy):
+    """``top_n=2`` reproduces Seq-Search's table scoring (Object.py:78-79
+    sums the top TWO column counters regardless of attribute count),
+    where the default is Par's top-col_count (Par_Search.py:318-327).
+    At n=3 on real data the dialects must diverge AND the Seq side must
+    match its own DuckDB oracle (join_search_sql(top_n=2))."""
+    postings = build_posting_index(spark, sf_dir)
+    query_df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    attrs = ["p_name", "p_brand", "p_type"]
+    t_seq, _ = multi_attribute_join_search(
+        postings, query_df, attrs, strategy=strategy, top_n=2
+    )
+    t_par, _ = multi_attribute_join_search(postings, query_df, attrs, strategy=strategy)
+    seq_rows = [(r["table"], r["join_score"]) for r in t_seq.collect()]
+    par_rows = [(r["table"], r["join_score"]) for r in t_par.collect()]
+    assert seq_rows != par_rows  # the knob actually changes the semantics
+    assert_df_equals_duckdb(
+        t_seq,
+        join_search_sql(posting_index_sql(), "part", attrs, result="tables", top_n=2),
+        sf_dir,
+    )
+
+
 def test_unknown_strategy_raises(spark, sf_dir):
     import pytest as _pytest
 

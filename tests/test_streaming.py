@@ -285,6 +285,25 @@ def test_band_store_join_has_no_store_side_exchange(spark, sf_dir, tmp_path):
         _append_bands_bucketed(b1, tbl, loc, 1)
         assert spark.table(tbl).count() == before
 
+        # crash-repair: a partition dir WITHOUT the commit marker models
+        # an interrupted append (some task files landed, job commit
+        # incomplete). Replay must REBUILD the partition — restoring any
+        # lost rows without duplicating the surviving ones — not skip it.
+        import os
+
+        part_dir = os.path.join(loc, "batch=1")
+        os.remove(os.path.join(part_dir, "_majs_committed"))
+        data_files = sorted(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        os.remove(os.path.join(part_dir, data_files[0]))  # simulate lost task output
+        spark.catalog.refreshTable(tbl)
+        assert spark.table(tbl).count() < before  # rows really were lost
+        _append_bands_bucketed(b1, tbl, loc, 1)
+        spark.catalog.refreshTable(tbl)
+        assert spark.table(tbl).count() == before
+        assert os.path.exists(os.path.join(part_dir, "_majs_committed"))
+
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from multi_attribute_join_search_with_mapreduce_spark.index import (
     LAKE_TABLES,
+    WIDE_LAKE_TABLES,
     append_posting_index,
     cached_posting_index,
     posting_index_sql,
@@ -157,6 +158,16 @@ def _search_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl
 
 
+def _search_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join search over the WHOLE-lake index (dims + events + documents,
+    every string column): probe with the documents table's (lang,
+    source) pair — joins only the wide index can discover."""
+    postings = cached_posting_index(spark, sf_dir, WIDE_LAKE_TABLES)
+    query_df = load_table(spark, "documents", sf_dir)
+    tbl, _ = multi_attribute_join_search(postings, query_df, ["lang", "source"])
+    return tbl
+
+
 def _search_batch(
     spark: SparkSession, sf_dir: str, spec: list | None = None
 ) -> DataFrame:
@@ -224,6 +235,21 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_index_incremental": QuerySpec(
         _search_incremental_index,
         join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="tables"),
+    ),
+    # Whole-lake index (reference handlers.py:15 — main_tokenized holds
+    # EVERY lake table): the five dims PLUS events/documents, every
+    # string column indexed incl. free text and JSON props. The probe
+    # (documents over lang×source) can only be answered by the wide
+    # index — join discovery reaches the extension tables the 5-dim
+    # index never sees.
+    "mjs_search_lake_wide": QuerySpec(
+        lambda spark, sf: _search_wide(spark, sf),
+        join_search_sql(
+            posting_index_sql(WIDE_LAKE_TABLES),
+            "documents",
+            ["lang", "source"],
+            result="tables",
+        ),
     ),
 }
 

@@ -55,6 +55,19 @@ LAKE_TABLES: tuple[TableSpec, ...] = (
     TableSpec("part", 5, "p_partkey", ("p_name", "p_brand", "p_type")),
 )
 
+# The FULL lake the driver fixture ships: the reference's data-lake
+# story tokenizes EVERY lake table into main_tokenized
+# (``handlers.py:15``), so join search must also discover joins into
+# the document/event extension tables, not just the TPC-H dims. Every
+# string column is indexed — including free-text ``documents.text``
+# (whole-cell keys, exactly the reference's cell granularity) and JSON
+# ``events.props``. ``embeddings`` has no string columns and so
+# contributes no postings.
+WIDE_LAKE_TABLES: tuple[TableSpec, ...] = LAKE_TABLES + (
+    TableSpec("events", 6, "event_id", ("event_type", "props")),
+    TableSpec("documents", 7, "doc_id", ("text", "lang", "source")),
+)
+
 
 def postings_for_table(df: DataFrame, spec: TableSpec) -> DataFrame:
     """Unpivot one lake table into *raw* posting rows (narrow, shuffle-free).

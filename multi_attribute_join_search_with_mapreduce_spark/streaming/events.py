@@ -492,8 +492,6 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inner join; the outer rows ride the same eviction sweep, so
     there is no extra state class to size.
     """
-    import time
-
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
     base = _scratch_dir("majs_stream_louter_")
@@ -523,15 +521,29 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{base}/src"
     src_df = e.unionByName(sent)
     src_df.write.parquet(src)
+    # Second sentinel pair, 1h past the first: landed AFTER the first
+    # processAllAvailable so the batch consuming it deterministically
+    # runs with the advanced watermark and performs the outer-row
+    # evictions (see stream_session_window for the mechanism). Declared
+    # here because the exact expected sink cardinality below must be
+    # computed over EVERYTHING the stream will see — the second
+    # sentinel purchase legitimately inner-joins both sentinel clicks.
+    sent2 = sent.select(
+        "event_id",
+        F.expr("timestampadd(HOUR, 1, ts)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    all_src = src_df.unionByName(sent2)
     # Exact expected sink cardinality, computed batch-side over the SAME
-    # source (sentinels included): the settle loop below waits for this
-    # count, not for a wall-clock "looks stable" heuristic — on a loaded
-    # host the old 4×0.25s-stable poll could declare victory before the
-    # watermark no-data batch flushed the unmatched purchases.
-    clicks_b = src_df.filter(F.col("event_type") == "click").select(
+    # source (both sentinel files included): completion is asserted
+    # against this count once the second drain returns — no wall-clock
+    # "looks stable" heuristic.
+    clicks_b = all_src.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("c_ts")
     )
-    purch_b = src_df.filter(F.col("event_type") == "purchase").select(
+    purch_b = all_src.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts"), "event_id"
     )
     expected_rows = purch_b.join(
@@ -558,26 +570,17 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
-            # The NULL-padded rows are emitted by the watermark-advance
-            # no-data batch, which can run just after processAllAvailable
-            # returns — wait for the EXACT expected row count (computed
-            # batch-side above), failing loudly on timeout rather than
-            # returning a silently incomplete left-outer result.
-            deadline = time.monotonic() + 120
-            n = -1
-            while time.monotonic() < deadline:
-                n = spark.sql("SELECT COUNT(*) FROM stream_louter_sink").first()[0]
-                if n == expected_rows:
-                    break
-                if n > expected_rows:
-                    raise RuntimeError(
-                        f"stream_louter_sink overshot: {n} rows, expected {expected_rows}"
-                    )
-                time.sleep(0.25)
-            else:
+            # The NULL-padded rows need a batch that EVICTS with the
+            # watermark advanced by batch 1; the second sentinel file
+            # forces that batch into work processAllAvailable waits on,
+            # making completion deterministic (no settle poll).
+            sent2.write.mode("append").parquet(src)
+            q.processAllAvailable()
+            n = spark.sql("SELECT COUNT(*) FROM stream_louter_sink").first()[0]
+            if n != expected_rows:
                 raise RuntimeError(
-                    "stream_louter_sink incomplete after 120s: "
-                    f"{n}/{expected_rows} rows (watermark no-data batch never flushed)"
+                    f"stream_louter_sink settled at {n} rows, expected "
+                    f"{expected_rows} (watermark eviction incomplete or overshot)"
                 )
         finally:
             q.stop()
@@ -991,17 +994,25 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted set is exactly the batch sessionization of the real
     events — `native_session_window`'s contract; the oracle is that
     query's SQL restricted to non-NULL event times (rows with NULL
-    event time never pass a watermark operator). The sentinel's own
-    session stays open forever and is never emitted. The settle loop
-    waits for the exact batch-computed session count — no wall-clock
-    "looks done" heuristic.
+    event time never pass a watermark operator). The sentinels' own
+    sessions stay open forever and are never emitted.
+
+    Completion is DETERMINISTIC — no wall-clock settle poll: the
+    watermark a batch evicts with is the one computed at the end of the
+    PREVIOUS batch, so after ``processAllAvailable()`` drains batch 1
+    (which saw the first sentinel) the evictions may still be pending a
+    no-data batch that is scheduled asynchronously. Rather than polling
+    for it, a SECOND sentinel file (+5h — its own >gap-separated
+    session) is landed and ``processAllAvailable()`` runs again: the
+    data batch consuming it necessarily evicts with the advanced
+    watermark (max_ts+4h − 2h delay > every real close) if the no-data
+    batch has not already — after the second drain the exact
+    batch-computed count must be present, asserted once, loudly.
 
     At 100 TB the state store is per-(user, open-session) — bounded by
     ACTIVE sessions inside the watermark horizon, not history; eviction
     is the watermark no-data batch, and the operator shuffles on the
     session key once (same exchange budget as the batch plan)."""
-    import time
-
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
     base = _scratch_dir("majs_stream_sesswin_")
@@ -1053,21 +1064,19 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
-            deadline = time.monotonic() + 120
-            n = -1
-            while time.monotonic() < deadline:
-                n = spark.sql("SELECT COUNT(*) FROM stream_sesswin_sink").first()[0]
-                if n == expected:
-                    break
-                if n > expected:
-                    raise RuntimeError(
-                        f"stream_sesswin_sink overshot: {n} rows, expected {expected}"
-                    )
-                time.sleep(0.25)
-            else:
+            # second sentinel: forces one more DATA batch that runs with
+            # the already-advanced watermark, making eviction of every
+            # real session part of work processAllAvailable waits on.
+            sent2 = sent.select(
+                "event_id", F.expr("timestampadd(HOUR, 1, ts)").alias("ts"), "user_id"
+            )
+            sent2.write.mode("append").parquet(src)
+            q.processAllAvailable()
+            n = spark.sql("SELECT COUNT(*) FROM stream_sesswin_sink").first()[0]
+            if n != expected:
                 raise RuntimeError(
-                    f"stream_sesswin_sink incomplete after 120s: {n}/{expected} "
-                    "(watermark no-data batch never evicted the closed sessions)"
+                    f"stream_sesswin_sink settled at {n} rows, expected {expected} "
+                    "(watermark eviction incomplete or overshot)"
                 )
         finally:
             q.stop()

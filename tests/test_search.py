@@ -3,7 +3,11 @@ differential test against the DuckDB oracle on sf0.001."""
 
 from __future__ import annotations
 
-from multi_attribute_join_search_with_mapreduce_spark.index import build_posting_index, posting_index_sql
+from multi_attribute_join_search_with_mapreduce_spark.index import (
+    WIDE_LAKE_TABLES,
+    build_posting_index,
+    posting_index_sql,
+)
 from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
     join_search_sql,
     multi_attribute_join_search,
@@ -96,6 +100,22 @@ def test_search_differential_sf0001(spark, sf_dir):
 def test_index_differential_sf0001(spark, sf_dir):
     postings = build_posting_index(spark, sf_dir)
     assert_df_equals_duckdb(postings, posting_index_sql(), sf_dir)
+
+
+def test_wide_lake_index_and_discovery(spark, sf_dir):
+    """The whole-lake index (dims + events + documents, every string
+    column incl. free text and JSON props) matches its oracle, and a
+    (lang, source) probe discovers the documents extension table —
+    a join the 5-dim index cannot see."""
+    postings = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES)
+    assert_df_equals_duckdb(postings, posting_index_sql(WIDE_LAKE_TABLES), sf_dir)
+    query_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tbl, _ = multi_attribute_join_search(postings, query_df, ["lang", "source"])
+    hit_tables = {r["table"] for r in tbl.collect()}
+    assert 7 in hit_tables  # documents' table_id in WIDE_LAKE_TABLES
+    narrow = build_posting_index(spark, sf_dir)
+    tbl_n, _ = multi_attribute_join_search(narrow, query_df, ["lang", "source"])
+    assert tbl_n.count() == 0  # the 5-dim index has no such joins
 
 
 def test_strategies_agree_three_attrs(spark, sf_dir):

@@ -255,12 +255,16 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
 
 
 def registry() -> dict[str, QuerySpec]:
-    # Ordered so queries the driver has NOT yet green-lit come first
-    # (CORRECTNESS_r01 checked only the first 50 entries):
-    # 1. the 8 rows that were red in r01 (events-parquet root cause,
-    #    fixed in sources/lake.py) — these MUST be re-checked;
-    # 2. everything r01 never reached or that is new this round;
-    # 3. groups with green r01 rows rotate to the back.
+    """All queries, ordered for the driver's sampling window.
+
+    The driver's CORRECTNESS gate checks only the first ~50 entries per
+    round, so ordering IS the re-verification schedule. The per-round
+    window lists live in ``driver_window.json`` (one entry per round,
+    append-only — the audit trail of what was front-loaded when and
+    why); this function places the newest round's names first, then
+    each earlier round's names not already placed, then everything else
+    in registry-merge order.
+    """
     merged = merge(
         REDACT_QUERIES,
         EVENT_QUERIES,
@@ -286,155 +290,22 @@ def registry() -> dict[str, QuerySpec]:
         ROUTER_QUERIES,
         STATS_QUERIES,
     )
-    # Round-4 window (the driver checks the first ~50 entries): lead
-    # with the 38 queries that have never had a GREEN driver row across
-    # r01-r03 (VERDICT r3 "Next round" #3) — the 3 reds first (the two
-    # no_oracle sketches, now self-validating; SCD2, oracle window-SUM
-    # cast to BIGINT), then the 35 never-checked, statistics family
-    # leading because float-reduction hash gates break there first.
-    # Everything already driver-green in r01-r03 rotates behind in
-    # registry order.
-    never_green_r4 = [
-        # new in late r4 (no driver row yet): unigram-LM quality scorer,
-        # k-anonymity residual-risk audit, PQ-ADC compressed-domain ANN,
-        # count-min-sketch frequency estimates (self-validating)
-        "lm_cross_entropy", "k_anonymity_audit", "pq_adc_search",
-        "cms_heavy_hitters", "kcore_near_dup",
-        # graph/statistics batch 2: LPA communities, contamination BFS,
-        # exact ROC-AUC + calibration, weekly-seasonality ACF
-        "lpa_communities", "contamination_radius", "roc_auc_quality",
-        "acf_daily_revenue", "media_phash_dedup", "cluster_rep_sample",
-        "group_kfold_split",
-        # LLM-curation batch 3: boilerplate fraction, directed
-        # containment (quote) join, PMI collocations, cross-split
-        # near-dup leakage audit, leave-one-out target encoding
-        "boilerplate_phrases", "containment_join", "pmi_collocations",
-        "split_leakage_audit", "target_encode_loo", "feature_hashing",
-        "negative_sample_pairs", "seasonal_wape_backtest",
-        "random_projection_jl", "bpe_encode_tokens", "markov_backtest",
-        # r3 reds
-        "approx_sketches", "mergeable_hll_rollup", "scd2_user_state",
-        # statistics family (VERDICT r3 task 5)
-        "bitmap_distinct_rollup", "welch_ttest_value",
-        "corr_matrix_lineitem", "chi_square_arms", "mann_whitney_value",
-        "ks_value_drift",
-        # iterative-ML / graph family (pca_validate is new in r4:
-        # self-validating booleans tying the distributed projection to
-        # the driver eigensolve — the sketch-pair recipe)
-        "pagerank_near_dup", "kmeans_lloyd", "embedding_gram_matrix",
-        "pca_project", "pca_validate", "triangle_count_near_dup",
-        # new in r4: exact cross-doc substring spans (suffix-array dedup
-        # signal as a relational plan); full greedy BPE merge loop
-        "duplicate_span_stats",
-        "bpe_train_merges",
-        "median_mad_value",
-        # remaining never-checked, registry order
-        "chunk_documents_udtf", "recursive_hierarchy_walk",
-        "incremental_join_rollup", "file_provenance", "bpe_pair_stats",
-        "bm25_search", "part_pair_cooccurrence", "top_event_paths",
-        "length_psi_drift", "native_session_window",
-        "weighted_sample_docs", "value_trend_ols", "er_resolve_types",
-        "unpivot_part_metrics", "try_arithmetic_ratios",
-        "parameterized_sql_topn", "stream_snapshot_ingest",
-        "media_resize", "stream_sliding_counts", "python_datasource_scan",
-        "python_stream_source_scan", "rollup_router_weekly",
-        "asof_cogrouped_pandas", "token_count_arrow",
-    ]
-    # Round-5 window: the driver samples the first ~50 entries, so lead
-    # with (1) the three queries new this round, (2) pca_project — hash-
-    # gated for the first time in late r4 (sign-canonicalized eigensolve),
-    # every prior round recorded it no_oracle, (3) the 15 queries never
-    # sampled by ANY driver round r1–r4 (VERDICT r4 #5; all green in the
-    # judge's driver-sim, but a real driver row is the gate that counts).
-    # The r4 front list follows, then registry order.
-    front_r5 = [
-        "dedup_exact_delta", "url_canonical_dedup", "html_boilerplate_extract",
-        "logreg_quality_train", "bigram_lm_perplexity", "dedup_decision_log",
-        "stream_near_dup_ingest",
-        "pca_project",
-        # never driver-sampled r1–r4
-        "native_session_window", "weighted_sample_docs", "value_trend_ols",
-        "er_resolve_types", "unpivot_part_metrics", "try_arithmetic_ratios",
-        "parameterized_sql_topn", "stream_snapshot_ingest", "media_resize",
-        "stream_sliding_counts", "python_datasource_scan",
-        "python_stream_source_scan", "rollup_router_weekly",
-        "asof_cogrouped_pandas", "token_count_arrow",
-    ]
-    # Round-6 window: (1) try_arithmetic_ratios FIRST — the registry's
-    # only-ever red row (r5: double->decimal rounding parity), rebuilt
-    # this round on exact BIGINT quantization; its green driver row
-    # closes the registry at 209/209 ever-green. (2) Every query whose
-    # code path changed this round (graph family over the now-
-    # checkpointed shared edge frame; zip_with bigram build; session-
-    # cached PCA solve; scratch-dir streaming stores). (3) Oldest-green
-    # rotation (VERDICT r5 #8): with all 209 sampled at least once, the
-    # hash gates only help if they re-run on current code — fill the
-    # window with the 32 queries whose last driver row is r1, so every
-    # query re-verifies within ~4 rounds.
-    front_r6 = [
-        "try_arithmetic_ratios",
-        # new this round: embedded-Derby JDBC roundtrip gates S3's
-        # external-DB surface (the one reference surface with no driver
-        # row through r5)
-        "jdbc_nation_roundtrip", "orc_roundtrip", "xml_roundtrip", "zipf_vocab_fit",
-        # touched this round
-        "kcore_near_dup", "lpa_communities", "contamination_radius",
-        "dedup_clusters", "dedup_canonical", "cluster_rep_sample",
-        "pagerank_near_dup", "triangle_count_near_dup",
-        "dedup_decision_log", "semantic_dedup", "bigram_lm_perplexity",
-        "pca_project", "pca_validate", "stream_near_dup_ingest",
-        "stream_stream_left_outer", "stream_incremental_rollup",
-        "stream_snapshot_ingest",
-        # last driver-sampled in r1 (oldest first by family)
-        "anti_join_customers", "case_bucketing", "cube_orders",
-        "dedup_exact", "distinct_aggregates", "doc_fingerprint",
-        "embedding_near_dup", "full_outer_nation_counts",
-        "grouping_sets_orders", "knn_brute_cosine", "knn_bucketed_cosine",
-        "knn_ivf_cosine", "label_centroid_norms", "lang_id",
-        "left_join_order_counts", "minhash_bands", "mixture_sample",
-        "mjs_posting_index", "mjs_search_3attr", "mjs_search_columns",
-        "mjs_search_tables", "near_dup_candidates", "ngram_jaccard",
-        "pivot_returnflag", "quality_score", "rollup_customers",
-        "scalar_functions", "semi_join_parts", "set_except_customers",
-        "set_intersect_customers", "simhash", "tfidf_top_terms",
-    ]
-    # Round-7 window — EXACTLY 50 names (the r6 list ran 53 long and its
-    # tail fell off the driver's 50-row window, stranding 5 rows at r1):
-    # (1) queries new or oracle-changed this round; (2) representatives
-    # of every r7 code-path change (broadcast-probe hints, bucketed band
-    # store, truncate_lineage caches, n_media param); (3) ALL 14 rows
-    # last sampled in r1; (4) 23 of the 46 r2-last-sampled rows — the
-    # 23 deferred to r8 are the TPC-H family plus three window/tumbling
-    # queries, the registry's most stable plain-SQL tier.
-    front_r7 = [
-        # new / oracle changed
-        "mjs_search_batch_hetero", "png_decode_stats", "zipf_vocab_fit",
-        "jdbc_nation_roundtrip", "stream_near_dup_ingest",
-        "stream_session_window", "observed_scan_metrics", "encoding_quality",
-        # touched code paths
-        "mjs_search_tables", "mjs_search_batch", "media_phash_dedup",
-        "knn_ivf_cosine", "kcore_near_dup",
-        # last driver-sampled in r1
-        "set_except_customers", "set_intersect_customers", "simhash",
-        "tfidf_top_terms", "token_count_by_source", "token_stats",
-        "topk_orders", "tpch_q1_pricing_summary",
-        "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-        "train_test_split", "union_nation_keys", "window_running_total",
-        "window_topn_orders",
-        # last driver-sampled in r2 (non-TPC-H first)
-        "mjs_search_sql_level", "media_decode", "media_features",
-        "anonymize_events", "asof_purchase_click", "cdc_latest_state",
-        "decontaminate", "embedding_near_dup_multiprobe",
-        "event_type_funnel", "fuzzy_match_types", "json_props_extract",
-        "lang_confusion", "pack_shards", "pii_scrub", "quantile_gate",
-        "range_join_ship_window", "repetition_score",
-        "salted_event_counts", "salted_user_event_join", "sessionize",
-        "sliding_window_counts", "stream_sessionize",
-        "stream_static_enrich",
-    ]
-    front = front_r7 + [n for n in front_r6 if n not in front_r7]
-    front += [n for n in front_r5 if n not in front]
-    front += [n for n in never_green_r4 if n not in front]
+    import json
+    import os
+
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "driver_window.json")
+    ) as fh:
+        windows = json.load(fh)["rounds"]
+    front: list[str] = []
+    for rnd in sorted(windows, key=lambda r: -r["round"]):
+        unknown = [n for n in rnd["names"] if n not in merged]
+        if unknown:
+            raise KeyError(
+                f"driver_window.json round {rnd['round']} names missing "
+                f"from the registry: {unknown}"
+            )
+        front += [n for n in rnd["names"] if n not in front]
     ordered = {name: merged[name] for name in front}
     ordered.update((n, s) for n, s in merged.items() if n not in ordered)
     return ordered

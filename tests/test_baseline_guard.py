@@ -76,6 +76,43 @@ def test_audit_entries_are_substantive():
         assert "new" in entry and entry["new"] is not None, entry
 
 
+def test_refound_takes_medians_and_audits_raises(tmp_path):
+    """--refound replaces the floor with per-query medians of the given
+    runs; queries whose floor RISES get audit entries (refound: true),
+    and the mode refuses to run without --reason."""
+    import shutil
+
+    runs = []
+    for i, vals in enumerate([{"a": 1.0, "b": 2.0}, {"a": 1.2, "b": 1.8}, {"a": 1.1, "b": 2.2}]):
+        p = tmp_path / f"r{i}.json"
+        p.write_text(json.dumps({"sf": 0.1, "queries": vals, "phases": {"import": 0.1}}))
+        runs.append(str(p))
+    sandbox = tmp_path / "repo"
+    (sandbox / "tools").mkdir(parents=True)
+    shutil.copy(os.path.join(REPO, "tools", "refresh_baseline.py"), sandbox / "tools")
+    (sandbox / "BENCH_BASELINE.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 0.5, "b": 3.0}, "phases": {}})
+    )
+    tool = str(sandbox / "tools" / "refresh_baseline.py")
+    out = subprocess.run(
+        [sys.executable, tool, "--refound", *runs, "--reason",
+         "median-of-mins re-founding: the min-merge floor was extreme-value biased"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    base = json.loads((sandbox / "BENCH_BASELINE.json").read_text())
+    assert base["queries"] == {"a": 1.1, "b": 2.0}
+    audit = json.loads((sandbox / "BASELINE_RESETS.json").read_text())
+    assert [e["query"] for e in audit] == ["a"]  # only the raised floor
+    assert audit[0]["refound"] is True
+    out2 = subprocess.run(
+        [sys.executable, tool, "--refound", *runs],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out2.returncode != 0
+    assert "--reason" in (out2.stderr + out2.stdout)
+
+
 def test_refresh_tool_refuses_reset_without_reason():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "refresh_baseline.py"),

@@ -116,6 +116,34 @@ def main() -> None:
     columns_b.collect()
     results["batch_search_b3_s"] = round(time.monotonic() - t0, 2)
 
+    # ---- B=8 heterogeneous batch: ×10 corpus vs base ------------------------
+    # The driver-gated mjs_search_batch_hetero amortization claim (index
+    # scans and fact-side shuffles constant in B) measured at ×10 posting
+    # volume: run the SAME B=8 spec against a bucketed index on the base
+    # sf0.1 lake and against the ×10 lake, and report the wall ratio.
+    # Sub-linear in the ~×9 posting growth = the batch plan's cost is
+    # dominated by the one index pass, not per-query work.
+    import __spark_entry__ as entry_mod
+
+    def run_b8(lake_dir: str, index_table: str) -> float:
+        batch = [
+            (qid, load_table(spark, tbl, lake_dir), battrs)
+            for qid, tbl, battrs in entry_mod._BATCH8
+        ]
+        bidx = spark.table(index_table)
+        t = time.monotonic()
+        tb, cb = multi_attribute_join_search_batch(bidx, batch, k=20)
+        tb.collect()
+        cb.collect()
+        return round(time.monotonic() - t, 2)
+
+    write_posting_index(spark, sf_dir, out_table="posting_index_base", buckets=32)
+    results["batch_hetero_b8_base_s"] = run_b8(sf_dir, "posting_index_base")
+    results["batch_hetero_b8_x10_s"] = run_b8(lake, "posting_index_sf1")
+    results["batch_hetero_b8_x10_ratio"] = round(
+        results["batch_hetero_b8_x10_s"] / results["batch_hetero_b8_base_s"], 2
+    )
+
     with open(out_json, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))

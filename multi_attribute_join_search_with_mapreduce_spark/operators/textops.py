@@ -23,6 +23,7 @@ from multi_attribute_join_search_with_mapreduce_spark.functions.text import (
     normalize_col,
     normalize_sql,
 )
+from multi_attribute_join_search_with_mapreduce_spark.index import truncate_lineage
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
@@ -2256,12 +2257,19 @@ def bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         toks,
         lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
     )
-    bg = (
+    # truncate_lineage, not persist: bg feeds three consumers (c2/c1
+    # chain, V, the scoring join), so one materialization is right —
+    # but the r8 profile showed InMemoryRelation's columnar
+    # encode/decode costing ~0.8-1.3 s/run over checkpointed rows at
+    # sf0.1 (persist 2.4-3.2 s vs 1.6-1.8 s steady), and checkpoint
+    # blocks are ContextCleaner-managed instead of living in the
+    # CacheManager for process lifetime.
+    bg = truncate_lineage(
         d.select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur"))
         .groupBy("doc_id", "prev", "cur")
         .agg(F.count(F.lit(1)).alias("k"))
-    ).persist()
+    )
     c2 = bg.groupBy("prev", "cur").agg(F.sum("k").cast("long").alias("c2"))
     c1 = c2.groupBy("prev").agg(F.sum("c2").cast("long").alias("c1"))
     vsize = bg.agg(F.countDistinct("cur").cast("long").alias("v"))

@@ -59,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cores", type=int, default=None, help="local[N] parallelism")
     p.add_argument("--k", type=int, default=20, help="top-k tables (2k columns)")
     p.add_argument(
+        "--top-n",
+        type=int,
+        default=None,
+        help="column ranks summed into each table score: default = "
+        "attribute count (Par-Search, Par_Search.py:318-327); 2 = "
+        "Seq-Search's hard-coded top-2 dialect (Object.py:78-79)",
+    )
+    p.add_argument(
         "--strategy",
         choices=("dataframe", "sql"),
         default="dataframe",
@@ -196,11 +204,19 @@ def main(argv: list[str] | None = None) -> int:
                 q = q.limit(args.rows)
             q.createOrReplaceTempView("query_input")
             register_sql_surface(spark, sf_dir)
-            tables = spark.sql(join_search_spark_sql_text("query_input", attrs, args.k, "tables"))
-            columns = spark.sql(join_search_spark_sql_text("query_input", attrs, args.k, "columns"))
+            tables = spark.sql(
+                join_search_spark_sql_text("query_input", attrs, args.k, "tables", args.top_n)
+            )
+            columns = spark.sql(
+                join_search_spark_sql_text("query_input", attrs, args.k, "columns", args.top_n)
+            )
         else:
-            tables = join_search_sql_level(spark, sf_dir, args.query_table, attrs, args.k, "tables")
-            columns = join_search_sql_level(spark, sf_dir, args.query_table, attrs, args.k, "columns")
+            tables = join_search_sql_level(
+                spark, sf_dir, args.query_table, attrs, args.k, "tables", args.top_n
+            )
+            columns = join_search_sql_level(
+                spark, sf_dir, args.query_table, attrs, args.k, "columns", args.top_n
+            )
     else:
         if args.read_probed:
             # Reference parity (-read, Par_Search.py:92-99): reload the
@@ -229,7 +245,7 @@ def main(argv: list[str] | None = None) -> int:
             postings = spark.read.parquet(f"{args.write_probed}/probed")
             q = spark.read.parquet(f"{args.write_probed}/query")
         tables, columns = multi_attribute_join_search(
-            postings, q, attrs, args.k, strategy=args.plan
+            postings, q, attrs, args.k, strategy=args.plan, top_n=args.top_n
         )
 
     if args.explain:

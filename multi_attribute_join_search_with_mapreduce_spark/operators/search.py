@@ -274,11 +274,12 @@ def search_stages(
     attrs: list[str],
     k: int = DEFAULT_TOP_K,
     broadcast_probe: bool | None = None,
+    top_n: int | None = None,
 ) -> SearchStages:
     """Public phase-exposing variant of the default (rare_key) search —
     used by ``bench.py`` for the reference's 4-phase wall-clock
     breakdown (``log_runtime``, ``Par_Search.py:16-32``)."""
-    return _rare_key_stages(postings, query_df, attrs, k, broadcast_probe)
+    return _rare_key_stages(postings, query_df, attrs, k, broadcast_probe, top_n)
 
 
 def _rare_key_stages(
@@ -432,6 +433,7 @@ def multi_attribute_join_search_batch(
     batch: list[tuple[str, DataFrame, list[str]]],
     k: int = DEFAULT_TOP_K,
     broadcast_probe: bool | None = None,
+    top_n: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Amortized batch form of the flagship search: B query tables
     answered in ONE pass over the posting index.
@@ -548,9 +550,12 @@ def multi_attribute_join_search_batch(
     w_rank = Window.partitionBy("qid", "table").orderBy(
         F.desc("join_score"), F.asc("column")
     )
+    # top_n: the Seq scoring dialect (uniform top-2) applied batch-wide;
+    # default is each query's own attr count (Par), carried in _n.
+    rank_bound = F.lit(top_n) if top_n is not None else F.col("_n")
     top_cols = (
         col_scores_all.withColumn("_rn", F.row_number().over(w_rank))
-        .filter(F.col("_rn") <= F.col("_n"))
+        .filter(F.col("_rn") <= rank_bound)
         .drop("_rn")
     )
     w_tab = Window.partitionBy("qid").orderBy(F.desc("join_score"), F.asc("table"))
@@ -579,12 +584,15 @@ def join_search_batch_sql(
     batch: list[tuple[str, str, list[str]]],
     k: int = DEFAULT_TOP_K,
     result: str = "tables",
+    top_n: int | None = None,
 ) -> str:
     """DuckDB oracle for the batch search: the union of per-query
     single-search oracles, each tagged with its qid — the batch
-    semantics ARE per-query semantics, only the execution is shared."""
+    semantics ARE per-query semantics, only the execution is shared.
+    ``top_n`` applies the Seq scoring dialect uniformly (see
+    :func:`join_search_sql`)."""
     parts = [
-        f"SELECT '{qid}' AS qid, * FROM ({join_search_sql(index_sql, tbl, attrs, k, result)})"
+        f"SELECT '{qid}' AS qid, * FROM ({join_search_sql(index_sql, tbl, attrs, k, result, top_n)})"
         for qid, tbl, attrs in batch
     ]
     union = "\nUNION ALL\n".join(parts)

@@ -56,6 +56,7 @@ def join_search_spark_sql_text(
     attrs: list[str],
     k: int = DEFAULT_TOP_K,
     result: str = "tables",
+    top_n: int | None = None,
 ) -> str:
     """One Spark SQL statement computing the §2.11 contract.
 
@@ -67,6 +68,7 @@ def join_search_spark_sql_text(
     single-pass-over-the-postings shape, reached from SQL text.
     """
     n = len(attrs)
+    rank_n = n if top_n is None else top_n  # Seq top-2 dialect hook
     norm_cols = ", ".join(
         f"majs_normalize(`{a}`) AS _a{i}" for i, a in enumerate(attrs)
     )
@@ -148,7 +150,7 @@ top_cols AS (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY `table` ORDER BY join_score DESC, `column` ASC
         ) AS _rn FROM col_scores
-    ) WHERE _rn <= {n}
+    ) WHERE _rn <= {rank_n}
 )
 {final}
 """
@@ -161,6 +163,7 @@ def join_search_sql_level(
     attrs: list[str],
     k: int = DEFAULT_TOP_K,
     result: str = "tables",
+    top_n: int | None = None,
 ) -> DataFrame:
     """Entry point C equivalent: the search via ``spark.sql``.
 
@@ -172,4 +175,4 @@ def join_search_sql_level(
 
     needed = tuple(dict.fromkeys([s.name for s in LAKE_TABLES] + [query_table]))
     register_sql_surface(spark, sf_dir, names=needed)
-    return spark.sql(join_search_spark_sql_text(query_table, attrs, k, result))
+    return spark.sql(join_search_spark_sql_text(query_table, attrs, k, result, top_n))

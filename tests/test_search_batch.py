@@ -44,6 +44,40 @@ def test_batch_equals_single_queries(spark, sf_dir):
     assert got_c == want_c
 
 
+def test_batch_top_n_equals_single_top_n(spark, sf_dir):
+    """Seq's top-2 dialect applied batch-wide: per-qid equality with the
+    single-query search at the same top_n — including the 3-attr query
+    where the dialect diverges from the default."""
+    postings, batch = _batch(spark, sf_dir)
+    tables, _ = multi_attribute_join_search_batch(postings, batch, top_n=2)
+    got = {(r.qid, r.table, r.join_score) for r in tables.collect()}
+    want = set()
+    for qid, query_df, attrs in batch:
+        t, _ = multi_attribute_join_search(postings, query_df, attrs, top_n=2)
+        want |= {(qid, r.table, r.join_score) for r in t.collect()}
+    assert got == want
+    # the dialect must actually bite on the 3-attr member
+    t_def, _ = multi_attribute_join_search(postings, batch[1][1], ATTRS3)
+    def_rows = {("part3", r.table, r.join_score) for r in t_def.collect()}
+    assert {g for g in got if g[0] == "part3"} != def_rows
+
+
+def test_sql_surface_top_n_matches_dataframe(spark, sf_dir):
+    """The SQL entry point's top_n hook computes the same Seq-dialect
+    scores as the DataFrame API."""
+    from multi_attribute_join_search_with_mapreduce_spark.plans.sql_surface import (
+        join_search_sql_level,
+    )
+
+    postings = cached_posting_index(spark, sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    t_df, _ = multi_attribute_join_search(postings, part, ATTRS3, top_n=2)
+    t_sql = join_search_sql_level(spark, sf_dir, "part", ATTRS3, top_n=2)
+    assert {(r.table, r.join_score) for r in t_df.collect()} == {
+        (r.table, r.join_score) for r in t_sql.collect()
+    }
+
+
 def test_batch_index_work_constant_in_width(spark, sf_dir):
     """The operator's scale claim: index-side work — scans of the
     (persisted) posting index and the fact-sized (table,row) shuffle —

@@ -35,7 +35,7 @@ query_strategy = st.lists(
 )
 
 
-def _python_oracle(postings, query_rows, n_attrs=2, k=20):
+def _python_oracle(postings, query_rows, n_attrs=2, k=20, top_n=None):
     """Direct-from-definition scorer, including the reference's pre-join
     reduction quirk: a (table,row) is a candidate only if it contains at
     least n distinct *probed* keys (keys appearing anywhere in the query
@@ -70,7 +70,7 @@ def _python_oracle(postings, query_rows, n_attrs=2, k=20):
     table_scores = {}
     for t, cols in top_cols.items():
         cols.sort(key=lambda sc: (-sc[0], sc[1]))
-        table_scores[t] = sum(s for s, _ in cols[:n_attrs])
+        table_scores[t] = sum(s for s, _ in cols[: top_n or n_attrs])
     return table_scores, dict(col_scores)
 
 
@@ -91,6 +91,36 @@ def test_strategies_match_python_oracle(spark, strategy, postings, query):
     got_cols = {(r.table, r.column): r.join_score for r in col.collect()}
     for tc, s in got_cols.items():
         assert want_cols.get(tc) == s
+
+
+query3_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS + ["zz"]),
+        st.sampled_from(KEYS + ["zz"]),
+        st.sampled_from(KEYS + ["zz"]),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@pytest.mark.parametrize("strategy", ["rare_key", "mapkey"])
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(postings=posting_strategy, query=query3_strategy)
+def test_seq_top2_matches_python_oracle_n3(spark, strategy, postings, query):
+    """Seq's top-2 dialect at n=3 — where it diverges from the default —
+    against the direct-from-definition scorer with top_n=2."""
+    pdf = spark.createDataFrame(
+        postings, "key string, table int, column int, row bigint"
+    )
+    qdf = spark.createDataFrame(query, "a string, b string, c string")
+    tbl, _ = multi_attribute_join_search(
+        pdf, qdf, ["a", "b", "c"], strategy=strategy, top_n=2
+    )
+    got = {r.table: r.join_score for r in tbl.collect()}
+    want, _ = _python_oracle(postings, query, n_attrs=3, top_n=2)
+    want = {t: s for t, s in want.items() if s > 0}
+    assert got == want
 
 
 def test_row_cell_granularity_aliases_identical(spark):

@@ -158,6 +158,24 @@ def _search_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl
 
 
+def _search_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated proof of the fixed-width index layout: persist the
+    posting index with ``hashed_keys=True`` (extra ``xxhash64`` column,
+    bucketed+sorted on it) and run the flagship search against it. The
+    probe semi-join runs on the 8-byte hash (layout-detected); results
+    must be IDENTICAL to the plain layout — the oracle is
+    ``mjs_search_tables``'s. The 100 TB story: whole-lake indexes carry
+    free-text keys (~100 chars avg at sf0.1, SCALE.md §Round-8); this
+    layout makes probe shuffles and bucket files width-independent."""
+    write_posting_index(
+        spark, sf_dir, out_table="mjs_pidx_hashed_gate", buckets=32, hashed_keys=True
+    )
+    postings = spark.table("mjs_pidx_hashed_gate")
+    query_df = load_table(spark, "part", sf_dir)
+    tbl, _ = multi_attribute_join_search(postings, query_df, FLAGSHIP_ATTRS)
+    return tbl
+
+
 def _search_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join search over the WHOLE-lake index (dims + events + documents,
     every string column): probe with the documents table's (lang,
@@ -250,6 +268,14 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
             ["lang", "source"],
             result="tables",
         ),
+    ),
+    # Fixed-width (xxhash64) index layout for wide-key lakes: the probe
+    # semi-join runs on the 8-byte hash, results identical to the plain
+    # layout by construction (collisions only admit false candidates,
+    # killed at verification) — so the oracle IS the flagship's.
+    "mjs_search_hashed_index": QuerySpec(
+        _search_hashed,
+        join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="tables"),
     ),
 }
 

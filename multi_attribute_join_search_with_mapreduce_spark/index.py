@@ -197,11 +197,23 @@ def write_posting_index(
     out_table: str = "posting_index",
     buckets: int = 32,
     specs: tuple[TableSpec, ...] = LAKE_TABLES,
+    hashed_keys: bool = False,
 ) -> None:
     """Persist the index bucketed by ``key``.
 
     Probe joins on ``key`` against a bucketed index avoid the index-side
     shuffle entirely — the scan reads only the buckets the keys hash to.
+
+    ``hashed_keys=True`` writes the fixed-width layout for wide-key
+    lakes (the whole-lake index carries free-text cells averaging ~100
+    chars/key at sf0.1, SCALE.md §Round-8): an extra
+    ``key_h = xxhash64(key)`` column, with bucketing+sort on ``key_h``,
+    so probe semi-joins and bucket layout cost 8 bytes/row regardless
+    of cell width. The raw ``key`` column stays — verification and
+    column attribution remain exact string lookups, so a 64-bit
+    collision can only admit a false CANDIDATE (discarded at the
+    verify stage), never a wrong result; the search detects the layout
+    from the schema and probes on the hash automatically.
     """
     # An in-memory catalog forgets managed tables across sessions but
     # their warehouse directory survives, and saveAsTable then refuses
@@ -213,11 +225,15 @@ def write_posting_index(
         spark.conf.get("spark.sql.warehouse.dir"), out_table.lower()
     )
     stale.getFileSystem(spark._jsc.hadoopConfiguration()).delete(stale, True)
+    idx = build_posting_index(spark, sf_dir, specs)
+    bucket_col = "key"
+    if hashed_keys:
+        idx = idx.withColumn("key_h", F.xxhash64("key"))
+        bucket_col = "key_h"
     (
-        build_posting_index(spark, sf_dir, specs)
-        .write.mode("overwrite")
-        .bucketBy(buckets, "key")
-        .sortBy("key")
+        idx.write.mode("overwrite")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
         .saveAsTable(out_table)
     )
 

@@ -125,6 +125,24 @@ def _hinter(query_df: DataFrame, broadcast_probe: bool | None):
     return F.broadcast if bcast else (lambda df: df)
 
 
+def _probe_index(postings: DataFrame, keys: DataFrame, hint) -> DataFrame:
+    """The index-probe semi-join, layout-aware.
+
+    Plain layout: semi-join on the ``key`` string. Hashed layout
+    (``write_posting_index(..., hashed_keys=True)``, detected from the
+    ``key_h`` column): semi-join on ``xxhash64`` — 8 bytes/row however
+    wide the cell values are, and aligned with the hashed index's
+    bucketing so the probe scan needs no index-side exchange. A 64-bit
+    collision admits a false CANDIDATE row only; every downstream join
+    and map lookup keys on the raw string, so results are exact either
+    way (collision rows verify against nothing).
+    """
+    if "key_h" in postings.columns:
+        keys_h = keys.select(F.xxhash64("key").alias("key_h")).distinct()
+        return postings.join(hint(keys_h), "key_h", "left_semi")
+    return postings.join(hint(keys), "key", "left_semi")
+
+
 def _query_mappings(query_df: DataFrame, attrs: list[str]) -> DataFrame:
     """Normalize + dedup the query table; unpivot to (key, MapKey) pairs."""
     norm = query_df.select(
@@ -213,7 +231,7 @@ def multi_attribute_join_search(
     keys = mappings.select("key").distinct()
 
     # Probe: semi-join the index with the (small, broadcast) key set.
-    probed = postings.join(hint(keys), "key", "left_semi")
+    probed = _probe_index(postings, keys, hint)
 
     # One explicit (table,row) shuffle that every downstream op reuses:
     # hash-partitioning on (table,row) satisfies the dedup groupBy's
@@ -335,7 +353,7 @@ def _rare_key_stages(
     )
     keys = melted.select("key").distinct()
 
-    probed = postings.join(hint(keys), "key", "left_semi")
+    probed = _probe_index(postings, keys, hint)
 
     # Probe-key selection works off the raw (pre-dedup) probe: the index
     # is persisted, so this branch is a cache scan + one small shuffle
@@ -482,7 +500,7 @@ def multi_attribute_join_search_batch(
     # to AQE-chosen strategies instead of a forced broadcast.
     hint = _hinter(qrows, broadcast_probe)
 
-    probed = postings.join(hint(keys), "key", "left_semi")
+    probed = _probe_index(postings, keys, hint)
 
     freq = probed.groupBy("key").agg(F.count(F.lit(1)).alias("_freq"))
     with_freq = freq.join(hint(melted), "key")

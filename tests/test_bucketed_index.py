@@ -42,6 +42,47 @@ def test_bucketed_self_join_has_no_index_side_shuffle(spark, sf_dir, bucketed_ta
     assert "Exchange" not in plan, "bucketed join should not shuffle either side"
 
 
+def test_hashed_index_layout_exact_and_probes_on_hash(spark, sf_dir):
+    """The fixed-width layout (hashed_keys=True): search results are
+    IDENTICAL to the plain index on both strategies, and the probe
+    semi-join actually runs on the 8-byte xxhash64 column, not the raw
+    string key."""
+    import re
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+        multi_attribute_join_search,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    name = "pidx_hashed_test"
+    write_posting_index(spark, sf_dir, out_table=name, buckets=8, hashed_keys=True)
+    try:
+        hashed = spark.table(name)
+        assert "key_h" in hashed.columns
+        plain = build_posting_index(spark, sf_dir)
+        q = load_table(spark, "part", sf_dir)
+        for strategy in ("rare_key", "mapkey"):
+            t_h, c_h = multi_attribute_join_search(
+                hashed, q, ["p_brand", "p_type"], strategy=strategy
+            )
+            t_p, c_p = multi_attribute_join_search(
+                plain, q, ["p_brand", "p_type"], strategy=strategy
+            )
+            assert t_h.collect() == t_p.collect()
+            assert c_h.collect() == c_p.collect()
+        # the probe join condition is on key_h (8 bytes), not key: the
+        # executedPlan tree prints join keys inline on the node line
+        plan = t_h._jdf.queryExecution().executedPlan().toString()
+        semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+        assert semi, plan
+        assert all("key_h#" in ln for ln in semi), plan
+        assert not any(re.search(r"\[key#", ln) for ln in semi), (
+            "probe semi-join still keys on the raw string:\n" + "\n".join(semi)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_incremental_index_append(spark, sf_dir, tmp_path):
     """Append-only index maintenance: building 3 tables then appending
     the other 2 must equal the full 5-table build, both as a row set and

@@ -186,6 +186,19 @@ def _search_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl
 
 
+def _search_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-lake search over the frequency-floored index
+    (min_key_freq=2: singleton keys — mostly free-text cells — pruned
+    at ingest). Same probe as ``mjs_search_lake_wide``; the oracle
+    carries the identical floor."""
+    from multi_attribute_join_search_with_mapreduce_spark.index import build_posting_index
+
+    postings = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES, min_key_freq=2)
+    query_df = load_table(spark, "documents", sf_dir)
+    tbl, _ = multi_attribute_join_search(postings, query_df, ["lang", "source"])
+    return tbl
+
+
 def _search_batch(
     spark: SparkSession, sf_dir: str, spec: list | None = None
 ) -> DataFrame:
@@ -276,6 +289,21 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_search_hashed_index": QuerySpec(
         _search_hashed,
         join_search_sql(posting_index_sql(), "part", FLAGSHIP_ATTRS, result="tables"),
+    ),
+    # Ingest-time frequency floor on the whole-lake index (SCALE.md
+    # §Round-8 refinement 2): min_key_freq=2 drops singleton keys —
+    # which at sf0.01 is most free-text cells, the heaviest postings —
+    # BEFORE they are ever stored. The oracle implements the identical
+    # floor (QUALIFY COUNT(*) OVER key >= 2), so the bounded score
+    # change is value-checked, not hand-waved.
+    "mjs_search_freq_floor": QuerySpec(
+        lambda spark, sf: _search_floor(spark, sf),
+        join_search_sql(
+            posting_index_sql(WIDE_LAKE_TABLES, min_key_freq=2),
+            "documents",
+            ["lang", "source"],
+            result="tables",
+        ),
     ),
 }
 

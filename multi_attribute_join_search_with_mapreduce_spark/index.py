@@ -94,13 +94,36 @@ def build_posting_index(
     spark: SparkSession,
     sf_dir: str,
     specs: tuple[TableSpec, ...] = LAKE_TABLES,
+    min_key_freq: int = 1,
 ) -> DataFrame:
-    """The full inverted index as one lazy DataFrame."""
+    """The full inverted index as one lazy DataFrame.
+
+    ``min_key_freq``: ingest-time frequency floor for wide-key lakes
+    (SCALE.md §Round-8 refinement 2). A key appearing fewer than N
+    times lake-wide is dropped — with the default 1, nothing is. The
+    floor is a documented, bounded score change: a (table,row) match
+    through a sub-floor key disappears, so join scores can only shrink,
+    and a singleton free-text cell (the heaviest postings in the
+    whole-lake index) could never have contributed more than a 1-match
+    score anyway. Costs one extra ingest-time shuffle on ``key`` (a
+    window count); probe-time plans are unchanged.
+    """
     parts = [postings_for_table(load_table(spark, s.name, sf_dir), s) for s in specs]
     raw = reduce(DataFrame.unionByName, parts)
-    return raw.select(
+    idx = raw.select(
         normalize_col(F.col("value")).alias("key"), "table", "column", "row"
     ).filter(F.col("key") != "")
+    if min_key_freq > 1:
+        from pyspark.sql import Window
+
+        idx = (
+            idx.withColumn(
+                "_f", F.count(F.lit(1)).over(Window.partitionBy("key"))
+            )
+            .filter(F.col("_f") >= min_key_freq)
+            .drop("_f")
+        )
+    return idx
 
 
 # Memoized persisted index per (session, sf_dir, specs) — the in-process
@@ -257,7 +280,9 @@ def append_posting_index(
     build_posting_index(spark, sf_dir, specs).write.mode("append").parquet(index_dir)
 
 
-def posting_index_sql(specs: tuple[TableSpec, ...] = LAKE_TABLES) -> str:
+def posting_index_sql(
+    specs: tuple[TableSpec, ...] = LAKE_TABLES, min_key_freq: int = 1
+) -> str:
     """DuckDB SQL producing the identical index (differential oracle)."""
     selects = []
     for s in specs:
@@ -269,4 +294,10 @@ def posting_index_sql(specs: tuple[TableSpec, ...] = LAKE_TABLES) -> str:
                 f"CAST({s.row_col} AS BIGINT) AS row FROM {s.name}"
             )
     union = "\nUNION ALL\n".join(selects)
-    return f"SELECT * FROM (\n{union}\n) WHERE key <> ''"
+    base = f"SELECT * FROM (\n{union}\n) WHERE key <> ''"
+    if min_key_freq > 1:
+        base = (
+            f"SELECT * FROM (\n{base}\n) "
+            f"QUALIFY COUNT(*) OVER (PARTITION BY key) >= {min_key_freq}"
+        )
+    return base

@@ -102,6 +102,19 @@ def test_index_differential_sf0001(spark, sf_dir):
     assert_df_equals_duckdb(postings, posting_index_sql(), sf_dir)
 
 
+def test_freq_floor_index_differential_and_pruning(spark, sf_dir):
+    """min_key_freq=2 drops exactly the singleton keys (DuckDB-checked
+    row set), strictly shrinks the whole-lake index, and keeps every
+    surviving key's postings intact."""
+    full = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES)
+    floored = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES, min_key_freq=2)
+    assert_df_equals_duckdb(
+        floored, posting_index_sql(WIDE_LAKE_TABLES, min_key_freq=2), sf_dir
+    )
+    n_full, n_floor = full.count(), floored.count()
+    assert 0 < n_floor < n_full
+
+
 def test_wide_lake_index_and_discovery(spark, sf_dir):
     """The whole-lake index (dims + events + documents, every string
     column incl. free text and JSON props) matches its oracle, and a

@@ -38,8 +38,9 @@ Deterministic divergences from the reference (documented per SURVEY.md
   separator — the reference's space-joined MapKey conflates distinct
   rows (``Par_Search.py:213-215``);
 - ties in scores break on ascending table / column id;
-- top-n-per-table uses n = attribute count (Par semantics; Seq
-  hard-codes 2, ``Object.py:78-79``);
+- top-n-per-table defaults to n = attribute count (Par semantics); Seq
+  hard-codes 2 (``Object.py:78-79``) and is reachable as ``top_n=2``
+  on every entry point (DataFrame, batch, SQL surface, CLI ``--top-n``);
 - the pre-join reduction (kept from ``Par_Search.py:244-250``) counts
   *distinct probed keys per (table,row)*, so a query row with
   duplicated attribute values — e.g. ``(k, k)`` — matches a lake row

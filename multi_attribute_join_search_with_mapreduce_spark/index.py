@@ -221,6 +221,7 @@ def write_posting_index(
     buckets: int = 32,
     specs: tuple[TableSpec, ...] = LAKE_TABLES,
     hashed_keys: bool = False,
+    min_key_freq: int = 1,
 ) -> None:
     """Persist the index bucketed by ``key``.
 
@@ -248,7 +249,7 @@ def write_posting_index(
         spark.conf.get("spark.sql.warehouse.dir"), out_table.lower()
     )
     stale.getFileSystem(spark._jsc.hadoopConfiguration()).delete(stale, True)
-    idx = build_posting_index(spark, sf_dir, specs)
+    idx = build_posting_index(spark, sf_dir, specs, min_key_freq)
     bucket_col = "key"
     if hashed_keys:
         idx = idx.withColumn("key_h", F.xxhash64("key"))
@@ -276,6 +277,16 @@ def append_posting_index(
     rewritten (the reference rebuilds its whole parquet intermediate,
     ``Par_Search.py:124-134``). Callers own spec disjointness: appending
     a table id that is already present would duplicate its postings.
+
+    Deliberately NO ``min_key_freq`` here: the floor is a LAKE-WIDE
+    frequency predicate, and an append sees only the new table — a key
+    below the floor in the new table alone may cross it once combined
+    with the existing index (and vice versa). Applying the floor
+    per-append would silently diverge from the rebuild semantics the
+    incremental gate (``mjs_index_incremental``) proves; a floored
+    index maintains the floor by periodic rebuild or by keeping the
+    key-frequency table alongside (a design for the warehouse tier,
+    not this fixture).
     """
     build_posting_index(spark, sf_dir, specs).write.mode("append").parquet(index_dir)
 

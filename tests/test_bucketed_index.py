@@ -83,6 +83,32 @@ def test_hashed_index_layout_exact_and_probes_on_hash(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_batch_search_over_hashed_index_exact(spark, sf_dir):
+    """The batch form's probe (the third _probe_index call site) also
+    detects the hashed layout and returns results identical to the
+    plain index."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+        multi_attribute_join_search_batch,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    name = "pidx_hashed_batch_test"
+    write_posting_index(spark, sf_dir, out_table=name, buckets=8, hashed_keys=True)
+    try:
+        batch = [
+            ("part2", load_table(spark, "part", sf_dir), ["p_brand", "p_type"]),
+            ("nation1", load_table(spark, "nation", sf_dir), ["n_name"]),
+        ]
+        t_h, c_h = multi_attribute_join_search_batch(spark.table(name), batch)
+        t_p, c_p = multi_attribute_join_search_batch(
+            build_posting_index(spark, sf_dir), batch
+        )
+        assert t_h.collect() == t_p.collect()
+        assert c_h.collect() == c_p.collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_incremental_index_append(spark, sf_dir, tmp_path):
     """Append-only index maintenance: building 3 tables then appending
     the other 2 must equal the full 5-table build, both as a row set and

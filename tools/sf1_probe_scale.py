@@ -144,6 +144,32 @@ def main() -> None:
         results["batch_hetero_b8_x10_s"] / results["batch_hetero_b8_base_s"], 2
     )
 
+    # ---- hashed (fixed-width) layout at ×10 volume --------------------------
+    # Same flagship 3-attr search against the xxhash64-bucketed layout vs
+    # the plain bucketed index at the ×10 posting volume: the probe runs
+    # on 8-byte keys, results identical; ratio ≈1 shows the layout costs
+    # nothing at width-modest keys (its win is wide-key lakes + bucket
+    # layout size, SCALE.md §Round-8).
+    write_posting_index(
+        spark, lake, out_table="posting_index_sf1_hashed", buckets=32, hashed_keys=True
+    )
+    q10k = part.limit(10_000)
+
+    def run_flagship(index_table: str) -> float:
+        t = time.monotonic()
+        tb, cb = multi_attribute_join_search(
+            spark.table(index_table), q10k, attrs, k=20
+        )
+        tb.collect()
+        cb.collect()
+        return round(time.monotonic() - t, 2)
+
+    results["flagship_x10_plain_s"] = run_flagship("posting_index_sf1")
+    results["flagship_x10_hashed_s"] = run_flagship("posting_index_sf1_hashed")
+    results["hashed_vs_plain_x10_ratio"] = round(
+        results["flagship_x10_hashed_s"] / results["flagship_x10_plain_s"], 2
+    )
+
     with open(out_json, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))

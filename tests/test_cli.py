@@ -56,6 +56,19 @@ def test_cli_lake_query_table(spark, capsys):
     assert "table=5\tjoin_score=400" in out
 
 
+def test_cli_top_n_seq_dialect(spark, capsys):
+    """--top-n 2 (Seq's dialect) at n=3 changes table scores vs the
+    default, identically on the dataframe and sql strategies."""
+    base_args = ["--query-table", "part", "--attrs", "p_name,p_brand,p_type",
+                 "--sf-dir", SF001]
+    rc_def, out_def = _run(capsys, base_args)
+    rc_seq, out_seq = _run(capsys, base_args + ["--top-n", "2"])
+    rc_sql, out_sql = _run(capsys, base_args + ["--top-n", "2", "--strategy", "sql"])
+    assert rc_def == rc_seq == rc_sql == 0
+    assert out_seq != out_def  # the dialect bites at n=3
+    assert out_seq == out_sql  # both strategies implement the same dialect
+
+
 def test_cli_rows_limit(spark, capsys, query_csv):
     rc, out = _run(
         capsys,

@@ -536,23 +536,30 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     all_src = src_df.unionByName(sent2)
-    # Exact expected sink cardinality, computed batch-side over the SAME
-    # source (both sentinel files included): completion is asserted
-    # against this count once the second drain returns — no wall-clock
-    # "looks stable" heuristic.
-    clicks_b = all_src.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("c_ts")
-    )
-    purch_b = all_src.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts"), "event_id"
-    )
-    expected_rows = purch_b.join(
-        clicks_b,
-        (purch_b.user_id == clicks_b.user_id)
-        & (F.col("c_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "left",
-    ).count()
+
+    # Exact expected sink cardinalities, computed batch-side over the
+    # SAME source — one for each settle path: without the fallback
+    # sentinels (engine's no-data batch flushed everything inside the
+    # first drain) and with them (the fallback pair legitimately
+    # inner-joins the sentinel clicks). Completion is asserted against
+    # the applicable count — no wall-clock "looks stable" heuristic.
+    def _expected(frame: DataFrame) -> int:
+        cb = frame.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("c_ts")
+        )
+        pb = frame.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("p_ts"), "event_id"
+        )
+        return pb.join(
+            cb,
+            (pb.user_id == cb.user_id)
+            & (F.col("c_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left",
+        ).count()
+
+    expected_rows_no_fallback = _expected(src_df)
+    expected_rows = _expected(all_src)
 
     stream = spark.readStream.schema(e.schema).parquet(src)
     out = purchase_click_join_stream(stream, how="leftOuter")
@@ -571,16 +578,28 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             q.processAllAvailable()
             # The NULL-padded rows need a batch that EVICTS with the
-            # watermark advanced by batch 1; the second sentinel file
-            # forces that batch into work processAllAvailable waits on,
-            # making completion deterministic (no settle poll).
-            sent2.write.mode("append").parquet(src)
-            q.processAllAvailable()
+            # watermark advanced by batch 1. Often the engine's own
+            # no-data batch has already flushed them inside the first
+            # drain — check once (no sleep); only when eviction is
+            # still pending, land the second sentinel file, forcing
+            # that batch into work processAllAvailable waits on. Either
+            # way completion is deterministic: the fallback is a
+            # guaranteed batch, not a timing bet. (The expected count
+            # includes the second sentinel pair's own matches, which
+            # only exist if the fallback fires — so the no-fallback
+            # path compares against the count WITHOUT them.)
             n = spark.sql("SELECT COUNT(*) FROM stream_louter_sink").first()[0]
-            if n != expected_rows:
+            if n < expected_rows_no_fallback:
+                sent2.write.mode("append").parquet(src)
+                q.processAllAvailable()
+                n = spark.sql("SELECT COUNT(*) FROM stream_louter_sink").first()[0]
+                expected = expected_rows
+            else:
+                expected = expected_rows_no_fallback
+            if n != expected:
                 raise RuntimeError(
                     f"stream_louter_sink settled at {n} rows, expected "
-                    f"{expected_rows} (watermark eviction incomplete or overshot)"
+                    f"{expected} (watermark eviction incomplete or overshot)"
                 )
         finally:
             q.stop()
@@ -1064,15 +1083,26 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
-            # second sentinel: forces one more DATA batch that runs with
-            # the already-advanced watermark, making eviction of every
-            # real session part of work processAllAvailable waits on.
-            sent2 = sent.select(
-                "event_id", F.expr("timestampadd(HOUR, 1, ts)").alias("ts"), "user_id"
-            )
-            sent2.write.mode("append").parquet(src)
-            q.processAllAvailable()
+            # The engine's own no-data batch often evicts the closed
+            # sessions inside the first drain — check once (no sleep).
+            # Only when eviction is still pending, land a second
+            # sentinel (+1h, its own >gap-separated session): it forces
+            # one more DATA batch that runs with the already-advanced
+            # watermark, making eviction part of work
+            # processAllAvailable waits on. Deterministic either way —
+            # the fallback is a guaranteed batch, not a timing bet, and
+            # sentinel sessions are never emitted so `expected` is the
+            # same on both paths.
             n = spark.sql("SELECT COUNT(*) FROM stream_sesswin_sink").first()[0]
+            if n < expected:
+                sent2 = sent.select(
+                    "event_id",
+                    F.expr("timestampadd(HOUR, 1, ts)").alias("ts"),
+                    "user_id",
+                )
+                sent2.write.mode("append").parquet(src)
+                q.processAllAvailable()
+                n = spark.sql("SELECT COUNT(*) FROM stream_sesswin_sink").first()[0]
             if n != expected:
                 raise RuntimeError(
                     f"stream_sesswin_sink settled at {n} rows, expected {expected} "

@@ -67,6 +67,20 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
         )
+        # Per-process warehouse (VERDICT r8 task #5): the default
+        # ``./spark-warehouse`` is shared by every process launched from
+        # the repo root, so two concurrent sessions racing saveAsTable
+        # on the same gate table (write_posting_index, bucketed fact
+        # tables) clash on the table location. Scoping the warehouse
+        # under the per-process scratch root (removed at exit) makes
+        # concurrent pytest/bench/driver runs independent. Static conf —
+        # only effective here, where this call launches the JVM.
+        from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+
+        builder = builder.config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE") or scratch_dir("warehouse_"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

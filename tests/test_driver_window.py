@@ -46,3 +46,51 @@ def test_windows_are_per_round_and_monotonic():
     rounds = [r["round"] for r in _windows()]
     assert rounds == sorted(rounds)
     assert len(rounds) == len(set(rounds))
+
+
+def test_no_query_staler_than_5_rounds_without_rotation():
+    """VERDICT r8 task #6: the rotation invariant, enforced in-suite.
+
+    For every registry query, its most recent green driver row
+    (CORRECTNESS_r*.json) must be no older than newest_sampled - 4 —
+    OR the query must be front-loaded into the newest window so the
+    upcoming driver run refreshes it. A forgotten rotation now fails
+    pytest instead of waiting for the judge's audit. Queries never
+    sampled at all must likewise sit in the newest window.
+    """
+    import glob
+    import re
+
+    last_green: dict[str, int] = {}
+    last_sample: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            last_sample[name] = max(rnd, last_sample.get(name, 0))
+            ok = (
+                bool(row.get("rows_match"))
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                last_green[name] = max(rnd, last_green.get(name, 0))
+    if not last_sample:  # fresh clone without driver artifacts
+        return
+    newest_sampled = max(last_sample.values())
+    cutoff = newest_sampled - 4
+    rounds = _windows()
+    newest_window = set(max(rounds, key=lambda r: r["round"])["names"])
+    offenders = []
+    for name in entry_mod.registry():
+        green = last_green.get(name, 0)
+        if green >= cutoff:
+            continue
+        if name in newest_window:
+            continue  # scheduled for refresh in the upcoming driver run
+        offenders.append((name, green))
+    assert not offenders, (
+        f"stale (last green < r{cutoff}) and NOT in the newest window: "
+        f"{sorted(offenders)} — add them to driver_window.json"
+    )

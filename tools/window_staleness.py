@@ -54,7 +54,10 @@ def main() -> None:
         n for n in names if n in latest_status and not latest_status[n]
     )
     rounds = sorted({r for r in last_green.values()})
-    newest = rounds[-1] if rounds else 0
+    # Newest round comes from *samples*, not greens: a newest round whose
+    # sampled rows were all red must still advance the staleness cutoff
+    # (ADVICE r8 — otherwise an all-red round freezes the cutoff).
+    newest = max(last_sample.values()) if last_sample else 0
     cutoff = stale_before if stale_before is not None else newest - 4
     stale = sorted(
         (n, last_green[n]) for n in names if n in last_green and last_green[n] < cutoff

@@ -111,6 +111,15 @@ _BATCH8 = [
 ]
 
 
+# Mixed-dialect batch: part3 scores with Seq's top-2 rule (4th element)
+# while the other members keep the Par default (rank = attr count).
+_BATCH_MIXED = [
+    ("part2", "part", FLAGSHIP_ATTRS),
+    ("part3_seq", "part", THREE_ATTRS, 2),
+    ("nation1", "nation", ["n_name"]),
+]
+
+
 def _search_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated proof of the on-disk bucketed index path: persist
     the posting index bucketed by ``key`` (``write_posting_index``) and
@@ -204,8 +213,8 @@ def _search_batch(
 ) -> DataFrame:
     postings = cached_posting_index(spark, sf_dir)
     batch = [
-        (qid, load_table(spark, tbl, sf_dir), attrs)
-        for qid, tbl, attrs in (spec or _BATCH)
+        (e[0], load_table(spark, e[1], sf_dir), e[2], *e[3:])
+        for e in (spec or _BATCH)
     ]
     tables, _ = multi_attribute_join_search_batch(postings, batch)
     return tables
@@ -254,6 +263,16 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_search_batch_hetero": QuerySpec(
         lambda spark, sf: _search_batch(spark, sf, _BATCH8),
         join_search_batch_sql(posting_index_sql(), _BATCH8),
+    ),
+    # Mixed scoring dialects in ONE batch (VERDICT r8 task #7): the
+    # 3-attr member runs Seq's top-2 rule via a per-entry top_n while
+    # its batch-mates keep the Par default — the rank bound rides the
+    # query metadata, so the shared index pass is unchanged. Gated at
+    # n=3 where the dialects diverge (same divergence point as
+    # mjs_search_seq_top2).
+    "mjs_search_batch_mixed_topn": QuerySpec(
+        lambda spark, sf: _search_batch(spark, sf, _BATCH_MIXED),
+        join_search_batch_sql(posting_index_sql(), _BATCH_MIXED),
     ),
     # On-disk bucketed index: write + probe (the repeated-probe scale
     # path; oracle identical to mjs_search_tables).

@@ -38,6 +38,15 @@ import sys
 from pyspark.sql import SparkSession
 
 
+def _positive_int(raw: str) -> int:
+    """argparse type for rank/count knobs: 0 or negative would silently
+    filter every score away (ADVICE r8), so reject at parse time."""
+    v = int(raw)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="multi_attribute_join_search_with_mapreduce_spark",
@@ -57,10 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attrs", default="", help="comma-separated query column names")
     p.add_argument("--rows", type=int, default=None, help="truncate query input to N rows")
     p.add_argument("--cores", type=int, default=None, help="local[N] parallelism")
-    p.add_argument("--k", type=int, default=20, help="top-k tables (2k columns)")
+    p.add_argument(
+        "--k", type=_positive_int, default=20, help="top-k tables (2k columns)"
+    )
     p.add_argument(
         "--top-n",
-        type=int,
+        type=_positive_int,
         default=None,
         help="column ranks summed into each table score: default = "
         "attribute count (Par-Search, Par_Search.py:318-327); 2 = "

@@ -63,6 +63,17 @@ MAPKEY_SEP = "\x1f"
 DEFAULT_TOP_K = 20
 
 
+def _validate_top_n(top_n: int | None) -> None:
+    """``top_n=0`` (or negative) would silently rank-filter away every
+    column score and return empty results; reject it loudly instead.
+    ``None`` remains the Par dialect (rank bound = attribute count)."""
+    if top_n is not None and top_n < 1:
+        raise ValueError(
+            f"top_n must be >= 1, got {top_n!r} (use None for the Par "
+            "dialect: rank bound = attribute count)"
+        )
+
+
 @dataclass(frozen=True)
 class SearchStages:
     """The four reference phases (SURVEY.md §2.11 / ``log_runtime``) as
@@ -220,6 +231,7 @@ def multi_attribute_join_search(
       ``tests/test_search_properties.py``); a Catalyst plan has no
       per-row round trips to batch differently in the first place.
     """
+    _validate_top_n(top_n)
     if strategy in ("rare_key", "row", "cell"):
         st = _rare_key_stages(postings, query_df, attrs, k, broadcast_probe, top_n)
         return st.tables, st.columns
@@ -298,6 +310,7 @@ def search_stages(
     """Public phase-exposing variant of the default (rare_key) search —
     used by ``bench.py`` for the reference's 4-phase wall-clock
     breakdown (``log_runtime``, ``Par_Search.py:16-32``)."""
+    _validate_top_n(top_n)
     return _rare_key_stages(postings, query_df, attrs, k, broadcast_probe, top_n)
 
 
@@ -449,7 +462,7 @@ def _rare_key_stages(
 
 def multi_attribute_join_search_batch(
     postings: DataFrame,
-    batch: list[tuple[str, DataFrame, list[str]]],
+    batch: list[tuple],
     k: int = DEFAULT_TOP_K,
     broadcast_probe: bool | None = None,
     top_n: int | None = None,
@@ -474,10 +487,24 @@ def multi_attribute_join_search_batch(
     attributes travel as an ``array<string>`` column (so queries with
     different attribute counts share one DAG) and every per-query
     stage keys on ``(qid, MapKey)`` instead of ``MapKey``.
+
+    Heterogeneous dialects (VERDICT r8 task #7): each batch entry may
+    carry its own scoring rank bound as an optional 4th element —
+    ``(qid, query_df, attrs, entry_top_n)`` — so one batch can mix a
+    Seq-dialect caller (``top_n=2``) with Par-default callers. The
+    bound rides the broadcast query metadata as ``_rank_n`` (like
+    ``_n``), so the shared index-side plan is unchanged. Precedence:
+    entry ``top_n`` > batch-wide ``top_n`` > that entry's attr count.
     """
+    _validate_top_n(top_n)
     qrows = None
-    for qid, query_df, attrs in batch:
+    for entry in batch:
+        qid, query_df, attrs = entry[0], entry[1], entry[2]
+        entry_top_n = entry[3] if len(entry) > 3 else None
+        _validate_top_n(entry_top_n)
+        eff_top_n = entry_top_n if entry_top_n is not None else top_n
         n = len(attrs)
+        rank_n = eff_top_n if eff_top_n is not None else n
         norm = query_df.select(
             *[normalize_col(F.col(a)).alias(f"_a{i}") for i, a in enumerate(attrs)]
         )
@@ -491,6 +518,7 @@ def multi_attribute_join_search_batch(
             ),
             F.array(*[F.col(f"_a{i}") for i in range(n)]).alias("_attrs"),
             F.lit(n).alias("_n"),
+            F.lit(rank_n).alias("_rank_n"),
         )
         qrows = q if qrows is None else qrows.unionByName(q)
 
@@ -523,7 +551,7 @@ def multi_attribute_join_search_batch(
         .groupBy("table", "row", "key")
         .agg(F.min("column").alias("column"))
     )
-    min_n = min(len(attrs) for _, _, attrs in batch)
+    min_n = min(len(entry[2]) for entry in batch)
     # key->column map for codegen-able verification — see the
     # _rare_key_stages comment (array-of-struct higher-order lookups
     # are interpreted per hit).
@@ -552,29 +580,28 @@ def multi_attribute_join_search_batch(
 
     matched = verified.select(
         "qid",
-        "_n",
+        "_rank_n",
         "table",
         F.explode("_attrs").alias("_mk"),
         "_m",
     ).select(
         "qid",
-        "_n",
+        "_rank_n",
         "table",
         F.col("_m")[F.col("_mk")].alias("column"),
     )
 
     col_scores_all = matched.groupBy("qid", "table", "column").agg(
-        F.count(F.lit(1)).alias("join_score"), F.min("_n").alias("_n")
+        F.count(F.lit(1)).alias("join_score"), F.min("_rank_n").alias("_rank_n")
     )
     w_rank = Window.partitionBy("qid", "table").orderBy(
         F.desc("join_score"), F.asc("column")
     )
-    # top_n: the Seq scoring dialect (uniform top-2) applied batch-wide;
-    # default is each query's own attr count (Par), carried in _n.
-    rank_bound = F.lit(top_n) if top_n is not None else F.col("_n")
+    # Per-query scoring dialect: _rank_n is each entry's resolved rank
+    # bound (entry top_n > batch top_n > attr count), constant per qid.
     top_cols = (
         col_scores_all.withColumn("_rn", F.row_number().over(w_rank))
-        .filter(F.col("_rn") <= rank_bound)
+        .filter(F.col("_rn") <= F.col("_rank_n"))
         .drop("_rn")
     )
     w_tab = Window.partitionBy("qid").orderBy(F.desc("join_score"), F.asc("table"))
@@ -592,7 +619,7 @@ def multi_attribute_join_search_batch(
     column_scores = (
         top_cols.withColumn("_rn", F.row_number().over(w_col))
         .filter(F.col("_rn") <= 2 * k)
-        .drop("_rn", "_n")
+        .drop("_rn", "_rank_n")
         .orderBy("qid", F.desc("join_score"), F.asc("table"), F.asc("column"))
     )
     return table_scores, column_scores
@@ -600,7 +627,7 @@ def multi_attribute_join_search_batch(
 
 def join_search_batch_sql(
     index_sql: str,
-    batch: list[tuple[str, str, list[str]]],
+    batch: list[tuple],
     k: int = DEFAULT_TOP_K,
     result: str = "tables",
     top_n: int | None = None,
@@ -608,12 +635,19 @@ def join_search_batch_sql(
     """DuckDB oracle for the batch search: the union of per-query
     single-search oracles, each tagged with its qid — the batch
     semantics ARE per-query semantics, only the execution is shared.
-    ``top_n`` applies the Seq scoring dialect uniformly (see
-    :func:`join_search_sql`)."""
-    parts = [
-        f"SELECT '{qid}' AS qid, * FROM ({join_search_sql(index_sql, tbl, attrs, k, result, top_n)})"
-        for qid, tbl, attrs in batch
-    ]
+    ``top_n`` applies the Seq scoring dialect batch-wide; a 4th entry
+    element overrides it per query (mirrors
+    :func:`multi_attribute_join_search_batch`)."""
+    _validate_top_n(top_n)
+    parts = []
+    for entry in batch:
+        qid, tbl, attrs = entry[0], entry[1], entry[2]
+        entry_top_n = entry[3] if len(entry) > 3 else None
+        eff = entry_top_n if entry_top_n is not None else top_n
+        parts.append(
+            f"SELECT '{qid}' AS qid, * FROM "
+            f"({join_search_sql(index_sql, tbl, attrs, k, result, eff)})"
+        )
     union = "\nUNION ALL\n".join(parts)
     order = (
         'qid, join_score DESC, "table" ASC'
@@ -639,6 +673,7 @@ def join_search_sql(
     mirrors :func:`multi_attribute_join_search`'s scoring-rank knob
     (None = len(attrs) = Par dialect; 2 = Seq dialect).
     """
+    _validate_top_n(top_n)
     n = len(attrs)
     rank_n = n if top_n is None else top_n
     norm_cols = ", ".join(

@@ -62,6 +62,69 @@ def test_batch_top_n_equals_single_top_n(spark, sf_dir):
     assert {g for g in got if g[0] == "part3"} != def_rows
 
 
+def test_batch_mixed_dialects_equal_single_queries(spark, sf_dir):
+    """VERDICT r8 task #7: per-entry top_n — one batch mixing a Seq
+    top-2 caller with Par-default callers must equal the single-query
+    searches at each entry's own dialect."""
+    postings = cached_posting_index(spark, sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    batch = [
+        ("part2", part, ATTRS2),
+        ("part3_seq", part, ATTRS3, 2),
+        ("nation1", nation, ["n_name"]),
+    ]
+    tables, columns = multi_attribute_join_search_batch(postings, batch)
+    got_t = {(r.qid, r.table, r.join_score) for r in tables.collect()}
+    got_c = {(r.qid, r.table, r.column, r.join_score) for r in columns.collect()}
+    want_t, want_c = set(), set()
+    for entry in batch:
+        qid, query_df, attrs = entry[0], entry[1], entry[2]
+        tn = entry[3] if len(entry) > 3 else None
+        t, c = multi_attribute_join_search(postings, query_df, attrs, top_n=tn)
+        want_t |= {(qid, r.table, r.join_score) for r in t.collect()}
+        want_c |= {(qid, r.table, r.column, r.join_score) for r in c.collect()}
+    assert got_t == want_t
+    assert got_c == want_c
+    # the per-entry dialect must actually bite on the 3-attr member
+    t_def, _ = multi_attribute_join_search(postings, part, ATTRS3)
+    def_rows = {("part3_seq", r.table, r.join_score) for r in t_def.collect()}
+    assert {g for g in got_t if g[0] == "part3_seq"} != def_rows
+
+
+def test_entry_top_n_overrides_batch_top_n(spark, sf_dir):
+    """Precedence: entry top_n > batch-wide top_n."""
+    postings = cached_posting_index(spark, sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    tables, _ = multi_attribute_join_search_batch(
+        postings, [("part3", part, ATTRS3, 3)], top_n=2
+    )
+    want, _ = multi_attribute_join_search(postings, part, ATTRS3, top_n=3)
+    assert {(r.table, r.join_score) for r in tables.collect()} == {
+        (r.table, r.join_score) for r in want.collect()
+    }
+
+
+def test_top_n_rejects_nonpositive(spark, sf_dir):
+    import pytest
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+        join_search_sql,
+    )
+
+    postings = cached_posting_index(spark, sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="top_n"):
+            multi_attribute_join_search(postings, part, ATTRS2, top_n=bad)
+        with pytest.raises(ValueError, match="top_n"):
+            multi_attribute_join_search_batch(postings, [("q", part, ATTRS2)], top_n=bad)
+        with pytest.raises(ValueError, match="top_n"):
+            multi_attribute_join_search_batch(postings, [("q", part, ATTRS2, bad)])
+        with pytest.raises(ValueError, match="top_n"):
+            join_search_sql("SELECT 1", "part", ATTRS2, top_n=bad)
+
+
 def test_sql_surface_top_n_matches_dataframe(spark, sf_dir):
     """The SQL entry point's top_n hook computes the same Seq-dialect
     scores as the DataFrame API."""

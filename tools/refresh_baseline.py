@@ -31,8 +31,16 @@ isolated re-runs of sub-second queries sit 1.4–2.2× above their
 historical minima even on a quiet host, so the 2× regression gate
 drifts toward measuring host luck. A median-of-mins floor from one
 quiet session is reproducible. Every query whose floor RISES gets its
-own BASELINE_RESETS.json entry (shared reason, ``refound: true``) so
-the raise-requires-audit guard stays intact.
+own BASELINE_RESETS.json entry (shared reason, ``refound: true``,
+``n_samples``) so the raise-requires-audit guard stays intact.
+
+Refound guardrails (ADVICE r8): the tool REFUSES when the run set would
+drop baseline entries (queries absent from every run — their gates
+would silently vanish; ``--allow-dropped`` overrides) or when a floor
+would rise >2x its historical value (``--allow-large-raises``
+overrides; such entries are marked ``large_raise`` in the audit).
+Queries backed by a single observation are listed as
+``single_sample`` in the summary.
 """
 
 from __future__ import annotations
@@ -61,7 +69,7 @@ def _median(vals: list[float]) -> float:
     return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
 
-def _refound(run_files: list[str], reason: str) -> None:
+def _refound(run_files: list[str], reason: str, allow_flags: set[str]) -> None:
     runs = []
     for p in run_files:
         with open(p) as f:
@@ -75,6 +83,12 @@ def _refound(run_files: list[str], reason: str) -> None:
         n: round(_median([r["queries"][n] for r in runs if n in r["queries"]]), 4)
         for n in sorted(names)
     }
+    # ADVICE r8: a refound from a stale/partial run set must not
+    # silently remove gates or found a "median" on one observation.
+    n_samples = {
+        n: sum(1 for r in runs if n in r["queries"]) for n in sorted(names)
+    }
+    single_sample = sorted(n for n, c in n_samples.items() if c < 2)
     ph_names = set().union(*(r.get("phases", {}) for r in runs))
     phases = {
         p: round(_median([r["phases"][p] for r in runs if p in r.get("phases", {})]), 4)
@@ -90,6 +104,28 @@ def _refound(run_files: list[str], reason: str) -> None:
     raised = sorted(
         n for n, v in merged.items() if n in old_q and v > old_q[n] + 1e-9
     )
+    dropped = sorted(set(old_q) - set(merged))
+    if dropped and "--allow-dropped" not in allow_flags:
+        raise SystemExit(
+            f"--refound would DROP {len(dropped)} baseline entries absent "
+            f"from every supplied run (their regression gates vanish): "
+            f"{dropped}. Re-run with --allow-dropped to confirm, or supply "
+            "runs covering the full registry."
+        )
+    # A raise beyond 2x of the historical floor widens the effective
+    # tolerance (floor x gate) past 4x of best-known — demand explicit
+    # acknowledgment rather than hiding it in a shared reason string.
+    large_raises = {
+        n: round(merged[n] / old_q[n], 2)
+        for n in raised
+        if old_q[n] > 0 and merged[n] > 2.0 * old_q[n]
+    }
+    if large_raises and "--allow-large-raises" not in allow_flags:
+        raise SystemExit(
+            f"--refound raises {len(large_raises)} floors by >2x "
+            f"{large_raises}; re-run with --allow-large-raises if the old "
+            "minima are genuinely unreproducible (the audit will mark them)."
+        )
     _append_audit(
         [
             {
@@ -99,6 +135,8 @@ def _refound(run_files: list[str], reason: str) -> None:
                 "new": merged[n],
                 "sf": sf,
                 "refound": True,
+                "n_samples": n_samples[n],
+                **({"large_raise": True} if n in large_raises else {}),
             }
             for n in raised
         ]
@@ -115,6 +153,9 @@ def _refound(run_files: list[str], reason: str) -> None:
                 "n_lowered": sum(
                     1 for n, v in merged.items() if n in old_q and v < old_q[n] - 1e-9
                 ),
+                "dropped": dropped,
+                "single_sample": single_sample,
+                "large_raises": large_raises,
             }
         )
     )
@@ -126,6 +167,10 @@ def main() -> None:
     reason = None
     if args and args[0] == "--refound":
         rest = args[1:]
+        allow_flags = {
+            a for a in rest if a in ("--allow-dropped", "--allow-large-raises")
+        }
+        rest = [a for a in rest if a not in allow_flags]
         if "--reason" not in rest:
             raise SystemExit(
                 '--refound requires --reason "<why the floor is re-founded>"; '
@@ -139,7 +184,7 @@ def main() -> None:
                 "--refound needs >=2 bench_queries.json run files and a "
                 "non-empty --reason"
             )
-        _refound(run_files, reason)
+        _refound(run_files, reason, allow_flags)
         return
     if args:
         # strict: a transposed or misspelled invocation must fail loudly,

@@ -94,9 +94,20 @@ def test_refound_takes_medians_and_audits_raises(tmp_path):
         json.dumps({"sf": 0.1, "queries": {"a": 0.5, "b": 3.0}, "phases": {}})
     )
     tool = str(sandbox / "tools" / "refresh_baseline.py")
+    reason = [
+        "--reason",
+        "median-of-mins re-founding: the min-merge floor was extreme-value biased",
+    ]
+    # a: 0.5 -> median 1.1 is a 2.2x raise — the ADVICE-r8 guardrail
+    # must refuse without explicit acknowledgment...
+    out0 = subprocess.run(
+        [sys.executable, tool, "--refound", *runs, *reason],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out0.returncode != 0
+    assert "large" in (out0.stderr + out0.stdout)
     out = subprocess.run(
-        [sys.executable, tool, "--refound", *runs, "--reason",
-         "median-of-mins re-founding: the min-merge floor was extreme-value biased"],
+        [sys.executable, tool, "--refound", *runs, "--allow-large-raises", *reason],
         capture_output=True, text=True, timeout=60,
     )
     assert out.returncode == 0, out.stderr
@@ -105,6 +116,26 @@ def test_refound_takes_medians_and_audits_raises(tmp_path):
     audit = json.loads((sandbox / "BASELINE_RESETS.json").read_text())
     assert [e["query"] for e in audit] == ["a"]  # only the raised floor
     assert audit[0]["refound"] is True
+    assert audit[0]["large_raise"] is True
+    assert audit[0]["n_samples"] == 3
+    # a run set missing a baselined query must refuse (its gate would
+    # silently vanish) unless --allow-dropped is given
+    (sandbox / "BENCH_BASELINE.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 1.1, "b": 2.0, "gone": 9.9}, "phases": {}})
+    )
+    out3 = subprocess.run(
+        [sys.executable, tool, "--refound", *runs, *reason],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out3.returncode != 0
+    assert "gone" in (out3.stderr + out3.stdout)
+    out4 = subprocess.run(
+        [sys.executable, tool, "--refound", *runs, "--allow-dropped", *reason],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out4.returncode == 0, out4.stderr
+    summary = json.loads(out4.stdout)
+    assert summary["dropped"] == ["gone"]
     out2 = subprocess.run(
         [sys.executable, tool, "--refound", *runs],
         capture_output=True, text=True, timeout=60,

@@ -228,16 +228,24 @@ def write_posting_index(
     Probe joins on ``key`` against a bucketed index avoid the index-side
     shuffle entirely — the scan reads only the buckets the keys hash to.
 
-    ``hashed_keys=True`` writes the fixed-width layout for wide-key
-    lakes (the whole-lake index carries free-text cells averaging ~100
-    chars/key at sf0.1, SCALE.md §Round-8): an extra
+    ``hashed_keys=True`` writes the fixed-width layout: an extra
     ``key_h = xxhash64(key)`` column, with bucketing+sort on ``key_h``,
-    so probe semi-joins and bucket layout cost 8 bytes/row regardless
-    of cell width. The raw ``key`` column stays — verification and
-    column attribution remain exact string lookups, so a 64-bit
-    collision can only admit a false CANDIDATE (discarded at the
-    verify stage), never a wrong result; the search detects the layout
-    from the schema and probes on the hash automatically.
+    so the bucketed write sorts 8 bytes/row regardless of cell width.
+    The raw ``key`` column stays — verification and column attribution
+    remain exact string lookups, so a 64-bit collision can only admit
+    a false CANDIDATE (discarded at the verify stage), never a wrong
+    result; the search detects the layout from the schema and probes
+    on the hash automatically.
+
+    When to use which (measured at ×10 wide-key volume, SCALE.md
+    §Round-9 / ``sf1_probe_widekey.json``): PLAIN is the default for
+    probe-dominated workloads at ANY key width — with a broadcast
+    semi-join probe the index side never shuffles in either layout, so
+    the hash saves nothing at probe time while its scan reads an extra
+    column (wide-key probe measured 1.13× slower hashed). HASHED wins
+    at ingest (bucketed build 1.6× faster — the write sorts fixed-width
+    hashes, not wide strings) and when the probe side exceeds broadcast
+    scale, where the 8-byte key narrows a real shuffle.
     """
     # An in-memory catalog forgets managed tables across sessions but
     # their warehouse directory survives, and saveAsTable then refuses

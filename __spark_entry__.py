@@ -220,6 +220,40 @@ def _search_batch(
     return tables
 
 
+def _search_incremental_floored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated proof of FLOORED index maintenance: the lake-wide
+    ``min_key_freq`` floor survives appends exactly. Build the
+    index+residual store (``write_floored_index``) from every wide-lake
+    table except ``documents``, land ``documents`` via
+    ``append_floored_index`` — keys crossing the floor move from the
+    residual store into the index, sub-floor keys stay residual, and
+    only the residual hash-buckets the new keys touch are rewritten —
+    then run the lake-wide probe against the maintained index. Oracle =
+    the full floored rebuild (identical to ``mjs_search_freq_floor``):
+    maintenance must be invisible to queries. This closes the gap
+    ``append_posting_index`` documents (a plain append cannot maintain
+    a lake-wide floor because a key may cross it only once tables
+    combine).
+    """
+    import os
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        append_floored_index,
+        write_floored_index,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+
+    base = os.path.join(scratch_dir("majs_floored_gate_"), "store")
+    initial = tuple(s for s in WIDE_LAKE_TABLES if s.name != "documents")
+    docs = tuple(s for s in WIDE_LAKE_TABLES if s.name == "documents")
+    write_floored_index(spark, sf_dir, base, initial, min_key_freq=2)
+    append_floored_index(spark, sf_dir, base, docs, min_key_freq=2)
+    postings = spark.read.parquet(f"{base}/index")
+    query_df = load_table(spark, "documents", sf_dir)
+    tbl, _ = multi_attribute_join_search(postings, query_df, ["lang", "source"])
+    return tbl
+
+
 SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_posting_index": QuerySpec(
         lambda spark, sf: cached_posting_index(spark, sf), posting_index_sql()
@@ -317,6 +351,18 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     # change is value-checked, not hand-waved.
     "mjs_search_freq_floor": QuerySpec(
         lambda spark, sf: _search_floor(spark, sf),
+        join_search_sql(
+            posting_index_sql(WIDE_LAKE_TABLES, min_key_freq=2),
+            "documents",
+            ["lang", "source"],
+            result="tables",
+        ),
+    ),
+    # Floored-index MAINTENANCE: append a table to the index+residual
+    # store and keep the lake-wide floor exact (keys cross the floor as
+    # tables combine). Oracle = full floored rebuild.
+    "mjs_index_incremental_floored": QuerySpec(
+        _search_incremental_floored,
         join_search_sql(
             posting_index_sql(WIDE_LAKE_TABLES, min_key_freq=2),
             "documents",

@@ -291,12 +291,162 @@ def append_posting_index(
     below the floor in the new table alone may cross it once combined
     with the existing index (and vice versa). Applying the floor
     per-append would silently diverge from the rebuild semantics the
-    incremental gate (``mjs_index_incremental``) proves; a floored
-    index maintains the floor by periodic rebuild or by keeping the
-    key-frequency table alongside (a design for the warehouse tier,
-    not this fixture).
+    incremental gate (``mjs_index_incremental``) proves. For a floored
+    index that MUST stay floored under appends, use
+    :func:`write_floored_index` + :func:`append_floored_index` — the
+    index+residual store that keeps the sub-floor postings as
+    bookkeeping and moves keys across exactly when their lake-wide
+    frequency crosses the floor (gated by
+    ``mjs_index_incremental_floored``).
     """
     build_posting_index(spark, sf_dir, specs).write.mode("append").parquet(index_dir)
+
+
+def write_floored_index(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    specs: tuple[TableSpec, ...],
+    min_key_freq: int,
+    residual_buckets: int = 32,
+) -> None:
+    """The append-maintainable form of the frequency-floored index.
+
+    ``build_posting_index(..., min_key_freq=N)`` applies a LAKE-WIDE
+    floor, which a plain :func:`append_posting_index` cannot maintain
+    (the append sees only the new table; a key below the floor in the
+    new table alone may cross it once combined with what the lake
+    already holds). This writer keeps the information the floor needs:
+
+    - ``<base_dir>/index`` — postings of keys at/above the floor (what
+      queries read);
+    - ``<base_dir>/residual`` — postings of keys still below the floor,
+      hash-partitioned into ``residual_buckets`` directories by
+      ``kb = pmod(xxhash64(key), B)`` so an append rewrites only the
+      buckets its keys hash to (dynamic partition overwrite), never the
+      whole store.
+
+    Invariant: every key's postings live wholly in ``index`` (lake-wide
+    freq >= N) or wholly in ``residual`` (freq < N); their union is the
+    unfloored index. The residual is the floor's bookkeeping, bounded by
+    the sub-floor slice (at sf0.1×10 measured 15 % of postings —
+    exactly the singleton free-text cells the floor exists to keep out
+    of the probe path).
+    """
+    from pyspark.sql import Window
+
+    raw = build_posting_index(spark, sf_dir, specs)
+    tagged = raw.withColumn(
+        "_f", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    )
+    tagged.filter(F.col("_f") >= min_key_freq).drop("_f").write.mode(
+        "error"
+    ).parquet(f"{base_dir}/index")
+    (
+        tagged.filter(F.col("_f") < min_key_freq)
+        .drop("_f")
+        .withColumn("kb", F.pmod(F.xxhash64("key"), F.lit(residual_buckets)))
+        .write.partitionBy("kb")
+        .mode("error")
+        .parquet(f"{base_dir}/residual")
+    )
+
+
+def append_floored_index(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    new_specs: tuple[TableSpec, ...],
+    min_key_freq: int,
+    residual_buckets: int = 32,
+) -> None:
+    """Extend a :func:`write_floored_index` store with newly-landed
+    tables while maintaining the lake-wide frequency floor EXACTLY —
+    the maintained ``index`` equals a full floored rebuild (gated by
+    ``mjs_index_incremental_floored`` and
+    ``tests/test_floored_index.py``).
+
+    Work is bounded by O(new postings + residual postings of touched
+    buckets + one pruned probe of the index's key set) — the existing
+    index is appended to, never rewritten, and the residual store is
+    rewritten only in the hash buckets the new keys touch (dynamic
+    partition overwrite). Cases per new key:
+
+    - already in ``index`` (lake freq was >= N): its new postings
+      append directly — the floor can only hold harder;
+    - else, combine the new postings with the key's residual rows: at
+      >= N the key CROSSES — all its postings move to ``index`` and
+      leave ``residual``; below N it stays residual.
+    """
+    from pyspark.sql import Window
+
+    index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
+    new_p = truncate_lineage(build_posting_index(spark, sf_dir, new_specs))
+    index = spark.read.parquet(index_dir)
+    try:
+        residual = spark.read.parquet(residual_dir)
+        if "kb" not in residual.columns:
+            raise ValueError("no partition dirs")
+    except Exception:
+        # an all-above-floor initial build writes an empty residual
+        # (no kb= partition dirs): treat as the empty store
+        residual = (
+            spark.createDataFrame([], new_p.schema)
+            .withColumn("kb", F.lit(0).cast("bigint"))
+        )
+    touched = new_p.select("key").distinct()
+
+    # keys already at/above the floor: one broadcast-semi probe of the
+    # index's key set (bucket/partition-pruned on a bucketed layout)
+    idx_keys = (
+        index.join(F.broadcast(touched), "key", "left_semi").select("key").distinct()
+    )
+    idx_keys = truncate_lineage(idx_keys)
+    new_to_index = new_p.join(F.broadcast(idx_keys), "key", "left_semi")
+    new_rest = new_p.join(F.broadcast(idx_keys), "key", "left_anti")
+
+    # candidates: the new sub-probe postings plus the touched keys'
+    # residual rows — lake-wide frequency for these keys is exactly
+    # count(candidates) by the store invariant
+    res_touched = residual.join(F.broadcast(touched), "key", "left_semi").select(
+        *new_p.columns
+    )
+    cands = new_rest.unionByName(res_touched).withColumn(
+        "_f", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    )
+    crossing = cands.filter(F.col("_f") >= min_key_freq).drop("_f")
+    staying = cands.filter(F.col("_f") < min_key_freq).drop("_f")
+
+    new_to_index.unionByName(crossing).write.mode("append").parquet(index_dir)
+
+    # rewrite ONLY the residual buckets the touched keys hash to; rows
+    # of untouched keys sharing those buckets are carried over. The
+    # rewrite set is staged BEFORE deleting the old buckets (the plan
+    # reads them lazily), and the touched buckets are deleted
+    # explicitly rather than via dynamic partition overwrite — dynamic
+    # mode only replaces partitions PRESENT in the output, so a bucket
+    # whose every key crossed the floor (empty output) would keep its
+    # stale rows and break the index/residual disjointness invariant.
+    touched_kb = touched.select(
+        F.pmod(F.xxhash64("key"), F.lit(residual_buckets)).alias("kb")
+    ).distinct()
+    keep = (
+        residual.join(F.broadcast(touched_kb), "kb", "left_semi")
+        .join(F.broadcast(touched), "key", "left_anti")
+        .select(*new_p.columns)
+    )
+    rewrite = truncate_lineage(
+        keep.unionByName(staying).withColumn(
+            "kb", F.pmod(F.xxhash64("key"), F.lit(residual_buckets))
+        )
+    )
+    kb_list = [r["kb"] for r in touched_kb.collect()]  # bounded by B buckets
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for kb in kb_list:
+        p = jvm.org.apache.hadoop.fs.Path(f"{residual_dir}/kb={kb}")
+        p.getFileSystem(hconf).delete(p, True)
+    rewrite.write.partitionBy("kb").mode("append").parquet(residual_dir)
 
 
 def posting_index_sql(

@@ -1,0 +1,132 @@
+"""Floored-index maintenance: write_floored_index + append_floored_index
+maintain a lake-wide ``min_key_freq`` floor EXACTLY under appends — the
+design `append_posting_index` documents as impossible for the plain
+append path (the floor is a lake-wide predicate; an append sees only
+the new table). The store invariant under test: every key's postings
+live wholly in index (freq >= N) or wholly in residual (freq < N), and
+index == full floored rebuild after any append sequence."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from multi_attribute_join_search_with_mapreduce_spark.index import (
+    LAKE_TABLES,
+    WIDE_LAKE_TABLES,
+    append_floored_index,
+    build_posting_index,
+    write_floored_index,
+)
+from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+
+FLOOR = 2
+
+
+def _assert_same_rows(got, want):
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_floored_append_equals_full_rebuild(spark, sf_dir):
+    """Append `documents` to a floored store built without it: the
+    maintained index must equal the full floored rebuild, and the
+    residual must be exactly the sub-floor remainder."""
+    base = os.path.join(scratch_dir("majs_floored_"), "store")
+    initial = tuple(s for s in WIDE_LAKE_TABLES if s.name != "documents")
+    write_floored_index(spark, sf_dir, base, initial, FLOOR)
+    append_floored_index(
+        spark,
+        sf_dir,
+        base,
+        tuple(s for s in WIDE_LAKE_TABLES if s.name == "documents"),
+        FLOOR,
+    )
+    got = spark.read.parquet(f"{base}/index")
+    want = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES, min_key_freq=FLOOR)
+    _assert_same_rows(got, want)
+    # residual = unfloored minus floored; index/residual keys disjoint
+    residual = spark.read.parquet(f"{base}/residual").drop("kb")
+    unfloored = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES)
+    _assert_same_rows(got.unionByName(residual), unfloored)
+    assert (
+        got.select("key").join(residual.select("key"), "key", "left_semi").count()
+        == 0
+    )
+
+
+def test_floor_crossing_across_appends(spark, sf_dir):
+    """Two successive appends: a key below the floor in the store and
+    below it in each new table alone must still cross once the combined
+    lake-wide frequency reaches the floor. Verified by full-rebuild
+    equality after EACH append (the second append exercises
+    residual-combine, not just fresh keys)."""
+    base = os.path.join(scratch_dir("majs_floored2_"), "store")
+    dims = tuple(s for s in WIDE_LAKE_TABLES if s.name not in ("events", "documents"))
+    events = tuple(s for s in WIDE_LAKE_TABLES if s.name == "events")
+    docs = tuple(s for s in WIDE_LAKE_TABLES if s.name == "documents")
+    write_floored_index(spark, sf_dir, base, dims, FLOOR)
+    append_floored_index(spark, sf_dir, base, events, FLOOR)
+    _assert_same_rows(
+        spark.read.parquet(f"{base}/index"),
+        build_posting_index(spark, sf_dir, dims + events, min_key_freq=FLOOR),
+    )
+    append_floored_index(spark, sf_dir, base, docs, FLOOR)
+    _assert_same_rows(
+        spark.read.parquet(f"{base}/index"),
+        build_posting_index(
+            spark, sf_dir, dims + events + docs, min_key_freq=FLOOR
+        ),
+    )
+
+
+def test_residual_rewrite_touches_only_new_key_buckets(spark, sf_dir):
+    """The append's residual rewrite must be partition-pruned: buckets
+    none of the new keys hash to keep their files byte-identical (same
+    names/sizes/mtimes). Appending `nation` (25 keys) against 64
+    buckets leaves most buckets untouched."""
+    buckets = 64
+    base = os.path.join(scratch_dir("majs_floored3_"), "store")
+    initial = tuple(s for s in LAKE_TABLES if s.name != "nation")
+    nation = tuple(s for s in LAKE_TABLES if s.name == "nation")
+    write_floored_index(
+        spark, sf_dir, base, initial, FLOOR, residual_buckets=buckets
+    )
+
+    def snapshot():
+        out = {}
+        root = f"{base}/residual"
+        for d in os.listdir(root):
+            if not d.startswith("kb="):
+                continue
+            sub = os.path.join(root, d)
+            out[d] = sorted(
+                (f, os.path.getsize(os.path.join(sub, f)),
+                 os.path.getmtime(os.path.join(sub, f)))
+                for f in os.listdir(sub)
+                if not f.startswith(("_", "."))
+            )
+        return out
+
+    before = snapshot()
+    append_floored_index(
+        spark, sf_dir, base, nation, FLOOR, residual_buckets=buckets
+    )
+    after = snapshot()
+    touched = {
+        f"kb={r['kb']}"
+        for r in build_posting_index(spark, sf_dir, nation)
+        .select(F.pmod(F.xxhash64("key"), F.lit(buckets)).alias("kb"))
+        .distinct()
+        .collect()
+    }
+    untouched_before = {d: v for d, v in before.items() if d not in touched}
+    assert untouched_before, "test needs untouched buckets to be meaningful"
+    for d, v in untouched_before.items():
+        assert after.get(d) == v, f"untouched residual bucket {d} was rewritten"
+    # and the maintained index is still exact
+    _assert_same_rows(
+        spark.read.parquet(f"{base}/index"),
+        build_posting_index(spark, sf_dir, LAKE_TABLES, min_key_freq=FLOOR),
+    )

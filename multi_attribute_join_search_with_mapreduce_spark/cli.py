@@ -11,7 +11,8 @@ Here::
         [--rows N] [--cores N] [--strategy dataframe|sql] \
         [--plan rare_key|mapkey] \
         [--sf-dir /root/testdata/sf0.01] [--k 20] \
-        [--write-index DIR | --read-index DIR]
+        [--write-index DIR | --read-index DIR] \
+        [--floored-store DIR [--append-tables t1,t2] [--min-key-freq N]]
 
 Flag parity notes:
 
@@ -112,6 +113,27 @@ def build_parser() -> argparse.ArgumentParser:
         "Par_Search.py:92-99); must be the same query/attrs",
     )
     p.add_argument(
+        "--floored-store",
+        metavar="DIR",
+        help="search against a floored index+residual store "
+        "(write_floored_index layout); created from the whole wide lake "
+        "minus --append-tables if DIR/index does not exist yet",
+    )
+    p.add_argument(
+        "--min-key-freq",
+        type=_positive_int,
+        default=2,
+        help="lake-wide key-frequency floor for --floored-store (default 2)",
+    )
+    p.add_argument(
+        "--append-tables",
+        metavar="NAMES",
+        help="comma-separated wide-lake table names to land into "
+        "--floored-store before searching (append_floored_index: keys "
+        "cross the floor as tables combine; only touched residual "
+        "buckets are rewritten)",
+    )
+    p.add_argument(
         "--explain",
         action="store_true",
         help="print the formatted physical plan of the table-scores query "
@@ -192,7 +214,62 @@ def main(argv: list[str] | None = None) -> int:
         multi_attribute_join_search,
     )
 
-    if args.read_index:
+    if args.append_tables and not args.floored_store:
+        print("error: --append-tables requires --floored-store", file=sys.stderr)
+        return 2
+    if args.floored_store and (args.read_index or args.write_index):
+        print(
+            "error: --floored-store is its own index source; "
+            "combining it with --read-index/--write-index is ambiguous",
+            file=sys.stderr,
+        )
+        return 2
+    if args.floored_store and (args.strategy == "sql" or args.read_probed):
+        print(
+            "error: --floored-store supports the dataframe strategy "
+            "without --read-probed (those paths build/replay their own "
+            "index and would silently ignore the store)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.floored_store:
+        import os as _os
+
+        from multi_attribute_join_search_with_mapreduce_spark.index import (
+            WIDE_LAKE_TABLES,
+            append_floored_index,
+            write_floored_index,
+        )
+
+        to_append = [
+            t.strip() for t in (args.append_tables or "").split(",") if t.strip()
+        ]
+        known = {s.name for s in WIDE_LAKE_TABLES}
+        unknown = sorted(set(to_append) - known)
+        if unknown:
+            print(
+                f"error: unknown lake tables {unknown}; "
+                f"wide lake has {sorted(known)}",
+                file=sys.stderr,
+            )
+            return 2
+        if not _os.path.isdir(_os.path.join(args.floored_store, "index")):
+            initial = tuple(
+                s for s in WIDE_LAKE_TABLES if s.name not in set(to_append)
+            )
+            write_floored_index(
+                spark, sf_dir, args.floored_store, initial, args.min_key_freq
+            )
+        if to_append:
+            append_floored_index(
+                spark,
+                sf_dir,
+                args.floored_store,
+                tuple(s for s in WIDE_LAKE_TABLES if s.name in set(to_append)),
+                args.min_key_freq,
+            )
+        postings = spark.read.parquet(_os.path.join(args.floored_store, "index"))
+    elif args.read_index:
         postings = spark.read.parquet(args.read_index)
     else:
         postings = cached_posting_index(spark, sf_dir)

@@ -101,6 +101,70 @@ def test_cli_index_roundtrip(spark, capsys, query_csv, tmp_path):
     assert out2 == out
 
 
+def test_cli_floored_store_build_append_search(spark, capsys, tmp_path):
+    """--floored-store + --append-tables: build the store without
+    `documents`, land it via the append, search against the maintained
+    index — results must equal a search over the full floored rebuild
+    (the mjs_search_freq_floor semantics reached from the shell)."""
+    store = str(tmp_path / "floored_store")
+    rc, out = _run(
+        capsys,
+        ["--query-table", "documents", "--attrs", "lang,source",
+         "--sf-dir", SF001, "--floored-store", store,
+         "--append-tables", "documents", "--min-key-freq", "2"],
+    )
+    assert rc == 0
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        WIDE_LAKE_TABLES,
+        build_posting_index,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+        multi_attribute_join_search,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    idx = build_posting_index(spark, SF001, WIDE_LAKE_TABLES, min_key_freq=2)
+    docs = load_table(spark, "documents", SF001)
+    tables, _ = multi_attribute_join_search(idx, docs, ["lang", "source"])
+    for r in tables.collect():
+        assert f"table={r['table']}\tjoin_score={r['join_score']}" in out
+    # second invocation reuses the existing store (no rebuild/append)
+    rc2, out2 = _run(
+        capsys,
+        ["--query-table", "documents", "--attrs", "lang,source",
+         "--sf-dir", SF001, "--floored-store", store],
+    )
+    assert rc2 == 0 and out2 == out
+
+
+def test_cli_floored_store_flag_conflicts(spark, capsys, tmp_path, query_csv):
+    store = str(tmp_path / "fs")
+    rc, _ = _run(
+        capsys,
+        ["--query-table", "part", "--attrs", "p_brand", "--sf-dir", SF001,
+         "--append-tables", "part"],
+    )
+    assert rc == 2  # --append-tables without --floored-store
+    rc, _ = _run(
+        capsys,
+        ["--query-table", "part", "--attrs", "p_brand", "--sf-dir", SF001,
+         "--floored-store", store, "--read-index", str(tmp_path / "i")],
+    )
+    assert rc == 2
+    rc, _ = _run(
+        capsys,
+        ["--query-table", "part", "--attrs", "p_brand", "--sf-dir", SF001,
+         "--floored-store", store, "--strategy", "sql"],
+    )
+    assert rc == 2
+    rc, _ = _run(
+        capsys,
+        ["--query-table", "part", "--attrs", "p_brand", "--sf-dir", SF001,
+         "--floored-store", store, "--append-tables", "nope"],
+    )
+    assert rc == 2
+
+
 def test_read_csv_source_url(spark, query_csv, capsys):
     """The reference's actual entry is an HTTP-fetched movie.csv
     (Par_Search.py:145-148); file:// and http:// URLs must both read."""

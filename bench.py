@@ -16,6 +16,18 @@ and ``bench_queries.json`` every run.
 ``regressions`` compares this run to ``BENCH_BASELINE.json`` (last
 known-good per-query timings) and lists queries >1.5x slower; empty in
 the happy case.
+
+``calib`` is the host-noise index, measured before and after the sweep,
+best-of-3 each: ``cpu`` = a single-stage CPU burn (bit_xor of xxhash64
+over a 200M range; quiet reference ~0.10-0.35s on this host, r9) and
+``shuffle`` = a two-stage groupBy job exercising the scheduler/shuffle
+path (quiet reference ~0.37-0.6s, bursts >0.85s, measured r9), plus
+``steal_pct`` — the /proc/stat CPU-steal fraction integrated over the
+whole sweep (cumulative counters, so mid-run bursts that endpoint-
+sampled calib jobs miss are captured; r9 measured a 247s/19-flag run
+whose calib endpoints were all quiet). Read the three together: high
+steal_pct or inflated calib = host epoch; all quiet + flags = look at
+the code.
 """
 
 from __future__ import annotations
@@ -59,6 +71,55 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
     print(f"# warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+
+    # Host-noise index: a fixed CPU-bound calibration job (data-
+    # independent, plan-independent), timed best-of-3 before and after
+    # the query sweep. Identical code across rounds, so the ratio of a
+    # run's calib to another's measures HOST epoch speed directly —
+    # r7/r8 spent two verdict cycles attributing a 216.8s-vs-160.6s
+    # headline to epoch inflation via A/B archaeology; this number
+    # settles such questions in one field. Quiet-epoch reference value
+    # on this host: ~0.23-0.35s (measured r9).
+    def _calibrate() -> dict:
+        cpu = shuf = float("inf")
+        for _ in range(3):
+            t = time.perf_counter()
+            # bit_xor, not sum: 200M xxhash64 values overflow BIGINT
+            # under ANSI mode (Spark 4 default)
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "bit_xor(xxhash64(id)) AS s"
+            ).collect()
+            cpu = min(cpu, time.perf_counter() - t)
+            # two-stage shuffle job: the r9 noisy-epoch runs inflated
+            # every multi-stage query 1.2-3.5x while the single-stage
+            # burn above stayed quiet — the burst lives in the
+            # scheduler/shuffle/IO path, so calibrate that path too
+            t = time.perf_counter()
+            spark.range(0, 20_000_000, 1, 32).selectExpr(
+                "id % 10007 AS k", "id"
+            ).groupBy("k").count().selectExpr(
+                "bit_xor(xxhash64(k, count)) AS s"
+            ).collect()
+            shuf = min(shuf, time.perf_counter() - t)
+        return {"cpu": round(cpu, 4), "shuffle": round(shuf, 4)}
+
+    def _cpu_jiffies() -> tuple[int, int]:
+        """(steal, total) jiffies from /proc/stat — cumulative counters,
+        so the delta over the sweep integrates EVERY burst, unlike the
+        endpoint-sampled calib jobs (r9 measured a 247s run with 19
+        flagged queries while both calib endpoints were quiet: the
+        bursts hit mid-run)."""
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            return vals[7] if len(vals) > 7 else 0, sum(vals)
+        except Exception:
+            return 0, 0
+
+    calib_start = _calibrate()
+    steal0, total0 = _cpu_jiffies()
+    print(f"# calibration (pre): {calib_start}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -160,6 +221,15 @@ def main() -> None:
     # regressions (capped) + totals fits with margin; the FULL per-query
     # map lives in bench_result.json / bench_queries.json, written above
     # and below, which survive any consumer-side capture limit.
+    calib_end = _calibrate()
+    steal1, total1 = _cpu_jiffies()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        if total1 > total0
+        else None
+    )
+    print(f"# calibration (post): {calib_end} steal_pct={steal_pct}", file=sys.stderr)
+
     by_cost = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     full_doc = {
         "metric": "total_query_seconds",
@@ -171,6 +241,7 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": reps,
         "sf": sf,
+        "calib": {"pre": calib_start, "post": calib_end, "steal_pct": steal_pct},
     }
     with open(os.path.join(repo_dir, "bench_result.json"), "w") as f:
         f.write(json.dumps(full_doc) + "\n")

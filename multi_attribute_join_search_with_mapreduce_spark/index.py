@@ -377,6 +377,10 @@ def append_floored_index(
     - else, combine the new postings with the key's residual rows: at
       >= N the key CROSSES — all its postings move to ``index`` and
       leave ``residual``; below N it stays residual.
+
+    Callers own spec disjointness (same contract as
+    :func:`append_posting_index`): appending a table id already present
+    in the store would double-count its postings toward the floor.
     """
     from pyspark.sql import Window
 

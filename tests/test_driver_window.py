@@ -48,6 +48,33 @@ def test_windows_are_per_round_and_monotonic():
     assert len(rounds) == len(set(rounds))
 
 
+def test_make_window_composes_a_valid_next_window():
+    """tools/make_window.py (dry run): exactly 50 unique registry
+    names; never-sampled queries lead; stale queries all present when
+    they fit the budget (they do in any healthy round)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_window
+
+    names, meta = make_window.compose(list(entry_mod.registry()))
+    assert len(names) == 50 and len(set(names)) == 50
+    reg = set(entry_mod.registry())
+    assert set(names) <= reg
+    # never-sampled lead (after reds, absent in a healthy repo)
+    n_red, n_never = meta["n_red"], meta["n_never"]
+    if n_red == 0 and n_never:
+        import glob as _glob
+        import json as _json
+
+        sampled = set()
+        for path in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+            with open(path) as fh:
+                sampled |= set(_json.load(fh))
+        lead = names[: min(n_never, 50)]
+        assert all(n not in sampled for n in lead)
+
+
 def test_no_query_staler_than_5_rounds_without_rotation():
     """VERDICT r8 task #6: the rotation invariant, enforced in-suite.
 

@@ -309,6 +309,7 @@ def write_floored_index(
     specs: tuple[TableSpec, ...],
     min_key_freq: int,
     residual_buckets: int = 32,
+    hashed_keys: bool = False,
 ) -> None:
     """The append-maintainable form of the frequency-floored index.
 
@@ -332,6 +333,13 @@ def write_floored_index(
     the sub-floor slice (at sf0.1×10 measured 15 % of postings —
     exactly the singleton free-text cells the floor exists to keep out
     of the probe path).
+
+    ``hashed_keys=True`` gives the QUERYABLE index half the fixed-width
+    layout (``key_h = xxhash64(key)`` alongside the raw key; the search
+    probes on the hash automatically) — coherent here because the
+    floored store is the ingest-bound form, exactly where the hashed
+    layout measured ahead (SCALE.md §Round-9). The residual half stays
+    plain: it is append-time bookkeeping probed by raw key only.
     """
     from pyspark.sql import Window
 
@@ -339,9 +347,10 @@ def write_floored_index(
     tagged = raw.withColumn(
         "_f", F.count(F.lit(1)).over(Window.partitionBy("key"))
     )
-    tagged.filter(F.col("_f") >= min_key_freq).drop("_f").write.mode(
-        "error"
-    ).parquet(f"{base_dir}/index")
+    above = tagged.filter(F.col("_f") >= min_key_freq).drop("_f")
+    if hashed_keys:
+        above = above.withColumn("key_h", F.xxhash64("key"))
+    above.write.mode("error").parquet(f"{base_dir}/index")
     (
         tagged.filter(F.col("_f") < min_key_freq)
         .drop("_f")
@@ -386,7 +395,15 @@ def append_floored_index(
 
     index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
     new_p = truncate_lineage(build_posting_index(spark, sf_dir, new_specs))
-    index = spark.read.parquet(index_dir)
+    try:
+        index = spark.read.parquet(index_dir)
+    except Exception:
+        # an initial build where EVERY key sat below the floor writes a
+        # row-less index (schema uninferable); treat as the empty index.
+        # (A hashed_keys store that starts empty continues plain — the
+        # layout marker is the key_h column, and there are no rows to
+        # carry it.)
+        index = spark.createDataFrame([], new_p.schema)
     try:
         residual = spark.read.parquet(residual_dir)
         if "kb" not in residual.columns:
@@ -421,7 +438,10 @@ def append_floored_index(
     crossing = cands.filter(F.col("_f") >= min_key_freq).drop("_f")
     staying = cands.filter(F.col("_f") < min_key_freq).drop("_f")
 
-    new_to_index.unionByName(crossing).write.mode("append").parquet(index_dir)
+    to_index = new_to_index.unionByName(crossing)
+    if "key_h" in index.columns:  # hashed-layout store: keep it uniform
+        to_index = to_index.withColumn("key_h", F.xxhash64("key"))
+    to_index.write.mode("append").parquet(index_dir)
 
     # rewrite ONLY the residual buckets the touched keys hash to; rows
     # of untouched keys sharing those buckets are carried over. The

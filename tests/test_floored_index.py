@@ -81,6 +81,90 @@ def test_floor_crossing_across_appends(spark, sf_dir):
     )
 
 
+def test_floored_append_randomized_lakes_equal_rebuild(spark):
+    """Seeded randomized lakes: small alphabets force cross-table
+    frequency composition (keys sitting exactly at the floor, crossing
+    only via an append, empties/nulls dropped at build). After EVERY
+    append in a multi-append sequence the maintained index must equal
+    the full floored rebuild over the tables landed so far."""
+    import random
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import TableSpec
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        alphabet = ["a", "b", "c", "d", "e", "f", "", None]
+        lake = os.path.join(scratch_dir("majs_floored_rand_"), "lake")
+        os.makedirs(lake)
+        specs = []
+        for t in range(3):
+            n_cols = rng.choice([1, 2])
+            cols = [f"s{c}" for c in range(n_cols)]
+            rows = [
+                tuple([i] + [rng.choice(alphabet) for _ in cols])
+                for i in range(rng.randint(3, 12))
+            ]
+            df = spark.createDataFrame(rows, ["pk"] + cols)
+            df.write.parquet(f"{lake}/t{t}.parquet")
+            specs.append(TableSpec(f"t{t}", t + 1, "pk", tuple(cols)))
+        floor = rng.choice([2, 3])
+        base = os.path.join(scratch_dir("majs_floored_rand_"), "store")
+        write_floored_index(spark, lake, base, (specs[0],), floor,
+                            residual_buckets=8)
+        landed = [specs[0]]
+        for s in specs[1:]:
+            append_floored_index(spark, lake, base, (s,), floor,
+                                 residual_buckets=8)
+            landed.append(s)
+            want = build_posting_index(
+                spark, lake, tuple(landed), min_key_freq=floor
+            )
+            try:
+                got = spark.read.parquet(f"{base}/index")
+            except Exception:  # still-empty index dir: schema uninferable
+                got = spark.createDataFrame([], want.schema)
+            assert got.exceptAll(want).count() == 0, f"seed={seed}"
+            assert want.exceptAll(got).count() == 0, f"seed={seed}"
+            unfloored = build_posting_index(spark, lake, tuple(landed))
+            try:
+                residual = spark.read.parquet(f"{base}/residual").drop("kb")
+            except Exception:  # empty residual dir
+                residual = spark.createDataFrame([], unfloored.schema)
+            union = got.unionByName(residual)
+            assert union.exceptAll(unfloored).count() == 0, f"seed={seed}"
+            assert unfloored.exceptAll(union).count() == 0, f"seed={seed}"
+
+
+def test_floored_store_hashed_layout(spark, sf_dir):
+    """hashed_keys=True on the floored store: the index half carries
+    key_h (searches probe on the hash automatically), appends keep the
+    layout uniform, and the maintained index equals the plain rebuild
+    on the raw columns."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.search import (
+        multi_attribute_join_search,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    base = os.path.join(scratch_dir("majs_floored_h_"), "store")
+    initial = tuple(s for s in WIDE_LAKE_TABLES if s.name != "documents")
+    docs_spec = tuple(s for s in WIDE_LAKE_TABLES if s.name == "documents")
+    write_floored_index(spark, sf_dir, base, initial, FLOOR, hashed_keys=True)
+    append_floored_index(spark, sf_dir, base, docs_spec, FLOOR)
+    got = spark.read.parquet(f"{base}/index")
+    assert "key_h" in got.columns
+    # layout uniform: every row carries its hash, appended rows included
+    assert got.filter(F.col("key_h") != F.xxhash64("key")).count() == 0
+    want = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES, min_key_freq=FLOOR)
+    _assert_same_rows(got.drop("key_h"), want)
+    # search over the hashed floored store equals the plain-store search
+    docs = load_table(spark, "documents", sf_dir)
+    t_hashed, _ = multi_attribute_join_search(got, docs, ["lang", "source"])
+    t_plain, _ = multi_attribute_join_search(want, docs, ["lang", "source"])
+    assert {(r.table, r.join_score) for r in t_hashed.collect()} == {
+        (r.table, r.join_score) for r in t_plain.collect()
+    }
+
+
 def test_residual_rewrite_touches_only_new_key_buckets(spark, sf_dir):
     """The append's residual rewrite must be partition-pruned: buckets
     none of the new keys hash to keep their files byte-identical (same

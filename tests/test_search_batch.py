@@ -125,6 +125,38 @@ def test_top_n_rejects_nonpositive(spark, sf_dir):
             join_search_sql("SELECT 1", "part", ATTRS2, top_n=bad)
 
 
+def test_batch_randomized_specs_equal_single_queries(spark, sf_dir):
+    """Seeded randomized batches: random query tables, random attribute
+    subsets (order-sensitive — MapKey construction depends on it), and
+    random per-entry top_n (None = Par default) must each equal the
+    single-query search at that entry's own dialect."""
+    import random
+
+    pools = {
+        "part": ["p_name", "p_brand", "p_type"],
+        "customer": ["c_name", "c_mktsegment"],
+        "nation": ["n_name"],
+        "supplier": ["s_name"],
+    }
+    postings = cached_posting_index(spark, sf_dir)
+    dfs = {t: load_table(spark, t, sf_dir) for t in pools}
+    for seed in range(3):
+        rng = random.Random(seed)
+        batch = []
+        for i in range(3):
+            tbl = rng.choice(list(pools))
+            attrs = rng.sample(pools[tbl], rng.randint(1, len(pools[tbl])))
+            top_n = rng.choice([None, 1, 2, 3])
+            batch.append((f"q{i}", dfs[tbl], attrs, top_n))
+        tables, _ = multi_attribute_join_search_batch(postings, batch)
+        got = {(r.qid, r.table, r.join_score) for r in tables.collect()}
+        want = set()
+        for qid, df, attrs, top_n in batch:
+            t, _ = multi_attribute_join_search(postings, df, attrs, top_n=top_n)
+            want |= {(qid, r.table, r.join_score) for r in t.collect()}
+        assert got == want, f"seed={seed} batch={[(b[0], b[2], b[3]) for b in batch]}"
+
+
 def test_sql_surface_top_n_matches_dataframe(spark, sf_dir):
     """The SQL entry point's top_n hook computes the same Seq-dialect
     scores as the DataFrame API."""

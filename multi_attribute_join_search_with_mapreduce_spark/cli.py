@@ -253,6 +253,8 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        from multi_attribute_join_search_with_mapreduce_spark.index import read_store_meta
+
         if not _os.path.isdir(_os.path.join(args.floored_store, "index")):
             initial = tuple(
                 s for s in WIDE_LAKE_TABLES if s.name not in set(to_append)
@@ -260,12 +262,39 @@ def main(argv: list[str] | None = None) -> int:
             write_floored_index(
                 spark, sf_dir, args.floored_store, initial, args.min_key_freq
             )
-        if to_append:
+        else:
+            # Existing store: its own metadata is authoritative. A
+            # conflicting --min-key-freq would silently search under a
+            # different floor than the store was built with — reject.
+            meta = read_store_meta(spark, args.floored_store)
+            if meta is not None and meta["min_key_freq"] != args.min_key_freq:
+                print(
+                    f"error: store {args.floored_store} was written with "
+                    f"--min-key-freq {meta['min_key_freq']}; got "
+                    f"{args.min_key_freq}",
+                    file=sys.stderr,
+                )
+                return 2
+        # Idempotent appends (ADVICE r9): tables already landed in the
+        # store's metadata log are skipped with a notice, so re-running
+        # the identical command cannot double-count postings.
+        meta = read_store_meta(spark, args.floored_store)
+        landed = (
+            {n for n, _tid in meta["landed_tables"]} if meta is not None else set()
+        )
+        skipped = sorted(set(to_append) & landed)
+        if skipped:
+            print(
+                f"notice: skipping already-landed tables {skipped}",
+                file=sys.stderr,
+            )
+        remaining = [t for t in to_append if t not in landed]
+        if remaining:
             append_floored_index(
                 spark,
                 sf_dir,
                 args.floored_store,
-                tuple(s for s in WIDE_LAKE_TABLES if s.name in set(to_append)),
+                tuple(s for s in WIDE_LAKE_TABLES if s.name in set(remaining)),
                 args.min_key_freq,
             )
         postings = spark.read.parquet(_os.path.join(args.floored_store, "index"))

@@ -302,6 +302,77 @@ def append_posting_index(
     build_posting_index(spark, sf_dir, specs).write.mode("append").parquet(index_dir)
 
 
+def _store_meta_jpath(spark: SparkSession, base_dir: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(f"{base_dir}/_store_meta.json")
+
+
+def write_store_meta(spark: SparkSession, base_dir: str, meta: dict) -> None:
+    """Persist the floored store's layout parameters + landed-table log
+    as ``<base_dir>/_store_meta.json`` (Hadoop FS API, so the store can
+    live on any filesystem the lake does). Written LAST by
+    :func:`write_floored_index` — the metadata doubles as the build's
+    commit marker: a crash mid-build leaves no metadata and
+    :func:`append_floored_index` refuses the store loudly rather than
+    appending onto a torn half-build."""
+    import json
+
+    p = _store_meta_jpath(spark, base_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta, indent=1, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def read_store_meta(spark: SparkSession, base_dir: str) -> dict | None:
+    """Read a floored store's ``_store_meta.json``; None if absent
+    (a pre-metadata store, or a build that crashed before commit)."""
+    import json
+
+    p = _store_meta_jpath(spark, base_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """``spark.read.parquet`` that treats ONLY path-missing /
+    schema-uninferable (row-less dir) as "no data yet" — corrupt files,
+    transient FS errors, and permission failures re-raise so an append
+    never silently proceeds as if the store were empty while the real
+    rows survive on disk (ADVICE r9)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        cond = ""
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(exc, probe)() or ""
+                break
+            except Exception:
+                continue
+        text = f"{cond} {exc}"
+        if (
+            "PATH_NOT_FOUND" in text
+            or "UNABLE_TO_INFER_SCHEMA" in text
+            or "Path does not exist" in text
+            or "Unable to infer schema" in text
+        ):
+            return None
+        raise
+
+
 def write_floored_index(
     spark: SparkSession,
     sf_dir: str,
@@ -359,6 +430,23 @@ def write_floored_index(
         .mode("error")
         .parquet(f"{base_dir}/residual")
     )
+    # metadata LAST = the build's commit marker (see write_store_meta).
+    # residual_buckets/hashed_keys persist so appends can never run
+    # under a different modulus or layout than the store was written
+    # with (ADVICE r9: a mismatched bucket count would delete the wrong
+    # kb= directories); landed table ids make re-appends detectable.
+    write_store_meta(
+        spark,
+        base_dir,
+        {
+            "min_key_freq": min_key_freq,
+            "residual_buckets": residual_buckets,
+            "hashed_keys": hashed_keys,
+            "landed_tables": sorted(
+                [s.name, s.table_id] for s in specs
+            ),
+        },
+    )
 
 
 def append_floored_index(
@@ -366,8 +454,8 @@ def append_floored_index(
     sf_dir: str,
     base_dir: str,
     new_specs: tuple[TableSpec, ...],
-    min_key_freq: int,
-    residual_buckets: int = 32,
+    min_key_freq: int | None = None,
+    residual_buckets: int | None = None,
 ) -> None:
     """Extend a :func:`write_floored_index` store with newly-landed
     tables while maintaining the lake-wide frequency floor EXACTLY —
@@ -388,27 +476,73 @@ def append_floored_index(
       leave ``residual``; below N it stays residual.
 
     Callers own spec disjointness (same contract as
-    :func:`append_posting_index`): appending a table id already present
-    in the store would double-count its postings toward the floor.
+    :func:`append_posting_index`) and, on a metadata-carrying store,
+    the engine ENFORCES it: a table id/name already in the store's
+    landed log raises instead of silently double-counting its postings
+    toward the floor. Layout parameters (``min_key_freq``,
+    ``residual_buckets``, ``hashed_keys``) are read from the store's
+    own metadata; caller-supplied values are validated against it and
+    a conflict raises — an append under a different bucket modulus
+    would delete the wrong ``kb=`` directories (ADVICE r9). Pass None
+    (the default) to just use the store's parameters. Pre-metadata
+    stores fall back to the caller's values (both then required).
+
+    Partial-failure contract: postings append to ``index`` BEFORE the
+    residual buckets are rewritten, so a crash between the two leaves
+    crossing keys represented in both halves. Queries stay correct
+    (they read only ``index``, which is complete); the stale residual
+    rows are bookkeeping debt that the NEXT append repairs for free —
+    candidate postings are anti-joined against the index's key set
+    below, so a both-halves key is re-filed from its index rows only
+    and the bucket rewrite drops its stale residual rows. The reverse
+    order would instead lose postings on a crash (in neither half),
+    which no later append could detect.
     """
     from pyspark.sql import Window
 
     index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
+    meta = read_store_meta(spark, base_dir)
+    if meta is not None:
+        for name, given in (
+            ("min_key_freq", min_key_freq),
+            ("residual_buckets", residual_buckets),
+        ):
+            if given is not None and given != meta[name]:
+                raise ValueError(
+                    f"append_floored_index: {name}={given} conflicts with "
+                    f"the store's written {name}={meta[name]} ({base_dir})"
+                )
+        min_key_freq = meta["min_key_freq"]
+        residual_buckets = meta["residual_buckets"]
+        landed_ids = {tid for _n, tid in meta["landed_tables"]}
+        landed_names = {n for n, _tid in meta["landed_tables"]}
+        dup = sorted(
+            s.name for s in new_specs
+            if s.table_id in landed_ids or s.name in landed_names
+        )
+        if dup:
+            raise ValueError(
+                f"append_floored_index: tables already landed in the "
+                f"store: {dup} — re-appending would double-count their "
+                f"postings toward the floor ({base_dir})"
+            )
+    else:
+        if min_key_freq is None:
+            raise ValueError(
+                "append_floored_index: store has no _store_meta.json "
+                "(pre-metadata store or torn build); min_key_freq must "
+                "be supplied explicitly"
+            )
+        if residual_buckets is None:
+            residual_buckets = 32
     new_p = truncate_lineage(build_posting_index(spark, sf_dir, new_specs))
-    try:
-        index = spark.read.parquet(index_dir)
-    except Exception:
+    index = _read_parquet_or_none(spark, index_dir)
+    if index is None:
         # an initial build where EVERY key sat below the floor writes a
         # row-less index (schema uninferable); treat as the empty index.
-        # (A hashed_keys store that starts empty continues plain — the
-        # layout marker is the key_h column, and there are no rows to
-        # carry it.)
         index = spark.createDataFrame([], new_p.schema)
-    try:
-        residual = spark.read.parquet(residual_dir)
-        if "kb" not in residual.columns:
-            raise ValueError("no partition dirs")
-    except Exception:
+    residual = _read_parquet_or_none(spark, residual_dir)
+    if residual is None or "kb" not in residual.columns:
         # an all-above-floor initial build writes an empty residual
         # (no kb= partition dirs): treat as the empty store
         residual = (
@@ -428,9 +562,15 @@ def append_floored_index(
 
     # candidates: the new sub-probe postings plus the touched keys'
     # residual rows — lake-wide frequency for these keys is exactly
-    # count(candidates) by the store invariant
-    res_touched = residual.join(F.broadcast(touched), "key", "left_semi").select(
-        *new_p.columns
+    # count(candidates) by the store invariant. The anti-join against
+    # idx_keys is the self-repair path for the partial-failure mode
+    # documented above: a key left in BOTH halves by an interrupted
+    # append contributes its index rows only (no double count), and
+    # the bucket rewrite below drops its stale residual rows.
+    res_touched = (
+        residual.join(F.broadcast(touched), "key", "left_semi")
+        .join(F.broadcast(idx_keys), "key", "left_anti")
+        .select(*new_p.columns)
     )
     cands = new_rest.unionByName(res_touched).withColumn(
         "_f", F.count(F.lit(1)).over(Window.partitionBy("key"))
@@ -439,7 +579,8 @@ def append_floored_index(
     staying = cands.filter(F.col("_f") < min_key_freq).drop("_f")
 
     to_index = new_to_index.unionByName(crossing)
-    if "key_h" in index.columns:  # hashed-layout store: keep it uniform
+    hashed = meta["hashed_keys"] if meta is not None else "key_h" in index.columns
+    if hashed:  # hashed-layout store: keep it uniform
         to_index = to_index.withColumn("key_h", F.xxhash64("key"))
     to_index.write.mode("append").parquet(index_dir)
 
@@ -471,6 +612,11 @@ def append_floored_index(
         p = jvm.org.apache.hadoop.fs.Path(f"{residual_dir}/kb={kb}")
         p.getFileSystem(hconf).delete(p, True)
     rewrite.write.partitionBy("kb").mode("append").parquet(residual_dir)
+    if meta is not None:
+        meta["landed_tables"] = sorted(
+            meta["landed_tables"] + [[s.name, s.table_id] for s in new_specs]
+        )
+        write_store_meta(spark, base_dir, meta)
 
 
 def posting_index_sql(

@@ -41,12 +41,19 @@ def assert_df_equals_duckdb(spark_df, duck_sql, sf_dir, sort_cols=None):
     assert len(a) == len(e), f"row counts differ: {len(a)} vs {len(e)}"
     import pandas as pd
 
+    import numpy as np
+
     # Spark hands back datetime64[ns], DuckDB datetime64[us]; with NaT
     # present assert_frame_equal treats the unit difference as a value
-    # difference — canonicalize units before comparing.
+    # difference — canonicalize units before comparing. Object columns
+    # carry Spark's None vs DuckDB's NaN for the same SQL NULL; pandas
+    # deprecated treating those as equal (FutureWarning today, a hard
+    # mismatch on a future pandas) — canonicalize null-likes to NaN.
     for df_ in (a, e):
         for c in df_.columns:
             if str(df_[c].dtype).startswith("datetime64"):
                 df_[c] = df_[c].astype("datetime64[ns]")
+            elif df_[c].dtype == object:
+                df_[c] = df_[c].where(pd.notna(df_[c]), np.nan)
 
     pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=False, rtol=1e-9)

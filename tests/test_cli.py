@@ -137,6 +137,28 @@ def test_cli_floored_store_build_append_search(spark, capsys, tmp_path):
     assert rc2 == 0 and out2 == out
 
 
+def test_cli_floored_store_append_idempotent(spark, capsys, tmp_path):
+    """Re-running the IDENTICAL --floored-store --append-tables command
+    must not double-count postings (ADVICE r9): the store's landed-table
+    log makes the second append a skip-with-notice, and the scores stay
+    byte-identical."""
+    store = str(tmp_path / "floored_idem")
+    argv = ["--query-table", "documents", "--attrs", "lang,source",
+            "--sf-dir", SF001, "--floored-store", store,
+            "--append-tables", "documents", "--min-key-freq", "2"]
+    rc1 = main(argv)
+    cap1 = capsys.readouterr()
+    rc2 = main(argv)
+    cap2 = capsys.readouterr()
+    assert rc1 == 0 and rc2 == 0
+    assert cap2.out == cap1.out
+    assert "skipping already-landed tables ['documents']" in cap2.err
+    # a conflicting floor against an existing store is rejected loudly
+    rc3 = main(argv[:-1] + ["3"])
+    cap3 = capsys.readouterr()
+    assert rc3 == 2 and "was written with --min-key-freq 2" in cap3.err
+
+
 def test_cli_floored_store_flag_conflicts(spark, capsys, tmp_path, query_csv):
     store = str(tmp_path / "fs")
     rc, _ = _run(

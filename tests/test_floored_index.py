@@ -165,6 +165,142 @@ def test_floored_store_hashed_layout(spark, sf_dir):
     }
 
 
+def test_store_meta_written_validated_and_updated(spark, sf_dir):
+    """The store persists its own layout parameters (_store_meta.json):
+    appends read them back, reject conflicting caller values (a wrong
+    residual_buckets would delete the wrong kb= directories), refuse
+    re-appending an already-landed table (double-counted floor
+    frequencies), and extend the landed log on success."""
+    import pytest
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import read_store_meta
+
+    base = os.path.join(scratch_dir("majs_floored_meta_"), "store")
+    initial = tuple(s for s in WIDE_LAKE_TABLES if s.name not in ("events", "documents"))
+    events = tuple(s for s in WIDE_LAKE_TABLES if s.name == "events")
+    write_floored_index(spark, sf_dir, base, initial, FLOOR, residual_buckets=16)
+    meta = read_store_meta(spark, base)
+    assert meta == {
+        "min_key_freq": FLOOR,
+        "residual_buckets": 16,
+        "hashed_keys": False,
+        "landed_tables": sorted([s.name, s.table_id] for s in initial),
+    }
+    with pytest.raises(ValueError, match="residual_buckets=32 conflicts"):
+        append_floored_index(spark, sf_dir, base, events, FLOOR, residual_buckets=32)
+    with pytest.raises(ValueError, match="min_key_freq=3 conflicts"):
+        append_floored_index(spark, sf_dir, base, events, 3)
+    with pytest.raises(ValueError, match="already landed.*nation"):
+        append_floored_index(
+            spark, sf_dir, base,
+            tuple(s for s in WIDE_LAKE_TABLES if s.name == "nation"),
+        )
+    # parameter-less append: everything comes from the store's metadata
+    append_floored_index(spark, sf_dir, base, events)
+    assert read_store_meta(spark, base)["landed_tables"] == sorted(
+        [s.name, s.table_id] for s in initial + events
+    )
+    _assert_same_rows(
+        spark.read.parquet(f"{base}/index"),
+        build_posting_index(spark, sf_dir, initial + events, min_key_freq=FLOOR),
+    )
+
+
+def test_append_repairs_partial_failure_double_representation(spark, sf_dir):
+    """Partial-failure repair: a key left in BOTH halves by an
+    interrupted append (index append done, residual rewrite not) must
+    not double-count on the next append that touches it — its index
+    rows win and the stale residual rows are dropped by the bucket
+    rewrite. Simulated by re-writing a crossing key's postings back
+    into the residual store after a successful append."""
+    from multi_attribute_join_search_with_mapreduce_spark.index import TableSpec
+
+    lake = os.path.join(scratch_dir("majs_floored_repair_"), "lake")
+    os.makedirs(lake)
+    # t0: "x" above the floor (index), "zz" below (residual)
+    spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "zz")], ["pk", "s0"]
+    ).write.parquet(f"{lake}/t0.parquet")
+    # t1 touches "x" again (the repaired key) and lands a crossing "b"
+    spark.createDataFrame(
+        [(1, "x"), (2, "b"), (3, "b")], ["pk", "s0"]
+    ).write.parquet(f"{lake}/t1.parquet")
+    s0 = TableSpec("t0", 1, "pk", ("s0",))
+    s1 = TableSpec("t1", 2, "pk", ("s0",))
+    base = os.path.join(scratch_dir("majs_floored_repair_"), "store")
+    write_floored_index(spark, lake, base, (s0,), FLOOR)
+    index = spark.read.parquet(f"{base}/index")
+    # stale rows: re-file the index postings of "x" (touched by t1's
+    # append) into the residual store — the exact state an interrupted
+    # append leaves behind.
+    stale = index.filter(F.col("key") == "x")
+    assert stale.count() > 0
+    (
+        stale.withColumn("kb", F.pmod(F.xxhash64("key"), F.lit(32)))
+        .write.partitionBy("kb")
+        .mode("append")
+        .parquet(f"{base}/residual")
+    )
+    append_floored_index(spark, lake, base, (s1,))
+    got = spark.read.parquet(f"{base}/index")
+    want = build_posting_index(spark, lake, (s0, s1), min_key_freq=FLOOR)
+    _assert_same_rows(got, want)
+    # the stale residual rows of touched keys were dropped, not re-filed
+    residual = spark.read.parquet(f"{base}/residual")
+    assert (
+        got.select("key").join(residual.select("key"), "key", "left_semi").count()
+        == 0
+    )
+
+
+def test_append_raises_on_corrupt_index_not_empty(spark, sf_dir, tmp_path):
+    """A corrupt index read must raise, not silently append as if the
+    store were empty (ADVICE r9: only path-missing / schema-uninferable
+    mean 'no data yet')."""
+    import pytest
+
+    base = os.path.join(scratch_dir("majs_floored_corrupt_"), "store")
+    dims = tuple(s for s in WIDE_LAKE_TABLES if s.name not in ("events", "documents"))
+    events = tuple(s for s in WIDE_LAKE_TABLES if s.name == "events")
+    write_floored_index(spark, sf_dir, base, dims, FLOOR)
+    bad = os.path.join(base, "index", "part-corrupt.parquet")
+    with open(bad, "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        append_floored_index(spark, sf_dir, base, events)
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+
+def test_empty_hashed_store_stays_hashed_via_meta(spark):
+    """A hashed_keys store whose initial build floored EVERY key out
+    (row-less index) must still append in the hashed layout: the layout
+    marker lives in the metadata, not just the (absent) key_h column."""
+    import random
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import TableSpec
+
+    rng = random.Random(7)
+    lake = os.path.join(scratch_dir("majs_floored_eh_"), "lake")
+    os.makedirs(lake)
+    # every key unique in t0 -> all below floor 2 -> empty index half
+    rows0 = [(i, f"only{i}") for i in range(6)]
+    spark.createDataFrame(rows0, ["pk", "s0"]).write.parquet(f"{lake}/t0.parquet")
+    rows1 = [(i, f"only{i}") for i in range(6)]  # duplicates t0's keys
+    spark.createDataFrame(rows1, ["pk", "s0"]).write.parquet(f"{lake}/t1.parquet")
+    s0 = TableSpec("t0", 1, "pk", ("s0",))
+    s1 = TableSpec("t1", 2, "pk", ("s0",))
+    base = os.path.join(scratch_dir("majs_floored_eh_"), "store")
+    write_floored_index(spark, lake, base, (s0,), 2, hashed_keys=True)
+    append_floored_index(spark, lake, base, (s1,))
+    got = spark.read.parquet(f"{base}/index")
+    assert "key_h" in got.columns
+    assert got.filter(F.col("key_h") != F.xxhash64("key")).count() == 0
+    _assert_same_rows(
+        got.drop("key_h"),
+        build_posting_index(spark, lake, (s0, s1), min_key_freq=2),
+    )
+
+
 def test_residual_rewrite_touches_only_new_key_buckets(spark, sf_dir):
     """The append's residual rewrite must be partition-pruned: buckets
     none of the new keys hash to keep their files byte-identical (same

@@ -254,6 +254,34 @@ def _search_incremental_floored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl
 
 
+def _search_batch_floored_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the index variants that previously only existed
+    in separate gates (VERDICT r9 task #4): the B=8 heterogeneous batch
+    (five query tables, mixed 1/2/3-attr) runs against ONE store that
+    is simultaneously FLOORED (lake-wide min_key_freq=2, the
+    index+residual layout of ``write_floored_index``) and HASHED
+    (fixed-width ``xxhash64`` probe column). The probe semi-join runs
+    on ``key_h`` (layout-detected), the floor is carried by the
+    oracle's QUALIFY, and the batch's index-side work stays constant
+    in B (plan-asserted in ``tests/test_search_batch.py::
+    test_batch_floored_hashed_index_work_constant``). At 100 TB this
+    is the production shape: a maintained wide-key store answering a
+    curation workload's heterogeneous search batch in one pass."""
+    import os
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import write_floored_index
+    from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+
+    base = os.path.join(scratch_dir("majs_floored_batchg_"), "store")
+    write_floored_index(
+        spark, sf_dir, base, WIDE_LAKE_TABLES, min_key_freq=2, hashed_keys=True
+    )
+    postings = spark.read.parquet(f"{base}/index")
+    batch = [(e[0], load_table(spark, e[1], sf_dir), e[2], *e[3:]) for e in _BATCH8]
+    tables, _ = multi_attribute_join_search_batch(postings, batch)
+    return tables
+
+
 SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_posting_index": QuerySpec(
         lambda spark, sf: cached_posting_index(spark, sf), posting_index_sql()
@@ -356,6 +384,15 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
             "documents",
             ["lang", "source"],
             result="tables",
+        ),
+    ),
+    # The layouts + amortization COMPOSED: B=8 heterogeneous batch over
+    # a floored(+hashed) store — one store, one index pass (VERDICT r9
+    # task #4). Oracle = the batch SQL over the floored index SQL.
+    "mjs_search_batch_floored_hashed": QuerySpec(
+        _search_batch_floored_hashed,
+        join_search_batch_sql(
+            posting_index_sql(WIDE_LAKE_TABLES, min_key_freq=2), _BATCH8
         ),
     ),
     # Floored-index MAINTENANCE: append a table to the index+residual

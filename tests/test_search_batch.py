@@ -173,6 +173,49 @@ def test_sql_surface_top_n_matches_dataframe(spark, sf_dir):
     }
 
 
+def test_batch_floored_hashed_index_work_constant(spark, sf_dir):
+    """The composed gate's scale claim (mjs_search_batch_floored_hashed):
+    against a floored+hashed on-disk store the batch still pays index
+    work ONCE — same index-file scan count and exactly one fact-sized
+    (table,row) shuffle at B=8 as at B=1 — and the probe semi-join runs
+    on the fixed-width key_h column."""
+    import os
+    import re
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        WIDE_LAKE_TABLES,
+        write_floored_index,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+
+    from __spark_entry__ import _BATCH8
+
+    base = os.path.join(scratch_dir("majs_fh_batch_"), "store")
+    write_floored_index(
+        spark, sf_dir, base, WIDE_LAKE_TABLES, min_key_freq=2, hashed_keys=True
+    )
+    postings = spark.read.parquet(f"{base}/index")
+    batch8 = [
+        (qid, load_table(spark, tbl, sf_dir), attrs) for qid, tbl, attrs in _BATCH8
+    ]
+
+    def index_work(b):
+        tables, _ = multi_attribute_join_search_batch(postings, b)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            tables.explain("formatted")
+        plan = buf.getvalue()
+        fact_shuffles = len(re.findall(r"hashpartitioning\(table[^)]*row", plan))
+        # scans of the STORE (query-table scans legitimately grow with
+        # B): counted by the scan nodes' Location lines
+        index_scans = plan.count("store/index")
+        assert "key_h" in plan  # the probe rides the fixed-width hash
+        return index_scans, fact_shuffles
+
+    assert index_work(batch8) == index_work(batch8[:1])
+    assert index_work(batch8)[1] == 1
+
+
 def test_batch_index_work_constant_in_width(spark, sf_dir):
     """The operator's scale claim: index-side work — scans of the
     (persisted) posting index and the fact-sized (table,row) shuffle —

@@ -35,6 +35,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.similarity impor
 from multi_attribute_join_search_with_mapreduce_spark.operators.multimodal import (
     MULTIMODAL_QUERIES,
 )
+from multi_attribute_join_search_with_mapreduce_spark.operators.curation import CURATION_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.discovery import DISCOVERY_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.fuzzy import FUZZY_QUERIES
 from multi_attribute_join_search_with_mapreduce_spark.operators.graph import GRAPH_QUERIES
@@ -435,6 +436,7 @@ def registry() -> dict[str, QuerySpec]:
         GRAPH_QUERIES,
         FUZZY_QUERIES,
         PIPELINE_QUERIES,
+        CURATION_QUERIES,
         SEARCH_QUERIES,
         RELATIONAL_QUERIES,
         QUALITY_QUERIES,

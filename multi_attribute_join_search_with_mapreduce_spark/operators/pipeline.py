@@ -795,6 +795,37 @@ ORDER BY doc_id
 """
 
 
+def temperature_kept(d: DataFrame) -> DataFrame:
+    """The α=1/2 temperature gate over ANY (doc_id, source, n_tok)
+    frame — shared by :func:`temperature_rebalance` (whole corpus) and
+    the curation pipeline (the corpus surviving its upstream gates,
+    where the rates must reflect the post-filter mixture). Returns the
+    kept rows with a ``keep_rate`` column; determinism notes in
+    :func:`temperature_rebalance`."""
+    per_src = d.groupBy("source").agg(F.sum("n_tok").alias("c"))
+    cmin = per_src.agg(F.min("c").alias("c_min"))
+    thr_int = F.floor(
+        F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")) * F.lit(2.0**32)
+    )
+    rates = per_src.crossJoin(F.broadcast(cmin)).select(
+        "source",
+        F.when(thr_int >= F.lit(2**32), F.lit("g"))
+        .otherwise(F.lower(F.lpad(F.conv(thr_int.cast("string"), 10, 16), 8, "0")))
+        .alias("thr_hex"),
+        F.round(
+            F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")), 6
+        ).alias("keep_rate"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < F.col("thr_hex")
+        )
+        .drop("thr_hex")
+    )
+
+
 def temperature_rebalance(spark: SparkSession, sf: str) -> DataFrame:
     """Square-root temperature rebalancing of the corpus mixture
     (the α=0.5 sampling temperature of multilingual/multi-source LLM
@@ -816,25 +847,8 @@ def temperature_rebalance(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, "documents", sf).select(
         "doc_id", "source", _n_tokens().cast("long").alias("n_tok")
     )
-    per_src = d.groupBy("source").agg(F.sum("n_tok").alias("c"))
-    cmin = per_src.agg(F.min("c").alias("c_min"))
-    thr_int = F.floor(
-        F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")) * F.lit(2.0**32)
-    )
-    rates = per_src.crossJoin(F.broadcast(cmin)).select(
-        "source",
-        F.when(thr_int >= F.lit(2**32), F.lit("g"))
-        .otherwise(F.lower(F.lpad(F.conv(thr_int.cast("string"), 10, 16), 8, "0")))
-        .alias("thr_hex"),
-        F.round(
-            F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")), 6
-        ).alias("keep_rate"),
-    )
-    kept = d.join(F.broadcast(rates), "source").filter(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < F.col("thr_hex")
-    )
     return (
-        kept.groupBy("source", "keep_rate")
+        temperature_kept(d).groupBy("source", "keep_rate")
         .agg(
             F.count(F.lit(1)).alias("n_docs_kept"),
             F.sum("n_tok").alias("n_tokens_kept"),

@@ -162,9 +162,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, "documents", sf)
-    toks = _tokens(F.lower(F.col("text")))
+def lang_pred_col(text: Column) -> Column:
+    """The n-gram-marker language prediction as a reusable expression
+    (shared by :func:`lang_id` and the curation pipeline's lang gate)."""
+    toks = _tokens(F.lower(text))
 
     def marker_hits(words: tuple[str, ...]) -> Column:
         arr = F.array(*[F.lit(w) for w in words])
@@ -176,7 +177,12 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     pred = F.when(best == 0, F.lit("und"))
     for lang in LANG_MARKERS:  # insertion order breaks ties deterministically
         pred = pred.when(hits[lang] == best, F.lit(lang))
-    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+    return pred
+
+
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, "documents", sf)
+    return d.select("doc_id", "lang", lang_pred_col(F.col("text")).alias("pred_lang"))
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -1186,13 +1192,13 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
-def quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    """Heuristic document quality: four 0/1 criteria averaged —
-    avg token length in [3,10], stopword ratio in [0.05,0.6],
-    punctuation ratio < 0.2, and 10 <= n_tokens <= 5000. Also emits a
-    BPE-ish subword token count (regexp, not whitespace)."""
-    d = load_table(spark, "documents", sf)
-    toks = _tokens(F.col("text"))
+def quality_score_col(text: Column) -> Column:
+    """The 0..1 heuristic quality score as a reusable expression
+    (shared by :func:`quality_score` and the curation pipeline's
+    quality gate): four 0/1 criteria averaged — avg token length in
+    [3,10], stopword ratio in [0.05,0.6], punctuation ratio < 0.2,
+    and 10 <= n_tokens <= 5000."""
+    toks = _tokens(text)
     n_toks = F.size(toks)
     tok_lens = F.transform(toks, F.length)
     avg_len = F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).cast("double") / n_toks
@@ -1201,8 +1207,8 @@ def quality_score(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double") / n_toks
     )
     punct_ratio = (
-        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
-        / F.length("text")
+        F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length(text)
     )
     crit = [
         (avg_len >= 3) & (avg_len <= 10),
@@ -1210,7 +1216,14 @@ def quality_score(spark: SparkSession, sf: str) -> DataFrame:
         punct_ratio < 0.2,
         (n_toks >= 10) & (n_toks <= 5000),
     ]
-    score = sum(c.cast("int") for c in crit).cast("double") / len(crit)
+    return sum(c.cast("int") for c in crit).cast("double") / len(crit)
+
+
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic document quality (see :func:`quality_score_col`). Also
+    emits a BPE-ish subword token count (regexp, not whitespace)."""
+    d = load_table(spark, "documents", sf)
+    score = quality_score_col(F.col("text"))
     return d.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(BPE_RE)).cast("bigint").alias("n_bpe_tokens"),

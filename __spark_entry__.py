@@ -283,6 +283,48 @@ def _search_batch_floored_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables
 
 
+def _cli_floored_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated CLI lifecycle for the floored store (VERDICT r9
+    stretch #7): build → append → search entirely through the shell
+    entry point (``cli.main`` argv) — ``--floored-store`` creates the
+    store from the wide lake minus ``--append-tables``, the append
+    lands ``documents`` with the floor held exact, and the search runs
+    against the maintained index. The printed table scores are parsed
+    back into a (top-k-sized, driver-side by definition — it's stdout)
+    DataFrame; the oracle is the full floored lake-wide rebuild, so
+    this pins the user-facing wiring the way
+    ``mjs_index_incremental_floored`` pins the library path."""
+    import contextlib
+    import io
+    import os
+
+    from multi_attribute_join_search_with_mapreduce_spark.cli import main as cli_main
+    from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+
+    store = os.path.join(scratch_dir("majs_cli_floored_"), "store")
+    argv = [
+        "--query-table", "documents", "--attrs", "lang,source",
+        "--sf-dir", sf_dir, "--floored-store", store,
+        "--append-tables", "documents", "--min-key-freq", "2",
+    ]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(argv)
+    if rc != 0:
+        raise RuntimeError(f"cli exited with {rc}")
+    rows, in_tables = [], False
+    for line in buf.getvalue().splitlines():
+        if line == "== table scores ==":
+            in_tables = True
+            continue
+        if line == "== column scores ==":
+            break
+        if in_tables and line.startswith("table="):
+            tbl, score = line.split("\t")
+            rows.append((int(tbl.split("=")[1]), int(score.split("=")[1])))
+    return spark.createDataFrame(rows, "table int, join_score bigint")
+
+
 SEARCH_QUERIES: dict[str, QuerySpec] = {
     "mjs_posting_index": QuerySpec(
         lambda spark, sf: cached_posting_index(spark, sf), posting_index_sql()
@@ -399,6 +441,17 @@ SEARCH_QUERIES: dict[str, QuerySpec] = {
     # Floored-index MAINTENANCE: append a table to the index+residual
     # store and keep the lake-wide floor exact (keys cross the floor as
     # tables combine). Oracle = full floored rebuild.
+    # The floored-store lifecycle through the SHELL entry point:
+    # build + append + search via cli.main argv (stdout parsed back).
+    "mjs_cli_floored_lifecycle": QuerySpec(
+        _cli_floored_lifecycle,
+        join_search_sql(
+            posting_index_sql(WIDE_LAKE_TABLES, min_key_freq=2),
+            "documents",
+            ["lang", "source"],
+            result="tables",
+        ),
+    ),
     "mjs_index_incremental_floored": QuerySpec(
         _search_incremental_floored,
         join_search_sql(

@@ -75,6 +75,21 @@ def test_make_window_composes_a_valid_next_window():
         assert all(n not in sampled for n in lead)
 
 
+def test_window_budget_has_headroom_for_two_rounds():
+    """VERDICT r9 stretch #8: the 50-slot window must absorb the
+    must-sample load (red + never-sampled + newly-stale) for the NEXT
+    two auto-composed rounds — a registry growth spurt that outruns the
+    rotation fails here at composition time, not a round later in the
+    judge's audit."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_window
+
+    hr = make_window.headroom(list(entry_mod.registry()))
+    assert hr["fits"], hr
+
+
 def test_no_query_staler_than_5_rounds_without_rotation():
     """VERDICT r8 task #6: the rotation invariant, enforced in-suite.
 

@@ -33,7 +33,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def compose(registry_names: list[str]) -> tuple[list[str], dict]:
+def _history() -> tuple[dict, dict, dict]:
+    """(last_green, last_sample, latest_ok) from CORRECTNESS_r*.json."""
     last_green: dict[str, int] = {}
     last_sample: dict[str, int] = {}
     latest_ok: dict[str, bool] = {}
@@ -52,6 +53,15 @@ def compose(registry_names: list[str]) -> tuple[list[str], dict]:
                 latest_ok[name] = ok
             if ok:
                 last_green[name] = max(rnd, last_green.get(name, 0))
+    return last_green, last_sample, latest_ok
+
+
+def compose(
+    registry_names: list[str], history: tuple[dict, dict, dict] | None = None
+) -> tuple[list[str], dict]:
+    last_green, last_sample, latest_ok = (
+        history if history is not None else _history()
+    )
 
     newest = max(last_sample.values()) if last_sample else 0
     cutoff = newest - 4
@@ -88,6 +98,50 @@ def compose(registry_names: list[str]) -> tuple[list[str], dict]:
     return out, meta
 
 
+def headroom(registry_names: list[str], rounds_ahead: int = 2) -> dict:
+    """Window-budget headroom check (VERDICT r9 stretch #8): simulate
+    the next ``rounds_ahead`` auto-composed windows (assuming every
+    sampled query goes green) and verify the 50-slot budget absorbs the
+    must-sample load — currently-red + never-sampled + newly-stale —
+    with no query left violating the staleness invariant after each
+    simulated round. The registry grew 218→222→224→227 across rounds;
+    at that pace the rotation stays feasible, but a +20-query round
+    would silently break it — this makes the break loud at window-
+    composition time instead of a round later."""
+    last_green, last_sample, latest_ok = _history()
+    if not last_sample:
+        return {"rounds": [], "fits": True}
+    newest = max(last_sample.values())
+    rounds_out: list[dict] = []
+    fits_all = True
+    for step in range(1, rounds_ahead + 1):
+        rnd = newest + step
+        names, meta = compose(
+            registry_names, (last_green, last_sample, latest_ok)
+        )
+        must = meta["n_red"] + meta["n_never"] + meta["n_stale"]
+        for n in names:
+            last_sample[n] = rnd
+            latest_ok[n] = True
+            last_green[n] = rnd
+        offenders = sorted(
+            n
+            for n in registry_names
+            if n in last_sample and last_green.get(n, 0) < rnd - 4
+        )
+        fits = must <= WINDOW and not offenders
+        fits_all = fits_all and fits
+        rounds_out.append(
+            {
+                "round": rnd,
+                "must_sample": must,
+                "post_round_offenders": offenders,
+                "fits": fits,
+            }
+        )
+    return {"rounds": rounds_out, "fits": fits_all}
+
+
 def main() -> None:
     args = sys.argv[1:]
     if "--round" not in args:
@@ -98,7 +152,14 @@ def main() -> None:
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry_mod
 
-    names, meta = compose(list(entry_mod.queries()))
+    registry_names = list(entry_mod.queries())
+    names, meta = compose(registry_names)
+    hr = headroom(registry_names)
+    if not hr["fits"]:
+        raise SystemExit(
+            "window budget exceeded for the next two rounds: "
+            + json.dumps(hr)
+        )
     why = (
         f"auto (tools/make_window.py): red first ({meta['n_red']}), then "
         f"never-sampled ({meta['n_never']}), then stale<r{meta['cutoff']} "
@@ -106,7 +167,7 @@ def main() -> None:
         f"{WINDOW} slots."
     )
     entry = {"round": rnd, "why": why, "names": names}
-    print(json.dumps({"entry": entry, **meta}, indent=1))
+    print(json.dumps({"entry": entry, **meta, "headroom": hr}, indent=1))
     if not apply:
         return
     path = os.path.join(REPO, "driver_window.json")

@@ -62,6 +62,9 @@ def main() -> None:
     stale = sorted(
         (n, last_green[n]) for n in names if n in last_green and last_green[n] < cutoff
     )
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_window
+
     out = {
         "newest_sampled_round": newest,
         "stale_cutoff_round": cutoff,
@@ -72,6 +75,9 @@ def main() -> None:
         "last_green_histogram": {
             str(r): sum(1 for v in last_green.values() if v == r) for r in rounds
         },
+        # does the 50-slot budget absorb the must-sample load for the
+        # next two auto-composed rounds? (VERDICT r9 stretch #8)
+        "headroom": make_window.headroom(names),
     }
     print(json.dumps(out, indent=1))
     if currently_red:

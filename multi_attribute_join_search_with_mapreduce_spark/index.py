@@ -418,6 +418,15 @@ def write_floored_index(
     tagged = raw.withColumn(
         "_f", F.count(F.lit(1)).over(Window.partitionBy("key"))
     )
+    # Two writers (index half + residual half) consume the tagged frame;
+    # without the checkpoint each write re-runs the whole unpivot +
+    # key-window shuffle (Spark reuses exchanges within one job, not
+    # across two write actions). Materializing once nearly halves the
+    # build; on a cluster truncate_lineage upgrades to a reliable
+    # checkpoint when a checkpoint dir is set (see its docstring) — or
+    # skip the floor entirely at ingest and use append_floored_index's
+    # incremental path, which is the production shape anyway.
+    tagged = truncate_lineage(tagged)
     above = tagged.filter(F.col("_f") >= min_key_freq).drop("_f")
     if hashed_keys:
         above = above.withColumn("key_h", F.xxhash64("key"))

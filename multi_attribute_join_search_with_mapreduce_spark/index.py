@@ -90,6 +90,18 @@ def postings_for_table(df: DataFrame, spec: TableSpec) -> DataFrame:
     )
 
 
+def postings_from_df(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Normalized postings for ONE in-memory table slice — the
+    streaming/micro-batch counterpart of :func:`build_posting_index`
+    (which loads whole tables from a lake dir). Used by the streaming
+    floored-index maintenance path, where each micro-batch of a landing
+    table contributes its postings incrementally."""
+    raw = postings_for_table(df, spec)
+    return raw.select(
+        normalize_col(F.col("value")).alias("key"), "table", "column", "row"
+    ).filter(F.col("key") != "")
+
+
 def build_posting_index(
     spark: SparkSession,
     sf_dir: str,
@@ -507,9 +519,6 @@ def append_floored_index(
     order would instead lose postings on a crash (in neither half),
     which no later append could detect.
     """
-    from pyspark.sql import Window
-
-    index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
     meta = read_store_meta(spark, base_dir)
     if meta is not None:
         for name, given in (
@@ -544,7 +553,40 @@ def append_floored_index(
             )
         if residual_buckets is None:
             residual_buckets = 32
-    new_p = truncate_lineage(build_posting_index(spark, sf_dir, new_specs))
+    new_p = build_posting_index(spark, sf_dir, new_specs)
+    append_floored_postings(
+        spark,
+        new_p,
+        base_dir,
+        min_key_freq,
+        residual_buckets,
+        hashed=meta["hashed_keys"] if meta is not None else None,
+    )
+    if meta is not None:
+        meta["landed_tables"] = sorted(
+            meta["landed_tables"] + [[s.name, s.table_id] for s in new_specs]
+        )
+        write_store_meta(spark, base_dir, meta)
+
+
+def append_floored_postings(
+    spark: SparkSession,
+    new_postings: DataFrame,
+    base_dir: str,
+    min_key_freq: int,
+    residual_buckets: int,
+    hashed: bool | None = None,
+) -> None:
+    """The posting-level core of :func:`append_floored_index`: land an
+    arbitrary batch of (key, table, column, row) postings into the
+    index+residual store, keeping the lake-wide floor exact. Callers
+    own batch disjointness (the table-level wrapper enforces it via the
+    landed-table log; the streaming path via per-batch replay markers).
+    ``hashed=None`` detects the layout from the index's columns."""
+    from pyspark.sql import Window
+
+    index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
+    new_p = truncate_lineage(new_postings)
     index = _read_parquet_or_none(spark, index_dir)
     if index is None:
         # an initial build where EVERY key sat below the floor writes a
@@ -588,7 +630,8 @@ def append_floored_index(
     staying = cands.filter(F.col("_f") < min_key_freq).drop("_f")
 
     to_index = new_to_index.unionByName(crossing)
-    hashed = meta["hashed_keys"] if meta is not None else "key_h" in index.columns
+    if hashed is None:
+        hashed = "key_h" in index.columns
     if hashed:  # hashed-layout store: keep it uniform
         to_index = to_index.withColumn("key_h", F.xxhash64("key"))
     to_index.write.mode("append").parquet(index_dir)
@@ -621,11 +664,6 @@ def append_floored_index(
         p = jvm.org.apache.hadoop.fs.Path(f"{residual_dir}/kb={kb}")
         p.getFileSystem(hconf).delete(p, True)
     rewrite.write.partitionBy("kb").mode("append").parquet(residual_dir)
-    if meta is not None:
-        meta["landed_tables"] = sorted(
-            meta["landed_tables"] + [[s.name, s.table_id] for s in new_specs]
-        )
-        write_store_meta(spark, base_dir, meta)
 
 
 def posting_index_sql(

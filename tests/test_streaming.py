@@ -351,3 +351,63 @@ def test_stream_session_window_equals_batch_native(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_floored_index_equals_full_rebuild(spark, sf_dir):
+    """Streaming floored-index maintenance ≡ batch rebuild: after the
+    multi-trigger run lands `documents` in micro-batches, the
+    maintained index must ROW-EQUAL the full floored rebuild over the
+    whole wide lake (not just produce the same search scores)."""
+    import glob
+    import os
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        WIDE_LAKE_TABLES,
+        build_posting_index,
+        read_store_meta,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        stream_floored_index_ingest,
+    )
+
+    before = set(glob.glob("/tmp/majs_scratch_*/majs_stream_flidx_*"))
+    stream_floored_index_ingest(spark, sf_dir).collect()
+    after = set(glob.glob("/tmp/majs_scratch_*/majs_stream_flidx_*"))
+    (base,) = sorted(after - before)
+    got = spark.read.parquet(f"{base}/store/index")
+    want = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES, min_key_freq=2)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # replay markers committed for every trigger
+    meta = read_store_meta(spark, f"{base}/store")
+    assert meta["landed_batches"] == [0, 1, 2]
+
+
+def test_floored_ingest_batch_replay_is_noop(spark, sf_dir):
+    """The per-batch replay guard: re-delivering an already-committed
+    micro-batch (foreachBatch's at-least-once mode) must not land its
+    postings twice."""
+    import os
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        WIDE_LAKE_TABLES,
+        write_floored_index,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        _floored_ingest_batch,
+    )
+
+    store = os.path.join(scratch_dir("majs_flidx_replay_"), "store")
+    initial = tuple(s for s in WIDE_LAKE_TABLES if s.name != "documents")
+    docs_spec = next(s for s in WIDE_LAKE_TABLES if s.name == "documents")
+    write_floored_index(spark, sf_dir, store, initial, min_key_freq=2)
+    batch = load_table(spark, "documents", sf_dir)
+    _floored_ingest_batch(spark, store, docs_spec, batch, 0)
+    idx_rows = spark.read.parquet(f"{store}/index").count()
+    res_rows = spark.read.parquet(f"{store}/residual").count()
+    _floored_ingest_batch(spark, store, docs_spec, batch, 0)  # replay
+    assert spark.read.parquet(f"{store}/index").count() == idx_rows
+    assert spark.read.parquet(f"{store}/residual").count() == res_rows

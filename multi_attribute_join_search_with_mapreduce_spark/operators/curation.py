@@ -7,6 +7,14 @@ they COMPOSE — the production shape of a pretraining-corpus build:
     decontaminate → temperature mixture → train/test split →
     pack_shards → per-shard manifest
 
+Two driver-gated artifacts come out of the same chain:
+
+- :func:`curation_pipeline_e2e` — the per-shard MANIFEST (what ships);
+- :func:`curation_decision_log` — the per-document DISPOSITION audit
+  (why each document was kept or at which stage it was dropped, in
+  pipeline order), the compliance artifact a production curation run
+  records next to the shards.
+
 The whole chain is declared against one ``documents`` scan and returns
 the per-shard manifest; nothing is collected between stages (the one
 materialization barrier is a lineage checkpoint of the 3-column gated
@@ -25,9 +33,9 @@ the corpus (near-dup non-representatives, contaminated doc ids) — at
 100 TB the drop sets are the only state that moves, never the corpus.
 
 Reference anchor: SURVEY.md §7 M5 specifies the stages; composition is
-its unstated contract. The DuckDB oracle is the same chain as one
-chained-CTE statement, so the manifest is value-hash-checked
-end-to-end, not per stage.
+its unstated contract. The DuckDB oracles are the same chain as one
+chained-CTE statement each, so manifest AND audit are value-hash
+checked end-to-end, not per stage.
 """
 
 from __future__ import annotations
@@ -49,6 +57,7 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.pipeline import 
     _n_tokens,
     _split_col,
     temperature_kept,
+    temperature_rates,
 )
 from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
     _EVAL_MOD,
@@ -61,6 +70,20 @@ from multi_attribute_join_search_with_mapreduce_spark.operators.textops import (
 )
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec
 from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+
+def _nd_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup non-representatives (the canonical-collapse drop set)."""
+    return (
+        dedup_clusters(spark, sf)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+
+
+def _contaminated(spark: SparkSession, sf: str) -> DataFrame:
+    """Training docs sharing any w-gram with the eval holdout."""
+    return decontaminate(spark, sf).select("doc_id")
 
 
 def curation_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
@@ -81,12 +104,7 @@ def curation_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
 
     # 2. near-dup canonical: drop clustered non-representatives (the
     #    MinHash-LSH + connected-components drop set; small vs corpus)
-    nd_drop = (
-        dedup_clusters(spark, sf)
-        .filter(F.col("cluster_id") != F.col("doc_id"))
-        .select("doc_id")
-    )
-    corpus = corpus.join(nd_drop, "doc_id", "left_anti")
+    corpus = corpus.join(_nd_drop(spark, sf), "doc_id", "left_anti")
 
     # 3.+4. quality and lang-id gates: pure map-side filters
     corpus = corpus.filter(quality_score_col(F.col("text")) >= 0.75)
@@ -95,8 +113,7 @@ def curation_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     # 5. decontaminate: hold out the eval slice itself, then drop every
     #    training doc sharing a w-gram with it (drop set ≪ corpus)
     corpus = corpus.filter(F.col("doc_id") % _EVAL_MOD != 0)
-    contaminated = decontaminate(spark, sf).select("doc_id")
-    corpus = corpus.join(contaminated, "doc_id", "left_anti")
+    corpus = corpus.join(_contaminated(spark, sf), "doc_id", "left_anti")
 
     # 6. temperature mixture: rates from the SURVIVING corpus (the
     #    composition point — upstream gates change the mixture), then a
@@ -138,8 +155,75 @@ def curation_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def curation_pipeline_sql() -> str:
-    """The identical chain as one chained-CTE DuckDB statement."""
+def curation_decision_log(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document disposition audit of the SAME chain: every document
+    and the FIRST pipeline stage that dropped it — ``drop_exact`` /
+    ``drop_near_dup`` / ``drop_quality`` / ``drop_lang`` /
+    ``eval_holdout`` / ``drop_contaminated`` / ``drop_mixture`` /
+    ``kept`` — in pipeline order, so the counts reconcile exactly with
+    the manifest's kept set (tested). The corpus is never re-shuffled
+    for the audit: stage flags are window/map-side columns plus
+    left-join markers against the same small drop sets, and the
+    mixture threshold arrives as the broadcast rate table computed
+    over the pre-mixture survivors (identical to the pipeline's).
+    """
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", "source", "lang", "text"
+    )
+    w_hash = Window.partitionBy(F.md5("text"))
+    flagged = (
+        docs.withColumn(
+            "_exact_keep", F.col("doc_id") == F.min("doc_id").over(w_hash)
+        )
+        .join(
+            _nd_drop(spark, sf).withColumn("_nd", F.lit(True)), "doc_id", "left"
+        )
+        .join(
+            _contaminated(spark, sf).withColumn("_cont", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .withColumn("_qual", quality_score_col(F.col("text")) >= 0.75)
+        .withColumn("_lang", lang_pred_col(F.col("text")) == F.col("lang"))
+        .withColumn("_eval", F.col("doc_id") % _EVAL_MOD == 0)
+    )
+    corpus0 = flagged.filter(
+        F.col("_exact_keep")
+        & F.col("_nd").isNull()
+        & F.col("_qual")
+        & F.col("_lang")
+        & ~F.col("_eval")
+        & F.col("_cont").isNull()
+    )
+    rates = temperature_rates(
+        corpus0.select("doc_id", "source", _n_tokens().cast("long").alias("n_tok"))
+    ).select("source", "thr_hex")
+    # left join: a source absent from the rate table has NO pre-mixture
+    # survivors, so none of its docs can REACH the mixture branch — the
+    # NULL threshold is unreachable by CASE order.
+    log = flagged.join(F.broadcast(rates), "source", "left")
+    disposition = (
+        F.when(~F.col("_exact_keep"), "drop_exact")
+        .when(F.col("_nd"), "drop_near_dup")
+        .when(~F.col("_qual"), "drop_quality")
+        .when(~F.col("_lang"), "drop_lang")
+        .when(F.col("_eval"), "eval_holdout")
+        .when(F.col("_cont"), "drop_contaminated")
+        .when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            >= F.col("thr_hex"),
+            "drop_mixture",
+        )
+        .otherwise("kept")
+    )
+    return log.select(
+        "doc_id", "source", disposition.alias("disposition")
+    ).orderBy("doc_id")
+
+
+def _curation_ctes() -> str:
+    """The chain's shared CTE prefix (through the rate table) — one
+    source of truth for both oracles."""
     return f"""
 {_cc_ctes()},
 nd_drop AS (SELECT doc_id FROM comp WHERE cluster_id <> doc_id),
@@ -170,7 +254,13 @@ rates AS (
          ELSE lower(lpad(to_hex(CAST(t AS BIGINT)), 8, '0'))
     END AS thr_hex
   FROM thr
-),
+)"""
+
+
+def curation_pipeline_sql() -> str:
+    """The identical chain as one chained-CTE DuckDB statement."""
+    return f"""
+{_curation_ctes()},
 kept AS (
   SELECT d.doc_id, d.source, d.n_tok,
          {_SPLIT_SQL} AS split,
@@ -195,8 +285,33 @@ ORDER BY split, source, bucket, shard
 """
 
 
+def curation_decision_log_sql() -> str:
+    """The audit as the same chained CTEs + one ordered CASE."""
+    return f"""
+{_curation_ctes()}
+SELECT d.doc_id, d.source,
+  CASE
+    WHEN d.doc_id NOT IN (SELECT doc_id FROM exact_keep) THEN 'drop_exact'
+    WHEN d.doc_id IN (SELECT doc_id FROM nd_drop) THEN 'drop_near_dup'
+    WHEN d.doc_id NOT IN (SELECT doc_id FROM qual) THEN 'drop_quality'
+    WHEN d.doc_id NOT IN (SELECT doc_id FROM langok) THEN 'drop_lang'
+    WHEN d.doc_id % {_EVAL_MOD} = 0 THEN 'eval_holdout'
+    WHEN d.doc_id IN (SELECT doc_id FROM contaminated) THEN 'drop_contaminated'
+    WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) >=
+         (SELECT thr_hex FROM rates r WHERE r.source = d.source)
+      THEN 'drop_mixture'
+    ELSE 'kept'
+  END AS disposition
+FROM documents d
+ORDER BY d.doc_id
+"""
+
+
 CURATION_QUERIES: dict[str, QuerySpec] = {
     "curation_pipeline_e2e": QuerySpec(
         curation_pipeline_e2e, curation_pipeline_sql()
+    ),
+    "curation_decision_log": QuerySpec(
+        curation_decision_log, curation_decision_log_sql()
     ),
 }

@@ -795,19 +795,18 @@ ORDER BY doc_id
 """
 
 
-def temperature_kept(d: DataFrame) -> DataFrame:
-    """The α=1/2 temperature gate over ANY (doc_id, source, n_tok)
-    frame — shared by :func:`temperature_rebalance` (whole corpus) and
-    the curation pipeline (the corpus surviving its upstream gates,
-    where the rates must reflect the post-filter mixture). Returns the
-    kept rows with a ``keep_rate`` column; determinism notes in
-    :func:`temperature_rebalance`."""
+def temperature_rates(d: DataFrame) -> DataFrame:
+    """Per-source α=1/2 temperature rate table ``(source, thr_hex,
+    keep_rate)`` for ANY (doc_id, source, n_tok) frame — the broadcast
+    side of :func:`temperature_kept`, also consumed directly by the
+    curation decision log (which needs the threshold for DROPPED rows,
+    not just the survivors)."""
     per_src = d.groupBy("source").agg(F.sum("n_tok").alias("c"))
     cmin = per_src.agg(F.min("c").alias("c_min"))
     thr_int = F.floor(
         F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")) * F.lit(2.0**32)
     )
-    rates = per_src.crossJoin(F.broadcast(cmin)).select(
+    return per_src.crossJoin(F.broadcast(cmin)).select(
         "source",
         F.when(thr_int >= F.lit(2**32), F.lit("g"))
         .otherwise(F.lower(F.lpad(F.conv(thr_int.cast("string"), 10, 16), 8, "0")))
@@ -816,8 +815,17 @@ def temperature_kept(d: DataFrame) -> DataFrame:
             F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double")), 6
         ).alias("keep_rate"),
     )
+
+
+def temperature_kept(d: DataFrame) -> DataFrame:
+    """The α=1/2 temperature gate over ANY (doc_id, source, n_tok)
+    frame — shared by :func:`temperature_rebalance` (whole corpus) and
+    the curation pipeline (the corpus surviving its upstream gates,
+    where the rates must reflect the post-filter mixture). Returns the
+    kept rows with a ``keep_rate`` column; determinism notes in
+    :func:`temperature_rebalance`."""
     return (
-        d.join(F.broadcast(rates), "source")
+        d.join(F.broadcast(temperature_rates(d)), "source")
         .filter(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
             < F.col("thr_hex")

@@ -121,3 +121,31 @@ def test_curation_manifest_tokens_match_shard_budget(spark, sf_dir):
         # of tokens on average — weak but engine-agnostic bound:
         if r.n_docs > 1:
             assert r.shard_tokens - _SHARD_TOKEN_BUDGET < r.shard_tokens / r.n_docs * 2
+
+
+def test_decision_log_reconciles_with_manifest(spark, sf_dir):
+    """The audit and the manifest are two views of ONE chain: the
+    per-source count of 'kept' dispositions must equal the per-source
+    sum of manifest doc counts, and every document gets exactly one
+    disposition row."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.curation import (
+        curation_decision_log,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    log = curation_decision_log(spark, sf_dir)
+    manifest = curation_pipeline_e2e(spark, sf_dir)
+    kept = {
+        r.source: r.n
+        for r in log.filter("disposition = 'kept'")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    man = {
+        r.source: r.n
+        for r in manifest.groupBy("source").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert kept == man
+    assert log.count() == load_table(spark, "documents", sf_dir).count()
+    assert log.groupBy("doc_id").count().filter("count > 1").count() == 0

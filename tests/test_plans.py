@@ -49,6 +49,15 @@ SMJ_ALLOWED = {
     # static planner broadcast it, which is exactly the estimate that
     # would NOT hold at scale.)
     "dedup_decision_log",
+    # the curation chain joins the corpus against the SAME CC-derived
+    # drop set as dedup_canonical (plus the contaminated-id set, also
+    # corpus-derived): no static size estimate, genuinely fact-sized at
+    # 100 TB (web-corpus duplicate fractions are unbounded). Static SMJ
+    # by design; AQE broadcasts at runtime when the fixture side is
+    # small. The chain's own exchange discipline is pinned separately
+    # in tests/test_curation_pipeline.py.
+    "curation_pipeline_e2e",
+    "curation_decision_log",
     # cluster labels ⨝ quality scores: both sides are corpus-derived
     # (component labels and per-doc quality are each one row per
     # clustered document — fact-sized at 100 TB, no static size

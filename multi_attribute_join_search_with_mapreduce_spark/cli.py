@@ -134,6 +134,20 @@ def build_parser() -> argparse.ArgumentParser:
         "buckets are rewritten)",
     )
     p.add_argument(
+        "--fsck-store",
+        metavar="DIR",
+        help="check a --floored-store's invariants (index/residual key "
+        "disjointness, per-half floor consistency) and print a JSON "
+        "report; exits 1 if violations remain",
+    )
+    p.add_argument(
+        "--repair",
+        action="store_true",
+        help="with --fsck-store: drop stale residual rows of "
+        "double-represented keys (the interrupted-append artifact; "
+        "the index side is authoritative)",
+    )
+    p.add_argument(
         "--explain",
         action="store_true",
         help="print the formatted physical plan of the table-scores query "
@@ -168,6 +182,26 @@ def main(argv: list[str] | None = None) -> int:
         df = registry[args.run_query](spark, sf_dir)
         df.show(args.rows or 20, truncate=False)
         return 0
+
+    if args.fsck_store:
+        import json
+
+        from multi_attribute_join_search_with_mapreduce_spark.index import fsck_floored_store
+        from multi_attribute_join_search_with_mapreduce_spark.session import get_spark
+
+        report = fsck_floored_store(
+            get_spark("majs-cli"), args.fsck_store, repair=args.repair
+        )
+        print(json.dumps(report, sort_keys=True))
+        violations = (
+            report["subfloor_in_index"]
+            + report["overfloor_in_residual"]
+            + (0 if args.repair else report["double_represented_keys"])
+        )
+        return 1 if violations else 0
+    if args.repair:
+        print("error: --repair requires --fsck-store", file=sys.stderr)
+        return 2
 
     if not args.attrs:
         print("error: --attrs is required for join search", file=sys.stderr)

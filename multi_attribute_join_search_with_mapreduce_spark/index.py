@@ -666,6 +666,95 @@ def append_floored_postings(
     rewrite.write.partitionBy("kb").mode("append").parquet(residual_dir)
 
 
+def fsck_floored_store(
+    spark: SparkSession, base_dir: str, repair: bool = False
+) -> dict:
+    """Invariant check (and optional repair) for a floored store — the
+    fsck completing the partial-failure contract `append_floored_index`
+    documents: an append interrupted between its index write and its
+    residual rewrite leaves crossing keys in BOTH halves. Queries stay
+    correct (index is authoritative and complete), the NEXT append that
+    touches such a key repairs it for free, and this tool repairs the
+    ones nothing touches.
+
+    Checks, each O(store) with key-level aggregates:
+
+    - ``double_represented_keys`` — keys present in both halves
+      (disjointness violation; the known crash artifact). With
+      ``repair=True`` their residual rows are dropped — the index side
+      is authoritative by the append ordering — rewriting ONLY the
+      residual buckets those keys hash to.
+    - ``subfloor_in_index`` / ``overfloor_in_residual`` — keys whose
+      own-half frequency contradicts the floor. Unreachable from this
+      module's code paths (reported, never auto-repaired: they imply
+      external mutation, and moving rows on that evidence could lose
+      data).
+
+    Returns the counts plus ``repaired`` (rows dropped).
+    """
+    meta = read_store_meta(spark, base_dir)
+    if meta is None:
+        raise ValueError(
+            f"fsck_floored_store: {base_dir} has no _store_meta.json "
+            "(pre-metadata store or torn build)"
+        )
+    index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
+    index = _read_parquet_or_none(spark, index_dir)
+    residual = _read_parquet_or_none(spark, residual_dir)
+    out = {
+        "double_represented_keys": 0,
+        "subfloor_in_index": 0,
+        "overfloor_in_residual": 0,
+        "repaired_rows": 0,
+    }
+    floor = meta["min_key_freq"]
+    if index is not None:
+        out["subfloor_in_index"] = (
+            index.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") < floor)
+            .count()
+        )
+    if residual is not None and "kb" in residual.columns:
+        out["overfloor_in_residual"] = (
+            residual.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") >= floor)
+            .count()
+        )
+    if index is None or residual is None or "kb" not in residual.columns:
+        return out
+    dup_keys = truncate_lineage(
+        residual.select("key").distinct().join(
+            index.select("key").distinct(), "key", "left_semi"
+        )
+    )
+    out["double_represented_keys"] = dup_keys.count()
+    if not repair or out["double_represented_keys"] == 0:
+        return out
+    # Drop the stale residual rows: rewrite only the buckets the
+    # double-represented keys hash to (same pruned-rewrite discipline
+    # as the append itself).
+    buckets = meta["residual_buckets"]
+    bad_kb = dup_keys.select(
+        F.pmod(F.xxhash64("key"), F.lit(buckets)).alias("kb")
+    ).distinct()
+    keep = truncate_lineage(
+        residual.join(F.broadcast(bad_kb), "kb", "left_semi")
+        .join(F.broadcast(dup_keys), "key", "left_anti")
+    )
+    out["repaired_rows"] = (
+        residual.join(F.broadcast(dup_keys), "key", "left_semi").count()
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for r in bad_kb.collect():  # bounded by the bucket modulus
+        p = jvm.org.apache.hadoop.fs.Path(f"{residual_dir}/kb={r['kb']}")
+        p.getFileSystem(hconf).delete(p, True)
+    keep.write.partitionBy("kb").mode("append").parquet(residual_dir)
+    return out
+
+
 def posting_index_sql(
     specs: tuple[TableSpec, ...] = LAKE_TABLES, min_key_freq: int = 1
 ) -> str:

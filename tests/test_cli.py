@@ -319,3 +319,44 @@ def test_cli_run_query_and_list(spark, sf_dir, capsys):
     assert "o_orderkey" in out or "o_totalprice" in out
 
     assert main(["--run-query", "nope", "--sf-dir", sf_dir]) == 2
+
+
+def test_cli_fsck_store(spark, capsys, tmp_path):
+    """--fsck-store: clean store reports zeros and exits 0; a planted
+    double-represented key exits 1 report-only and 0 after --repair."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "fsck_store")
+    rc, _ = _run(
+        capsys,
+        ["--query-table", "documents", "--attrs", "lang,source",
+         "--sf-dir", SF001, "--floored-store", store,
+         "--min-key-freq", "2"],
+    )
+    assert rc == 0
+    rc, out = _run(capsys, ["--fsck-store", store])
+    assert rc == 0
+    assert json.loads(out)["double_represented_keys"] == 0
+    # plant the interrupted-append artifact
+    index = spark.read.parquet(f"{store}/index")
+    stale = index.limit(0).unionByName(
+        index.orderBy("key", "table", "column", "row").limit(1)
+    )
+    (
+        stale.withColumn("kb", F.pmod(F.xxhash64("key"), F.lit(32)))
+        .write.partitionBy("kb")
+        .mode("append")
+        .parquet(f"{store}/residual")
+    )
+    rc, out = _run(capsys, ["--fsck-store", store])
+    assert rc == 1 and json.loads(out)["double_represented_keys"] == 1
+    rc, out = _run(capsys, ["--fsck-store", store, "--repair"])
+    assert rc == 0 and json.loads(out)["repaired_rows"] == 1
+    rc, out = _run(capsys, ["--fsck-store", store])
+    assert rc == 0 and json.loads(out)["double_represented_keys"] == 0
+    # --repair without --fsck-store is rejected
+    rc, _ = _run(capsys, ["--repair", "--query-table", "part",
+                          "--attrs", "p_brand", "--sf-dir", SF001])
+    assert rc == 2

@@ -350,3 +350,53 @@ def test_residual_rewrite_touches_only_new_key_buckets(spark, sf_dir):
         spark.read.parquet(f"{base}/index"),
         build_posting_index(spark, sf_dir, LAKE_TABLES, min_key_freq=FLOOR),
     )
+
+
+def test_fsck_floored_store_reports_and_repairs(spark):
+    """fsck_floored_store: detects double-represented keys (the
+    interrupted-append artifact), repairs them by dropping the stale
+    residual rows (index authoritative) while leaving untouched
+    residual buckets byte-identical, and reports clean afterwards."""
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        TableSpec,
+        fsck_floored_store,
+    )
+
+    lake = os.path.join(scratch_dir("majs_fsck_"), "lake")
+    os.makedirs(lake)
+    # "x" above floor 2 (index); "zz", "qq" below (residual)
+    spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "zz"), (4, "qq")], ["pk", "s0"]
+    ).write.parquet(f"{lake}/t0.parquet")
+    s0 = TableSpec("t0", 1, "pk", ("s0",))
+    base = os.path.join(scratch_dir("majs_fsck_"), "store")
+    write_floored_index(spark, lake, base, (s0,), FLOOR)
+    clean = fsck_floored_store(spark, base)
+    assert clean == {
+        "double_represented_keys": 0,
+        "subfloor_in_index": 0,
+        "overfloor_in_residual": 0,
+        "repaired_rows": 0,
+    }
+    # plant the crash artifact: index rows of "x" re-filed into residual
+    index = spark.read.parquet(f"{base}/index")
+    stale = index.filter(F.col("key") == "x")
+    (
+        stale.withColumn("kb", F.pmod(F.xxhash64("key"), F.lit(32)))
+        .write.partitionBy("kb")
+        .mode("append")
+        .parquet(f"{base}/residual")
+    )
+    report = fsck_floored_store(spark, base)
+    assert report["double_represented_keys"] == 1
+    assert report["repaired_rows"] == 0  # report-only by default
+    fixed = fsck_floored_store(spark, base, repair=True)
+    assert fixed["double_represented_keys"] == 1
+    assert fixed["repaired_rows"] == 2  # the two stale "x" postings
+    # disjointness restored; the sub-floor keys survived the rewrite
+    residual = spark.read.parquet(f"{base}/residual")
+    assert residual.filter(F.col("key") == "x").count() == 0
+    assert {r["key"] for r in residual.select("key").distinct().collect()} == {
+        "zz", "qq"
+    }
+    assert fsck_floored_store(spark, base)["double_represented_keys"] == 0

@@ -143,9 +143,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--repair",
         action="store_true",
-        help="with --fsck-store: drop stale residual rows of "
-        "double-represented keys (the interrupted-append artifact; "
-        "the index side is authoritative)",
+        help="with --fsck-store: resolve an unresolved commit first "
+        "(roll the torn append forward if its staged rewrite is "
+        "durable, else roll it back bytewise), then drop stale "
+        "residual rows of double-represented keys (the legacy "
+        "interrupted-append artifact; the index side is authoritative)",
     )
     p.add_argument(
         "--explain",
@@ -196,7 +198,9 @@ def main(argv: list[str] | None = None) -> int:
         violations = (
             report["subfloor_in_index"]
             + report["overfloor_in_residual"]
+            + report["duplicate_postings"]
             + (0 if args.repair else report["double_represented_keys"])
+            + (0 if report["pending_commit"] is None else 1)
         )
         return 1 if violations else 0
     if args.repair:
@@ -324,14 +328,31 @@ def main(argv: list[str] | None = None) -> int:
             )
         remaining = [t for t in to_append if t not in landed]
         if remaining:
-            append_floored_index(
-                spark,
-                sf_dir,
-                args.floored_store,
-                tuple(s for s in WIDE_LAKE_TABLES if s.name in set(remaining)),
-                args.min_key_freq,
+            from multi_attribute_join_search_with_mapreduce_spark.index import (
+                ConcurrentAppendError,
             )
-        postings = spark.read.parquet(_os.path.join(args.floored_store, "index"))
+
+            try:
+                append_floored_index(
+                    spark,
+                    sf_dir,
+                    args.floored_store,
+                    tuple(s for s in WIDE_LAKE_TABLES if s.name in set(remaining)),
+                    args.min_key_freq,
+                )
+            except ConcurrentAppendError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                print(
+                    "hint: another appender holds (or abandoned) this "
+                    "store's next commit slot; resolve with "
+                    f"--fsck-store {args.floored_store} --repair, then "
+                    "re-run",
+                    file=sys.stderr,
+                )
+                return 4
+        from multi_attribute_join_search_with_mapreduce_spark.index import read_floored_index
+
+        postings = read_floored_index(spark, args.floored_store)
     elif args.read_index:
         postings = spark.read.parquet(args.read_index)
     else:

@@ -264,11 +264,13 @@ def write_posting_index(
     # with LOCATION_ALREADY_EXISTS; drop both the catalog entry and any
     # stale location before writing.
     spark.sql(f"DROP TABLE IF EXISTS `{out_table}`")
-    jvm = spark._jvm
-    stale = jvm.org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), out_table.lower()
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    fsio.delete(
+        spark,
+        f"{spark.conf.get('spark.sql.warehouse.dir').rstrip('/')}/"
+        f"{out_table.lower()}",
     )
-    stale.getFileSystem(spark._jsc.hadoopConfiguration()).delete(stale, True)
     idx = build_posting_index(spark, sf_dir, specs, min_key_freq)
     bucket_col = "key"
     if hashed_keys:
@@ -314,27 +316,28 @@ def append_posting_index(
     build_posting_index(spark, sf_dir, specs).write.mode("append").parquet(index_dir)
 
 
-def _store_meta_jpath(spark: SparkSession, base_dir: str):
-    return spark._jvm.org.apache.hadoop.fs.Path(f"{base_dir}/_store_meta.json")
-
-
 def write_store_meta(spark: SparkSession, base_dir: str, meta: dict) -> None:
-    """Persist the floored store's layout parameters + landed-table log
-    as ``<base_dir>/_store_meta.json`` (Hadoop FS API, so the store can
-    live on any filesystem the lake does). Written LAST by
-    :func:`write_floored_index` — the metadata doubles as the build's
-    commit marker: a crash mid-build leaves no metadata and
-    :func:`append_floored_index` refuses the store loudly rather than
-    appending onto a torn half-build."""
+    """Persist the floored store's layout parameters, landed-table log,
+    commit version, and landed-batch log as
+    ``<base_dir>/_store_meta.json``, via temp-sibling + atomic rename
+    (`fsio.write_atomic`, ADVICE r10) — a reader racing a rewrite, or a
+    crash mid-write, sees the old or the new complete metadata, never a
+    torn file. Written LAST by :func:`write_floored_index` — the
+    metadata doubles as the build's commit marker: a crash mid-build
+    leaves no metadata and :func:`append_floored_index` refuses the
+    store loudly rather than appending onto a torn half-build. For
+    appends the rename is the COMMIT POINT of the whole protocol: the
+    version bump, the landed-table entries, and (streaming) the
+    landed-batch marker all land in one atomic replace."""
     import json
 
-    p = _store_meta_jpath(spark, base_dir)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(json.dumps(meta, indent=1, sort_keys=True).encode()))
-    finally:
-        out.close()
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    fsio.write_atomic(
+        spark,
+        f"{base_dir}/_store_meta.json",
+        json.dumps(meta, indent=1, sort_keys=True).encode(),
+    )
 
 
 def read_store_meta(spark: SparkSession, base_dir: str) -> dict | None:
@@ -342,18 +345,75 @@ def read_store_meta(spark: SparkSession, base_dir: str) -> dict | None:
     (a pre-metadata store, or a build that crashed before commit)."""
     import json
 
-    p = _store_meta_jpath(spark, base_dir)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    data = fsio.read_bytes(spark, f"{base_dir}/_store_meta.json")
+    return None if data is None else json.loads(data.decode())
+
+
+class ConcurrentAppendError(RuntimeError):
+    """An append lost the store's optimistic-concurrency race (another
+    writer claimed the commit slot first) or found an unresolved
+    earlier commit (a concurrent writer mid-append, or a crash nothing
+    has recovered yet). The store itself is untouched by the loser;
+    resolve with :func:`recover_floored_store` (CLI:
+    ``--fsck-store <dir> --repair``) and retry."""
+
+
+def _commit_marker(base_dir: str, version: int) -> str:
+    return f"{base_dir}/_commits/v{version:020d}.json"
+
+
+def _commit_stage(base_dir: str, version: int) -> str:
+    return f"{base_dir}/_stage/v{version:020d}"
+
+
+def claim_commit(
+    spark: SparkSession, base_dir: str, version: int, payload: dict
+) -> bool:
+    """Atomically claim commit slot ``version`` of a floored store
+    (create-if-absent of ``_commits/v{version}.json`` —
+    `fsio.create_exclusive`). Exactly one of any number of concurrent
+    claimants wins; the marker is the fence that makes
+    :func:`append_floored_index` safe under concurrency AND the
+    crash-evidence :func:`recover_floored_store` resolves: a marker
+    with ``version > meta["version"]`` is an append that claimed its
+    slot but never committed. Markers at or below the metadata version
+    are the store's commit log and are kept."""
+    import json
+
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    return fsio.create_exclusive(
+        spark,
+        _commit_marker(base_dir, version),
+        json.dumps(dict(payload, version=version), sort_keys=True).encode(),
+    )
+
+
+def pending_commit(spark: SparkSession, base_dir: str, meta: dict) -> dict | None:
+    """The unresolved commit marker (version ``meta["version"] + 1``)
+    if one exists, else None. Appends refuse to start while one is
+    pending, so at most one commit can ever be in flight — which is
+    what makes recovery's state analysis sound. A torn/unparseable
+    marker (crash mid-claim) still counts as pending; recovery rolls
+    it back without needing its content."""
+    import json
+
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    version = int(meta.get("version", 0)) + 1
+    data = fsio.read_bytes(spark, _commit_marker(base_dir, version))
+    if data is None:
         return None
-    stream = fs.open(p)
     try:
-        data = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    return json.loads(data.decode())
+        info = json.loads(data.decode())
+        if not isinstance(info, dict):
+            info = {}
+    except ValueError:
+        info = {}  # torn claim: pending, content unknown
+    info["version"] = version
+    return info
 
 
 def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -442,7 +502,15 @@ def write_floored_index(
     above = tagged.filter(F.col("_f") >= min_key_freq).drop("_f")
     if hashed_keys:
         above = above.withColumn("key_h", F.xxhash64("key"))
-    above.write.mode("error").parquet(f"{base_dir}/index")
+    # The index half is partitioned by COMMIT VERSION (`cv`): every
+    # append lands its postings under its own cv= directory, so rolling
+    # back a torn append (recover_floored_store) is one directory
+    # delete instead of a full index rewrite — and readers that want
+    # the clean posting schema go through read_floored_index, which
+    # drops the bookkeeping column.
+    above.withColumn("cv", F.lit(1)).write.partitionBy("cv").mode(
+        "error"
+    ).parquet(f"{base_dir}/index")
     (
         tagged.filter(F.col("_f") < min_key_freq)
         .drop("_f")
@@ -463,11 +531,19 @@ def write_floored_index(
             "min_key_freq": min_key_freq,
             "residual_buckets": residual_buckets,
             "hashed_keys": hashed_keys,
+            "version": 1,
             "landed_tables": sorted(
                 [s.name, s.table_id] for s in specs
             ),
         },
     )
+
+
+def read_floored_index(spark: SparkSession, base_dir: str) -> DataFrame:
+    """The queryable half of a floored store, with the commit-version
+    bookkeeping column dropped — what searches should read."""
+    df = spark.read.parquet(f"{base_dir}/index")
+    return df.drop("cv") if "cv" in df.columns else df
 
 
 def append_floored_index(
@@ -508,16 +584,22 @@ def append_floored_index(
     (the default) to just use the store's parameters. Pre-metadata
     stores fall back to the caller's values (both then required).
 
-    Partial-failure contract: postings append to ``index`` BEFORE the
-    residual buckets are rewritten, so a crash between the two leaves
-    crossing keys represented in both halves. Queries stay correct
-    (they read only ``index``, which is complete); the stale residual
-    rows are bookkeeping debt that the NEXT append repairs for free —
-    candidate postings are anti-joined against the index's key set
-    below, so a both-halves key is re-filed from its index rows only
-    and the bucket rewrite drops its stale residual rows. The reverse
-    order would instead lose postings on a crash (in neither half),
-    which no later append could detect.
+    Concurrency + crash contract (metadata-carrying stores): each
+    append runs under the store's COMMIT PROTOCOL. It first checks for
+    an unresolved earlier commit (refusing with
+    :class:`ConcurrentAppendError` — retrying into a torn store is
+    exactly how postings used to double-land, ADVICE r10), then
+    atomically claims the next commit slot (``_commits/v{N+1}.json``
+    via create-if-absent): of any number of concurrent appenders,
+    exactly one proceeds and the losers raise with the store untouched.
+    The mutation lands its index postings under ``cv={N+1}`` and stages
+    its residual rewrite on disk before swapping, so a crash at ANY
+    point is recoverable by :func:`recover_floored_store` — roll
+    forward once the staged rewrite is durable, bytewise roll back
+    before that — and the final metadata rename (version + landed
+    tables in one atomic replace) is the commit point. Queries stay
+    correct throughout: they read only ``index``, whose committed
+    ``cv=`` directories are never touched by an in-flight append.
     """
     meta = read_store_meta(spark, base_dir)
     if meta is not None:
@@ -544,6 +626,19 @@ def append_floored_index(
                 f"store: {dup} — re-appending would double-count their "
                 f"postings toward the floor ({base_dir})"
             )
+        version = int(meta.get("version", 0))
+        pend = pending_commit(spark, base_dir, meta)
+        if pend is not None:
+            raise ConcurrentAppendError(
+                f"append_floored_index: store {base_dir} has an "
+                f"unresolved commit v{pend['version']} "
+                f"(tables={pend.get('tables')}, "
+                f"batch_id={pend.get('batch_id')}): either a concurrent "
+                "appender is mid-commit, or a previous append crashed. "
+                "Run recover_floored_store (CLI: --fsck-store <dir> "
+                "--repair) before retrying — retrying blindly is what "
+                "used to double-land postings."
+            )
     else:
         if min_key_freq is None:
             raise ValueError(
@@ -554,19 +649,46 @@ def append_floored_index(
         if residual_buckets is None:
             residual_buckets = 32
     new_p = build_posting_index(spark, sf_dir, new_specs)
+    if meta is None:
+        # Pre-metadata store: no fencing is possible (nothing to CAS
+        # against) — legacy single-writer contract, unchanged.
+        append_floored_postings(
+            spark, new_p, base_dir, min_key_freq, residual_buckets, hashed=None
+        )
+        return
+    tables = sorted([s.name, s.table_id] for s in new_specs)
+    next_v = version + 1
+    # Optimistic-concurrency claim (VERDICT r10 #1): of two appenders
+    # that both read version N and both passed the landed-tables check,
+    # exactly one creates _commits/v{N+1}.json; the loser raises with
+    # the store untouched. An appender holding a STALE meta (a winner
+    # committed N+1 meanwhile) also loses here — rereading fresh meta
+    # is the retry path, and the landed-tables check then catches any
+    # overlap.
+    if not claim_commit(spark, base_dir, next_v, {"tables": tables}):
+        raise ConcurrentAppendError(
+            f"append_floored_index: lost the commit race for v{next_v} "
+            f"on {base_dir} — a concurrent appender claimed the slot "
+            "first (or this appender's metadata is stale). Re-read the "
+            "store and retry."
+        )
     append_floored_postings(
         spark,
         new_p,
         base_dir,
         min_key_freq,
         residual_buckets,
-        hashed=meta["hashed_keys"] if meta is not None else None,
+        hashed=meta["hashed_keys"],
+        commit_version=next_v,
+        commit_payload={"tables": tables},
     )
-    if meta is not None:
-        meta["landed_tables"] = sorted(
-            meta["landed_tables"] + [[s.name, s.table_id] for s in new_specs]
-        )
-        write_store_meta(spark, base_dir, meta)
+    meta["version"] = next_v
+    meta["landed_tables"] = sorted(meta["landed_tables"] + tables)
+    # one atomic rename = the commit point (version + landed log together)
+    write_store_meta(spark, base_dir, meta)
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    fsio.delete(spark, _commit_stage(base_dir, next_v))  # post-commit GC
 
 
 def append_floored_postings(
@@ -576,13 +698,29 @@ def append_floored_postings(
     min_key_freq: int,
     residual_buckets: int,
     hashed: bool | None = None,
+    commit_version: int | None = None,
+    commit_payload: dict | None = None,
 ) -> None:
     """The posting-level core of :func:`append_floored_index`: land an
     arbitrary batch of (key, table, column, row) postings into the
     index+residual store, keeping the lake-wide floor exact. Callers
     own batch disjointness (the table-level wrapper enforces it via the
     landed-table log; the streaming path via per-batch replay markers).
-    ``hashed=None`` detects the layout from the index's columns."""
+    ``hashed=None`` detects the layout from the index's columns.
+
+    ``commit_version`` (the slot the caller claimed via
+    :func:`claim_commit`) makes the mutation RECOVERABLE: the index
+    postings land under ``cv={version}`` so a torn append rolls back
+    with one directory delete, and the residual rewrite is staged under
+    ``_stage/v{version}`` where :func:`recover_floored_store` can find
+    it. ``commit_payload`` (tables / batch_id) rides inside the stage's
+    ``_COMPLETE`` flag so roll-forward can finalize the metadata even
+    if the claim marker itself tore. Without a commit version (legacy
+    pre-metadata stores) the rewrite is still staged on disk before any
+    old bucket is deleted — ADVICE r10: executor-memory staging would
+    lose the carried-over rows of untouched keys on any failure after
+    the deletes — but a crash then leaves the flat-layout store to the
+    NEXT append's self-repair anti-join instead of exact recovery."""
     from pyspark.sql import Window
 
     index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
@@ -634,16 +772,28 @@ def append_floored_postings(
         hashed = "key_h" in index.columns
     if hashed:  # hashed-layout store: keep it uniform
         to_index = to_index.withColumn("key_h", F.xxhash64("key"))
-    to_index.write.mode("append").parquet(index_dir)
+    if "cv" in index.columns and commit_version is None:
+        raise ValueError(
+            "append_floored_postings: store has the commit-versioned "
+            "index layout (cv= partitions); appends must go through the "
+            "commit protocol (claim_commit + commit_version) — a flat "
+            "append would corrupt the layout"
+        )
+    if commit_version is not None:
+        to_index = to_index.withColumn("cv", F.lit(int(commit_version)))
+        to_index.write.partitionBy("cv").mode("append").parquet(index_dir)
+    else:
+        to_index.write.mode("append").parquet(index_dir)
 
     # rewrite ONLY the residual buckets the touched keys hash to; rows
     # of untouched keys sharing those buckets are carried over. The
-    # rewrite set is staged BEFORE deleting the old buckets (the plan
-    # reads them lazily), and the touched buckets are deleted
-    # explicitly rather than via dynamic partition overwrite — dynamic
-    # mode only replaces partitions PRESENT in the output, so a bucket
-    # whose every key crossed the floor (empty output) would keep its
-    # stale rows and break the index/residual disjointness invariant.
+    # rewrite is staged TO DISK under _stage/ before any old bucket is
+    # deleted (ADVICE r10 — memory-staged blocks would lose carried
+    # rows on executor failure after the deletes), then swapped in per
+    # bucket. Touched buckets whose every key crossed the floor have no
+    # staged output and are delete-only — dynamic partition overwrite
+    # could not express that (it only replaces partitions PRESENT in
+    # the output) and would break the disjointness invariant.
     touched_kb = touched.select(
         F.pmod(F.xxhash64("key"), F.lit(residual_buckets)).alias("kb")
     ).distinct()
@@ -652,18 +802,167 @@ def append_floored_postings(
         .join(F.broadcast(touched), "key", "left_anti")
         .select(*new_p.columns)
     )
-    rewrite = truncate_lineage(
-        keep.unionByName(staying).withColumn(
-            "kb", F.pmod(F.xxhash64("key"), F.lit(residual_buckets))
-        )
+    rewrite = keep.unionByName(staying).withColumn(
+        "kb", F.pmod(F.xxhash64("key"), F.lit(residual_buckets))
     )
-    kb_list = [r["kb"] for r in touched_kb.collect()]  # bounded by B buckets
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for kb in kb_list:
-        p = jvm.org.apache.hadoop.fs.Path(f"{residual_dir}/kb={kb}")
-        p.getFileSystem(hconf).delete(p, True)
-    rewrite.write.partitionBy("kb").mode("append").parquet(residual_dir)
+    kb_list = [int(r["kb"]) for r in touched_kb.collect()]  # bounded by B
+    import uuid as _uuid
+
+    stage = (
+        _commit_stage(base_dir, commit_version)
+        if commit_version is not None
+        else f"{base_dir}/_stage/tmp-{_uuid.uuid4().hex}"
+    )
+    _stage_residual_rewrite(
+        spark,
+        base_dir,
+        stage,
+        rewrite,
+        kb_list,
+        commit_payload,
+        cleanup=commit_version is None,
+    )
+
+
+def _stage_residual_rewrite(
+    spark: SparkSession,
+    base_dir: str,
+    stage: str,
+    rewrite: DataFrame,
+    kb_list: list[int],
+    commit_payload: dict | None = None,
+    cleanup: bool = True,
+) -> None:
+    """Materialize the residual-bucket rewrite under ``stage``, flag it
+    complete (with the kb swap-lists + the commit payload, so recovery
+    is self-describing even if the claim marker tore), and swap the
+    staged buckets into place. Each step is idempotent / resumable —
+    :func:`recover_floored_store` re-enters at the swap.
+
+    ``cleanup=False`` (the commit-protocol path) leaves the stage on
+    disk: the ``_COMPLETE`` flag is the roll-FORWARD evidence, and it
+    must survive until the metadata rename commits — deleting it
+    earlier would make a crash in the swap-done→finalize window look
+    like a pre-stage crash, and rolling that back cannot restore the
+    already-swapped residual buckets (postings of crossing keys would
+    vanish from both halves). The committing caller deletes the stage
+    AFTER its metadata rename; fsck garbage-collects stages of
+    already-committed versions that a crash right after the rename
+    left behind."""
+    import json
+
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    rewrite.write.partitionBy("kb").mode("error").parquet(f"{stage}/residual")
+    staged = {
+        int(name.split("=", 1)[1])
+        for name in fsio.listdir(spark, f"{stage}/residual")
+        if name.startswith("kb=")
+    }
+    flag = dict(commit_payload or {})
+    flag["kb_replace"] = sorted(staged)
+    flag["kb_delete"] = sorted(set(kb_list) - staged)
+    fsio.write_atomic(spark, f"{stage}/_COMPLETE", json.dumps(flag).encode())
+    _finish_residual_swap(spark, base_dir, stage, flag)
+    if cleanup:
+        fsio.delete(spark, stage)
+
+
+def _finish_residual_swap(
+    spark: SparkSession, base_dir: str, stage: str, flag: dict
+) -> None:
+    """Swap staged residual buckets into place. Resumable: delete-only
+    buckets re-delete (no-op), replace buckets are skipped once their
+    staged directory is gone (i.e. already swapped) — so a crash at any
+    point mid-swap is finished by running this again."""
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    residual_dir = f"{base_dir}/residual"
+    fsio.mkdirs(spark, residual_dir)
+    for kb in flag.get("kb_delete", []):
+        fsio.delete(spark, f"{residual_dir}/kb={kb}")
+    for kb in flag.get("kb_replace", []):
+        src = f"{stage}/residual/kb={kb}"
+        if not fsio.exists(spark, src):
+            continue  # already swapped by a previous attempt
+        fsio.delete(spark, f"{residual_dir}/kb={kb}")
+        if not fsio.rename(spark, src, f"{residual_dir}/kb={kb}"):
+            raise IOError(
+                f"residual swap: rename {src} -> {residual_dir}/kb={kb} failed"
+            )
+
+
+def recover_floored_store(spark: SparkSession, base_dir: str) -> dict:
+    """Resolve an interrupted append on a commit-protocol floored store
+    (the pending marker :func:`pending_commit` reports), restoring the
+    store to a committed, invariant-clean state. Decision rule, from
+    the durable evidence the protocol leaves behind:
+
+    - stage ``_COMPLETE`` flag present → the index append finished and
+      the residual rewrite is fully materialized on disk: **roll
+      forward** — finish the (resumable) bucket swap, finalize the
+      metadata from the payload the flag carries (landed tables /
+      batch id + version), exactly as the crashed appender would have.
+    - no ``_COMPLETE`` flag → the append died before its rewrite was
+      durable: **roll back** — delete the partial stage and the torn
+      append's ``cv={version}`` index directory (every posting the
+      append landed, including the re-filed residual copies of
+      crossing keys, lives there and nowhere else; the residual half
+      is untouched before the swap starts), then release the claim
+      marker so a retry can re-claim the slot. The store is bytewise
+      back to its pre-append state.
+
+    Idempotent and itself crash-safe: every step re-runs cleanly, and
+    re-invoking on a healthy store is a no-op (``action: "none"``).
+    Returns ``{"action": "none" | "rolled_forward" | "rolled_back",
+    "version": ...}``.
+    """
+    import json
+
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    meta = read_store_meta(spark, base_dir)
+    if meta is None:
+        raise ValueError(
+            f"recover_floored_store: {base_dir} has no _store_meta.json "
+            "(pre-metadata store or torn initial build — nothing to "
+            "recover; rebuild with write_floored_index)"
+        )
+    pend = pending_commit(spark, base_dir, meta)
+    if pend is None:
+        return {"action": "none", "version": int(meta.get("version", 0))}
+    v = pend["version"]
+    stage = _commit_stage(base_dir, v)
+    flag_raw = fsio.read_bytes(spark, f"{stage}/_COMPLETE")
+    flag = None
+    if flag_raw is not None:
+        try:
+            flag = json.loads(flag_raw.decode())
+        except ValueError:
+            flag = None  # torn flag: the stage is not trustworthy
+    if flag is not None:
+        _finish_residual_swap(spark, base_dir, stage, flag)
+        # stage is deleted only AFTER the metadata rename below: the
+        # _COMPLETE flag is the roll-forward evidence, and a crash
+        # inside this very recovery must still roll forward on retry.
+        if flag.get("tables"):
+            meta["landed_tables"] = sorted(
+                meta["landed_tables"] + [list(t) for t in flag["tables"]]
+            )
+        if flag.get("batch_id") is not None:
+            meta["landed_batches"] = sorted(
+                set(meta.get("landed_batches", [])) | {int(flag["batch_id"])}
+            )
+        meta["version"] = v
+        write_store_meta(spark, base_dir, meta)
+        fsio.delete(spark, stage)
+        return {"action": "rolled_forward", "version": v}
+    # roll back: the cv= directory holds exactly the torn append's rows
+    fsio.delete(spark, f"{base_dir}/index/cv={v}")
+    fsio.delete(spark, f"{base_dir}/index/_temporary")  # aborted-job debris
+    fsio.delete(spark, stage)
+    fsio.delete(spark, _commit_marker(base_dir, v))
+    return {"action": "rolled_back", "version": int(meta.get("version", 0))}
 
 
 def fsck_floored_store(
@@ -689,8 +988,22 @@ def fsck_floored_store(
       module's code paths (reported, never auto-repaired: they imply
       external mutation, and moving rows on that evidence could lose
       data).
+    - ``duplicate_postings`` — (key, table, column, row) tuples with
+      multiplicity > 1 in the index half. A posting is one cell of one
+      lake row, unique by construction, so ANY multiplicity means the
+      same batch landed twice (the replay artifact ADVICE r10 flagged;
+      the commit protocol prevents it going forward, this makes it
+      detectable on any store). Reported, never auto-repaired here —
+      ``recover_floored_store`` is the sanctioned path for torn
+      commits, and external double-lands need operator judgment.
+    - ``pending_commit`` — an unresolved claim marker (crash or
+      in-flight concurrent appender). With ``repair=True`` it is
+      resolved FIRST via :func:`recover_floored_store` (roll forward
+      if the staged rewrite completed, else roll back), and the
+      remaining checks run on the recovered store.
 
-    Returns the counts plus ``repaired`` (rows dropped).
+    Returns the counts plus ``repaired_rows`` (residual rows dropped)
+    and ``recovery`` (the recovery report, when one ran).
     """
     meta = read_store_meta(spark, base_dir)
     if meta is None:
@@ -698,17 +1011,49 @@ def fsck_floored_store(
             f"fsck_floored_store: {base_dir} has no _store_meta.json "
             "(pre-metadata store or torn build)"
         )
-    index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
-    index = _read_parquet_or_none(spark, index_dir)
-    residual = _read_parquet_or_none(spark, residual_dir)
     out = {
         "double_represented_keys": 0,
         "subfloor_in_index": 0,
         "overfloor_in_residual": 0,
+        "duplicate_postings": 0,
+        "pending_commit": None,
+        "recovery": None,
         "repaired_rows": 0,
     }
+    pend = pending_commit(spark, base_dir, meta)
+    if pend is not None:
+        out["pending_commit"] = pend["version"]
+        if repair:
+            out["recovery"] = recover_floored_store(spark, base_dir)
+            out["pending_commit"] = None
+            meta = read_store_meta(spark, base_dir)
+    if repair:
+        # GC stages of already-committed versions: a crash after the
+        # metadata rename but before the appender's post-commit cleanup
+        # leaves the (now-redundant) stage behind. Never touches the
+        # pending version's stage — recovery above owns that.
+        from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+        committed = int(meta.get("version", 0))
+        for name in fsio.listdir(spark, f"{base_dir}/_stage"):
+            if name.startswith("v"):
+                try:
+                    k = int(name[1:])
+                except ValueError:
+                    continue
+                if k <= committed:
+                    fsio.delete(spark, f"{base_dir}/_stage/{name}")
+    index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
+    index = _read_parquet_or_none(spark, index_dir)
+    residual = _read_parquet_or_none(spark, residual_dir)
     floor = meta["min_key_freq"]
     if index is not None:
+        out["duplicate_postings"] = (
+            index.groupBy("key", "table", "column", "row")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") > 1)
+            .count()
+        )
         out["subfloor_in_index"] = (
             index.groupBy("key")
             .agg(F.count(F.lit(1)).alias("_f"))
@@ -739,19 +1084,28 @@ def fsck_floored_store(
     bad_kb = dup_keys.select(
         F.pmod(F.xxhash64("key"), F.lit(buckets)).alias("kb")
     ).distinct()
-    keep = truncate_lineage(
-        residual.join(F.broadcast(bad_kb), "kb", "left_semi")
-        .join(F.broadcast(dup_keys), "key", "left_anti")
+    keep = residual.join(F.broadcast(bad_kb), "kb", "left_semi").join(
+        F.broadcast(dup_keys), "key", "left_anti"
     )
     out["repaired_rows"] = (
         residual.join(F.broadcast(dup_keys), "key", "left_semi").count()
     )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for r in bad_kb.collect():  # bounded by the bucket modulus
-        p = jvm.org.apache.hadoop.fs.Path(f"{residual_dir}/kb={r['kb']}")
-        p.getFileSystem(hconf).delete(p, True)
-    keep.write.partitionBy("kb").mode("append").parquet(residual_dir)
+    kb_list = [int(r["kb"]) for r in bad_kb.collect()]  # bounded by B
+    import uuid as _uuid
+
+    # same staged-swap discipline as the append (ADVICE r10): the kept
+    # rows are durable on disk under _stage/ before any kb= directory
+    # is deleted, so a failure mid-repair cannot lose untouched
+    # sub-floor rows sharing those buckets.
+    _stage_residual_rewrite(
+        spark,
+        base_dir,
+        f"{base_dir}/_stage/fsck-{_uuid.uuid4().hex}",
+        keep.drop("kb").withColumn(
+            "kb", F.pmod(F.xxhash64("key"), F.lit(buckets))
+        ),
+        kb_list,
+    )
     return out
 
 

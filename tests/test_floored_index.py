@@ -17,6 +17,7 @@ from multi_attribute_join_search_with_mapreduce_spark.index import (
     WIDE_LAKE_TABLES,
     append_floored_index,
     build_posting_index,
+    read_floored_index,
     write_floored_index,
 )
 from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
@@ -43,7 +44,7 @@ def test_floored_append_equals_full_rebuild(spark, sf_dir):
         tuple(s for s in WIDE_LAKE_TABLES if s.name == "documents"),
         FLOOR,
     )
-    got = spark.read.parquet(f"{base}/index")
+    got = read_floored_index(spark, base)
     want = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES, min_key_freq=FLOOR)
     _assert_same_rows(got, want)
     # residual = unfloored minus floored; index/residual keys disjoint
@@ -69,12 +70,12 @@ def test_floor_crossing_across_appends(spark, sf_dir):
     write_floored_index(spark, sf_dir, base, dims, FLOOR)
     append_floored_index(spark, sf_dir, base, events, FLOOR)
     _assert_same_rows(
-        spark.read.parquet(f"{base}/index"),
+        read_floored_index(spark, base),
         build_posting_index(spark, sf_dir, dims + events, min_key_freq=FLOOR),
     )
     append_floored_index(spark, sf_dir, base, docs, FLOOR)
     _assert_same_rows(
-        spark.read.parquet(f"{base}/index"),
+        read_floored_index(spark, base),
         build_posting_index(
             spark, sf_dir, dims + events + docs, min_key_freq=FLOOR
         ),
@@ -120,7 +121,7 @@ def test_floored_append_randomized_lakes_equal_rebuild(spark):
                 spark, lake, tuple(landed), min_key_freq=floor
             )
             try:
-                got = spark.read.parquet(f"{base}/index")
+                got = read_floored_index(spark, base)
             except Exception:  # still-empty index dir: schema uninferable
                 got = spark.createDataFrame([], want.schema)
             assert got.exceptAll(want).count() == 0, f"seed={seed}"
@@ -150,7 +151,7 @@ def test_floored_store_hashed_layout(spark, sf_dir):
     docs_spec = tuple(s for s in WIDE_LAKE_TABLES if s.name == "documents")
     write_floored_index(spark, sf_dir, base, initial, FLOOR, hashed_keys=True)
     append_floored_index(spark, sf_dir, base, docs_spec, FLOOR)
-    got = spark.read.parquet(f"{base}/index")
+    got = read_floored_index(spark, base)
     assert "key_h" in got.columns
     # layout uniform: every row carries its hash, appended rows included
     assert got.filter(F.col("key_h") != F.xxhash64("key")).count() == 0
@@ -184,6 +185,7 @@ def test_store_meta_written_validated_and_updated(spark, sf_dir):
         "min_key_freq": FLOOR,
         "residual_buckets": 16,
         "hashed_keys": False,
+        "version": 1,
         "landed_tables": sorted([s.name, s.table_id] for s in initial),
     }
     with pytest.raises(ValueError, match="residual_buckets=32 conflicts"):
@@ -201,7 +203,7 @@ def test_store_meta_written_validated_and_updated(spark, sf_dir):
         [s.name, s.table_id] for s in initial + events
     )
     _assert_same_rows(
-        spark.read.parquet(f"{base}/index"),
+        read_floored_index(spark, base),
         build_posting_index(spark, sf_dir, initial + events, min_key_freq=FLOOR),
     )
 
@@ -229,7 +231,7 @@ def test_append_repairs_partial_failure_double_representation(spark, sf_dir):
     s1 = TableSpec("t1", 2, "pk", ("s0",))
     base = os.path.join(scratch_dir("majs_floored_repair_"), "store")
     write_floored_index(spark, lake, base, (s0,), FLOOR)
-    index = spark.read.parquet(f"{base}/index")
+    index = read_floored_index(spark, base)
     # stale rows: re-file the index postings of "x" (touched by t1's
     # append) into the residual store — the exact state an interrupted
     # append leaves behind.
@@ -242,7 +244,7 @@ def test_append_repairs_partial_failure_double_representation(spark, sf_dir):
         .parquet(f"{base}/residual")
     )
     append_floored_index(spark, lake, base, (s1,))
-    got = spark.read.parquet(f"{base}/index")
+    got = read_floored_index(spark, base)
     want = build_posting_index(spark, lake, (s0, s1), min_key_freq=FLOOR)
     _assert_same_rows(got, want)
     # the stale residual rows of touched keys were dropped, not re-filed
@@ -263,7 +265,9 @@ def test_append_raises_on_corrupt_index_not_empty(spark, sf_dir, tmp_path):
     dims = tuple(s for s in WIDE_LAKE_TABLES if s.name not in ("events", "documents"))
     events = tuple(s for s in WIDE_LAKE_TABLES if s.name == "events")
     write_floored_index(spark, sf_dir, base, dims, FLOOR)
-    bad = os.path.join(base, "index", "part-corrupt.parquet")
+    # inside the cv=1 partition directory, where reads actually look —
+    # a root-level stray is ignored by partition discovery by design
+    bad = os.path.join(base, "index", "cv=1", "part-corrupt.parquet")
     with open(bad, "wb") as fh:
         fh.write(b"not a parquet file")
     with pytest.raises(Exception) as exc_info:
@@ -292,7 +296,7 @@ def test_empty_hashed_store_stays_hashed_via_meta(spark):
     base = os.path.join(scratch_dir("majs_floored_eh_"), "store")
     write_floored_index(spark, lake, base, (s0,), 2, hashed_keys=True)
     append_floored_index(spark, lake, base, (s1,))
-    got = spark.read.parquet(f"{base}/index")
+    got = read_floored_index(spark, base)
     assert "key_h" in got.columns
     assert got.filter(F.col("key_h") != F.xxhash64("key")).count() == 0
     _assert_same_rows(
@@ -347,7 +351,7 @@ def test_residual_rewrite_touches_only_new_key_buckets(spark, sf_dir):
         assert after.get(d) == v, f"untouched residual bucket {d} was rewritten"
     # and the maintained index is still exact
     _assert_same_rows(
-        spark.read.parquet(f"{base}/index"),
+        read_floored_index(spark, base),
         build_posting_index(spark, sf_dir, LAKE_TABLES, min_key_freq=FLOOR),
     )
 
@@ -376,10 +380,13 @@ def test_fsck_floored_store_reports_and_repairs(spark):
         "double_represented_keys": 0,
         "subfloor_in_index": 0,
         "overfloor_in_residual": 0,
+        "duplicate_postings": 0,
+        "pending_commit": None,
+        "recovery": None,
         "repaired_rows": 0,
     }
     # plant the crash artifact: index rows of "x" re-filed into residual
-    index = spark.read.parquet(f"{base}/index")
+    index = read_floored_index(spark, base)
     stale = index.filter(F.col("key") == "x")
     (
         stale.withColumn("kb", F.pmod(F.xxhash64("key"), F.lit(32)))
@@ -400,3 +407,303 @@ def test_fsck_floored_store_reports_and_repairs(spark):
         "zz", "qq"
     }
     assert fsck_floored_store(spark, base)["double_represented_keys"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Commit protocol: optimistic concurrency + crash recovery (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _mini_lake(spark, prefix):
+    """Three tiny tables engineered so keys cross the floor only as
+    tables combine (t0 alone leaves everything residual except 'x')."""
+    from multi_attribute_join_search_with_mapreduce_spark.index import TableSpec
+
+    lake = os.path.join(scratch_dir(prefix), "lake")
+    os.makedirs(lake)
+    spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "zz"), (4, "qq")], ["pk", "s0"]
+    ).write.parquet(f"{lake}/t0.parquet")
+    spark.createDataFrame(
+        [(1, "zz"), (2, "b"), (3, "b"), (4, "x")], ["pk", "s0"]
+    ).write.parquet(f"{lake}/t1.parquet")
+    spark.createDataFrame(
+        [(1, "qq"), (2, "b"), (3, "new")], ["pk", "s0"]
+    ).write.parquet(f"{lake}/t2.parquet")
+    specs = tuple(TableSpec(f"t{i}", i + 1, "pk", ("s0",)) for i in range(3))
+    return lake, specs
+
+
+def _store_equals_rebuild(spark, lake, base, specs, floor=FLOOR):
+    got = read_floored_index(spark, base)
+    want = build_posting_index(spark, lake, specs, min_key_freq=floor)
+    _assert_same_rows(got, want)
+    unfloored = build_posting_index(spark, lake, specs)
+    residual = spark.read.parquet(f"{base}/residual").drop("kb")
+    _assert_same_rows(got.unionByName(residual), unfloored)
+    assert (
+        got.select("key").join(residual.select("key"), "key", "left_semi").count()
+        == 0
+    )
+
+
+def test_concurrent_append_exactly_one_wins(spark):
+    """Two appenders racing the same commit slot: exactly one wins the
+    create-exclusive claim, the loser raises ConcurrentAppendError with
+    the store untouched, fsck stays clean, and the loser's retry (the
+    documented response: re-read and re-run) lands its table cleanly."""
+    import threading
+
+    import multi_attribute_join_search_with_mapreduce_spark.index as idx
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        ConcurrentAppendError,
+        fsck_floored_store,
+    )
+
+    lake, specs = _mini_lake(spark, "majs_ccr_race_")
+    base = os.path.join(scratch_dir("majs_ccr_race_"), "store")
+    write_floored_index(spark, lake, base, specs[:1], FLOOR)
+
+    barrier = threading.Barrier(2, timeout=60)
+    orig_claim = idx.claim_commit
+
+    def racing_claim(spark_, base_, version_, payload_):
+        barrier.wait()  # both appenders arrive with version read = 1
+        return orig_claim(spark_, base_, version_, payload_)
+
+    results: dict[str, BaseException | None] = {}
+
+    def run(name, spec):
+        try:
+            append_floored_index(spark, lake, base, (spec,))
+            results[name] = None
+        except BaseException as exc:  # noqa: BLE001 - recorded for assert
+            results[name] = exc
+
+    try:
+        idx.claim_commit = racing_claim
+        t1 = threading.Thread(target=run, args=("a", specs[1]))
+        t2 = threading.Thread(target=run, args=("b", specs[2]))
+        t1.start(); t2.start(); t1.join(60); t2.join(60)
+    finally:
+        idx.claim_commit = orig_claim
+
+    errs = [v for v in results.values() if v is not None]
+    assert len(errs) == 1, f"exactly one loser expected, got {results}"
+    assert isinstance(errs[0], ConcurrentAppendError)
+    report = fsck_floored_store(spark, base)
+    assert report["pending_commit"] is None
+    assert report["double_represented_keys"] == 0
+    assert report["duplicate_postings"] == 0
+    # loser retries with fresh metadata: lands cleanly
+    loser_spec = specs[1] if results["a"] is not None else specs[2]
+    append_floored_index(spark, lake, base, (loser_spec,))
+    _store_equals_rebuild(spark, lake, base, specs)
+
+
+def test_stale_appender_rejected_and_pending_marker_fences(spark):
+    """(a) An appender whose metadata snapshot is stale (a winner
+    committed meanwhile) loses the claim race instead of corrupting the
+    floor. (b) While an unresolved marker is pending, every new append
+    refuses up front — the blind-retry double-land ADVICE r10 described
+    is structurally impossible."""
+    import pytest
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        ConcurrentAppendError,
+        claim_commit,
+        read_store_meta,
+        recover_floored_store,
+    )
+
+    lake, specs = _mini_lake(spark, "majs_ccr_stale_")
+    base = os.path.join(scratch_dir("majs_ccr_stale_"), "store")
+    write_floored_index(spark, lake, base, specs[:1], FLOOR)
+    stale_meta = read_store_meta(spark, base)  # version 1 snapshot
+    append_floored_index(spark, lake, base, (specs[1],))  # commits v2
+    # (a) the stale appender's claim of v2 must lose
+    assert (
+        claim_commit(spark, base, stale_meta["version"] + 1, {"tables": []})
+        is False
+    )
+    # (b) an abandoned claim (crash evidence) fences all appends
+    assert claim_commit(spark, base, 3, {"tables": [["t2", 3]]}) is True
+    with pytest.raises(ConcurrentAppendError, match="unresolved commit"):
+        append_floored_index(spark, lake, base, (specs[2],))
+    # recovery rolls the (mutation-less) claim back; append then lands
+    assert recover_floored_store(spark, base)["action"] == "rolled_back"
+    append_floored_index(spark, lake, base, (specs[2],))
+    _store_equals_rebuild(spark, lake, base, specs)
+
+
+def test_crash_before_stage_complete_rolls_back(spark):
+    """Crash after the index append but before the staged rewrite is
+    durable: recovery rolls the torn append back BYTEWISE (the cv=
+    directory holds exactly its rows; residual untouched), the retry
+    lands cleanly, and the result equals the full rebuild."""
+    import pytest
+
+    import multi_attribute_join_search_with_mapreduce_spark.index as idx
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        fsck_floored_store,
+        recover_floored_store,
+    )
+
+    lake, specs = _mini_lake(spark, "majs_ccr_rb_")
+    base = os.path.join(scratch_dir("majs_ccr_rb_"), "store")
+    write_floored_index(spark, lake, base, specs[:1], FLOOR)
+    pre_index = read_floored_index(spark, base).collect()
+
+    orig = idx._stage_residual_rewrite
+
+    def crash(*a, **k):
+        raise RuntimeError("injected crash before stage")
+
+    idx._stage_residual_rewrite = crash
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            append_floored_index(spark, lake, base, (specs[1],))
+    finally:
+        idx._stage_residual_rewrite = orig
+
+    report = fsck_floored_store(spark, base)
+    assert report["pending_commit"] == 2
+    rec = recover_floored_store(spark, base)
+    assert rec["action"] == "rolled_back"
+    # bytewise back: same index rows, clean fsck, version unchanged
+    assert sorted(map(tuple, read_floored_index(spark, base).collect())) == sorted(
+        map(tuple, pre_index)
+    )
+    clean = fsck_floored_store(spark, base)
+    assert clean["pending_commit"] is None
+    assert clean["double_represented_keys"] == 0
+    append_floored_index(spark, lake, base, (specs[1],))
+    append_floored_index(spark, lake, base, (specs[2],))
+    _store_equals_rebuild(spark, lake, base, specs)
+
+
+def test_crash_mid_swap_rolls_forward(spark):
+    """Crash after the staged rewrite is durable, partway through the
+    bucket swap: recovery ROLLS FORWARD — finishes the (resumable)
+    swap and finalizes the metadata exactly as the crashed appender
+    would have. The maintained store equals the full rebuild."""
+    import pytest
+
+    import multi_attribute_join_search_with_mapreduce_spark.index as idx
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        fsck_floored_store,
+        read_store_meta,
+        recover_floored_store,
+    )
+
+    lake, specs = _mini_lake(spark, "majs_ccr_rf_")
+    base = os.path.join(scratch_dir("majs_ccr_rf_"), "store")
+    write_floored_index(spark, lake, base, specs[:1], FLOOR)
+
+    orig = idx._finish_residual_swap
+
+    def partial_swap(spark_, base_, stage_, flag_):
+        # swap at most one replace-bucket, then die mid-window
+        first = dict(
+            flag_,
+            kb_replace=flag_.get("kb_replace", [])[:1],
+            kb_delete=[],
+        )
+        orig(spark_, base_, stage_, first)
+        raise RuntimeError("injected crash mid-swap")
+
+    idx._finish_residual_swap = partial_swap
+    try:
+        with pytest.raises(RuntimeError, match="mid-swap"):
+            append_floored_index(spark, lake, base, (specs[1],))
+    finally:
+        idx._finish_residual_swap = orig
+
+    rec = recover_floored_store(spark, base)
+    assert rec["action"] == "rolled_forward"
+    meta = read_store_meta(spark, base)
+    assert meta["version"] == 2
+    assert ["t1", 2] in meta["landed_tables"]
+    clean = fsck_floored_store(spark, base)
+    assert clean["double_represented_keys"] == 0
+    assert clean["overfloor_in_residual"] == 0
+    _store_equals_rebuild(spark, lake, base, specs[:2])
+    # and the NEXT append proceeds normally on the recovered store
+    append_floored_index(spark, lake, base, (specs[2],))
+    _store_equals_rebuild(spark, lake, base, specs)
+
+
+def test_streaming_crash_between_append_and_marker(spark):
+    """VERDICT r10 #4: kill the streaming floored ingest between the
+    posting append and the metadata commit, replay the batch (what
+    foreachBatch does after restart), and prove the maintained store
+    still hash-equals the batch rebuild — the double-land window the
+    old replay guard left open is closed by the commit protocol."""
+    import pytest
+
+    import multi_attribute_join_search_with_mapreduce_spark.index as idx
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        TableSpec,
+        fsck_floored_store,
+        read_store_meta,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        _floored_ingest_batch,
+    )
+
+    lake, specs = _mini_lake(spark, "majs_ccr_stream_")
+    base = os.path.join(scratch_dir("majs_ccr_stream_"), "store")
+    write_floored_index(spark, lake, base, specs[:1], FLOOR)
+    t1 = spark.read.parquet(f"{lake}/t1.parquet")
+    t2 = spark.read.parquet(f"{lake}/t2.parquet")
+    # batch 0 lands normally
+    _floored_ingest_batch(spark, base, specs[1], t1, 0)
+    assert read_store_meta(spark, base)["landed_batches"] == [0]
+
+    # batch 1 crashes AFTER the mutation, BEFORE the metadata commit
+    orig = idx.write_store_meta
+
+    def crash_once(spark_, base_, meta_):
+        idx.write_store_meta = orig
+        raise RuntimeError("injected crash before metadata commit")
+
+    idx.write_store_meta = crash_once
+    try:
+        with pytest.raises(RuntimeError, match="before metadata commit"):
+            _floored_ingest_batch(spark, base, specs[2], t2, 1)
+    finally:
+        idx.write_store_meta = orig
+
+    # replay after restart: auto-recovers (roll forward — the rewrite
+    # was durable), then sees the batch landed and no-ops; a second
+    # replay is also a no-op. No duplicate postings either way.
+    _floored_ingest_batch(spark, base, specs[2], t2, 1)
+    _floored_ingest_batch(spark, base, specs[2], t2, 1)
+    meta = read_store_meta(spark, base)
+    assert meta["landed_batches"] == [0, 1]
+    clean = fsck_floored_store(spark, base)
+    assert clean["duplicate_postings"] == 0
+    assert clean["double_represented_keys"] == 0
+    assert clean["pending_commit"] is None
+    _store_equals_rebuild(spark, lake, base, specs)
+
+
+def test_fsck_detects_duplicate_postings(spark):
+    """ADVICE r10: duplicated postings (the replay artifact the old
+    fsck could not see) are now detectable — a posting is one cell of
+    one lake row, so any (key, table, column, row) multiplicity > 1 in
+    the index half is corruption."""
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        fsck_floored_store,
+    )
+
+    lake, specs = _mini_lake(spark, "majs_ccr_dup_")
+    base = os.path.join(scratch_dir("majs_ccr_dup_"), "store")
+    write_floored_index(spark, lake, base, specs, FLOOR)
+    assert fsck_floored_store(spark, base)["duplicate_postings"] == 0
+    # simulate an external double-land: re-append one committed row
+    idx_df = spark.read.parquet(f"{base}/index")
+    idx_df.limit(1).write.partitionBy("cv").mode("append").parquet(
+        f"{base}/index"
+    )
+    assert fsck_floored_store(spark, base)["duplicate_postings"] == 1

@@ -364,6 +364,7 @@ def test_stream_floored_index_equals_full_rebuild(spark, sf_dir):
     from multi_attribute_join_search_with_mapreduce_spark.index import (
         WIDE_LAKE_TABLES,
         build_posting_index,
+        read_floored_index,
         read_store_meta,
     )
     from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
@@ -375,7 +376,7 @@ def test_stream_floored_index_equals_full_rebuild(spark, sf_dir):
     stream_floored_index_ingest(spark, sf_dir).collect()
     after = set(glob.glob("/tmp/majs_scratch_*/majs_stream_flidx_*"))
     (base,) = sorted(after - before)
-    got = spark.read.parquet(f"{base}/store/index")
+    got = read_floored_index(spark, f"{base}/store")
     want = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES, min_key_freq=2)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0

@@ -1543,6 +1543,7 @@ ORDER BY doc_id
 # pipeline is integer arithmetic — no float boundary can flip a pair in
 # or out between Spark and the oracle.
 _SSJ_NUM, _SSJ_DEN = 1, 2
+_SSJ_SAMPLE_MOD = 10  # sampled-pair self-check: ~1/10 docs, ~1/100 pairs
 
 
 def set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -1629,7 +1630,7 @@ def set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
 
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return (
+    out = (
         cands.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .filter(_SSJ_DEN * inter >= _SSJ_NUM * union)
@@ -1638,6 +1639,60 @@ def set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
             "doc_b",
             F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
+    )
+
+    # Sampled-pair EXACT verification (VERDICT r10 #2): the prefix
+    # filter's losslessness holds by theorem, but at bench scale the
+    # claim is now also checked against DATA, in-plan: a deterministic
+    # md5 sample of ~1/MOD of the docs (→ ~1/MOD² of all pairs) is
+    # brute-forced exactly — broadcast nested-loop over the sample
+    # slice, which is bounded by construction (shrink 1/MOD as n grows
+    # to keep the check O(n²/MOD²) constant) — and the symmetric
+    # difference against the join's output restricted to sampled pairs
+    # must be EMPTY: a pruned qualifying pair (false negative) or a
+    # surviving non-pair (false positive) flips ``sample_verified`` on
+    # every output row, and the driver's hash gate turns red (the
+    # ``pq_adc_search`` recall_ok pattern, `similarity.py`).
+    in_sample = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % _SSJ_SAMPLE_MOD
+        == 0
+    )
+    sample = sets.filter(in_sample)
+    sa = sample.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sample.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    s_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    s_union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - s_inter
+    brute_pairs = (
+        sa.crossJoin(F.broadcast(sb))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(_SSJ_DEN * s_inter >= _SSJ_NUM * s_union)
+        .select("doc_a", "doc_b")
+    )
+    ids_a = sample.select(F.col("doc_id").alias("doc_a"))
+    ids_b = sample.select(F.col("doc_id").alias("doc_b"))
+    out_pairs = (
+        out.join(F.broadcast(ids_a), "doc_a", "left_semi")
+        .join(F.broadcast(ids_b), "doc_b", "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    mismatches = (
+        brute_pairs.withColumn("_brute", F.lit(1))
+        .join(
+            out_pairs.withColumn("_join", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "full_outer",
+        )
+        .filter(F.col("_brute").isNull() | F.col("_join").isNull())
+        .agg(F.count(F.lit(1)).alias("_bad"))
+    )
+    return out.crossJoin(F.broadcast(mismatches)).select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        (F.col("_bad") == 0).alias("sample_verified"),
     )
 
 
@@ -1652,7 +1707,8 @@ scored AS (
     len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard,
+  TRUE AS sample_verified
 FROM scored WHERE {_SSJ_DEN} * inter >= {_SSJ_NUM} * uni
 """
 

@@ -193,11 +193,13 @@ def write_bucketed_table(
     warehouse directory survives, so drop both before writing.
     """
     spark.sql(f"DROP TABLE IF EXISTS `{out_table}`")
-    jvm = spark._jvm
-    stale = jvm.org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), out_table.lower()
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    fsio.delete(
+        spark,
+        f"{spark.conf.get('spark.sql.warehouse.dir').rstrip('/')}/"
+        f"{out_table.lower()}",
     )
-    stale.getFileSystem(spark._jsc.hadoopConfiguration()).delete(stale, True)
     (
         df.write.mode("overwrite")
         .bucketBy(buckets, key)

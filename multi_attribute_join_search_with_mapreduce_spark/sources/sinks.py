@@ -423,6 +423,20 @@ def _derby_db_url(spark: SparkSession) -> str:
 
     if _DERBY_DB:
         return _DERBY_DB[0]
+    try:
+        jvm_ok = spark._jvm is not None
+    except Exception:
+        jvm_ok = False
+    if not jvm_ok:
+        # Spark Connect: there is no in-process JVM to host the engine.
+        # Degrade LOUDLY — the JDBC connector itself (sources/lake.py)
+        # is Connect-compatible against any networked database; only
+        # this embedded test fixture is classic-session-only.
+        raise RuntimeError(
+            "embedded Derby fixture requires a classic (non-Connect) "
+            "session: the in-process JVM hosts the database engine. "
+            "Point the JDBC connector at a networked database instead."
+        )
     scratch = scratch_dir("majs_jdbc_")
     # Keep Derby's engine-wide side files (derby.log) in the scratch
     # dir, not the process cwd. Only honored on the FIRST engine boot

@@ -770,16 +770,16 @@ def _append_bands_bucketed(bands: DataFrame, tbl: str, location: str, batch_id: 
     so the old guard was bypassed entirely and duplicate-appended).
     """
     spark = bands.sparkSession
-    jvm = spark._jvm
-    part = jvm.org.apache.hadoop.fs.Path(f"{location}/batch={batch_id}")
-    marker = jvm.org.apache.hadoop.fs.Path(f"{location}/batch={batch_id}/_majs_committed")
-    fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(marker):
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    part = f"{location}/batch={batch_id}"
+    marker = f"{location}/batch={batch_id}/_majs_committed"
+    if fsio.exists(spark, marker):
         return
-    if fs.exists(part):
+    if fsio.exists(spark, part):
         # Partition dir without marker = interrupted append (or a
         # pre-marker store): repair by overwriting just this partition.
-        fs.delete(part, True)
+        fsio.delete(spark, part)
     (
         bands.withColumn("batch", F.lit(batch_id))
         .write.mode("append")
@@ -790,7 +790,7 @@ def _append_bands_bucketed(bands: DataFrame, tbl: str, location: str, batch_id: 
         .sortBy("band", "band_hash")
         .saveAsTable(tbl)
     )
-    fs.create(marker, True).close()
+    fsio.write_atomic(spark, marker, b"")
 
 
 def _band_store_join(new_bands: DataFrame, store: DataFrame) -> DataFrame:

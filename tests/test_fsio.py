@@ -1,0 +1,130 @@
+"""fsio: the Connect-safe small-file layer under the floored store's
+commit protocol. Local paths must work with NO py4j gateway at all (the
+Spark Connect case), and the two atomicity primitives — replace-rename
+and create-if-absent — must hold under concurrency."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from multi_attribute_join_search_with_mapreduce_spark import fsio
+from multi_attribute_join_search_with_mapreduce_spark.scratch import scratch_dir
+
+
+def test_local_roundtrip_without_jvm(spark, monkeypatch):
+    """Every primitive works on local paths with the gateway forced
+    away — what a Spark Connect session looks like to this module."""
+    monkeypatch.setattr(fsio, "_gateway", lambda s: None)
+    root = scratch_dir("majs_fsio_")
+    p = f"{root}/a/b/meta.json"
+    assert fsio.exists(spark, p) is False
+    assert fsio.read_bytes(spark, p) is None
+    fsio.write_atomic(spark, p, b"v1")
+    assert fsio.read_bytes(spark, p) == b"v1"
+    fsio.write_atomic(spark, p, b"v2")  # atomic replace
+    assert fsio.read_bytes(spark, p) == b"v2"
+    assert fsio.create_exclusive(spark, p, b"x") is False  # exists: lose
+    q = f"{root}/a/b/claim.json"
+    assert fsio.create_exclusive(spark, q, b"claimed") is True
+    assert fsio.read_bytes(spark, q) == b"claimed"
+    assert sorted(fsio.listdir(spark, f"{root}/a/b")) == [
+        "claim.json", "meta.json",
+    ]
+    os.makedirs(f"{root}/a/dir1")
+    assert fsio.rename(spark, f"{root}/a/dir1", f"{root}/a/dir2") is True
+    assert fsio.exists(spark, f"{root}/a/dir2")
+    fsio.delete(spark, f"{root}/a")
+    assert fsio.exists(spark, f"{root}/a") is False
+    assert fsio.listdir(spark, f"{root}/a") == []
+
+
+def test_nonlocal_path_without_jvm_raises_clearly(spark, monkeypatch):
+    """A non-local store on a Connect session must fail loudly with
+    guidance, not mysteriously."""
+    monkeypatch.setattr(fsio, "_gateway", lambda s: None)
+    with pytest.raises(RuntimeError, match="Spark Connect"):
+        fsio.exists(spark, "hdfs://nn/store/_store_meta.json")
+
+
+def test_file_scheme_is_local(spark, monkeypatch):
+    """file: URIs route to the pure-Python path (no gateway needed)."""
+    monkeypatch.setattr(fsio, "_gateway", lambda s: None)
+    root = scratch_dir("majs_fsio_uri_")
+    fsio.write_atomic(spark, f"file://{root}/m.json", b"ok")
+    assert fsio.read_bytes(spark, f"file:{root}/m.json") == b"ok"
+    with open(f"{root}/m.json", "rb") as f:
+        assert f.read() == b"ok"
+
+
+def test_create_exclusive_is_a_cas_under_threads(spark):
+    """The commit-claim primitive: 32 threads race one path; exactly
+    one wins. (O_CREAT|O_EXCL on POSIX — atomic, not check-then-act.)"""
+    root = scratch_dir("majs_fsio_cas_")
+    p = f"{root}/slot.json"
+    barrier = threading.Barrier(32, timeout=30)
+    wins: list[int] = []
+
+    def claim(i: int) -> None:
+        barrier.wait()
+        if fsio.create_exclusive(spark, p, f"winner={i}".encode()):
+            wins.append(i)
+
+    ts = [threading.Thread(target=claim, args=(i,)) for i in range(32)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(30)
+    assert len(wins) == 1
+    assert fsio.read_bytes(spark, p) == f"winner={wins[0]}".encode()
+
+
+def test_write_atomic_never_exposes_torn_content(spark):
+    """Readers racing a rewrite see old or new complete bytes, never a
+    prefix — the property the store metadata (version + landed log in
+    one rename) depends on."""
+    root = scratch_dir("majs_fsio_torn_")
+    p = f"{root}/meta.json"
+    big_a, big_b = b"A" * 65536, b"B" * 65536
+    fsio.write_atomic(spark, p, big_a)
+    stop = threading.Event()
+    bad: list[bytes] = []
+
+    def reader() -> None:
+        while not stop.is_set():
+            data = fsio.read_bytes(spark, p)
+            if data not in (big_a, big_b):
+                bad.append(data or b"<missing>")
+
+    t = threading.Thread(target=reader)
+    t.start()
+    for i in range(200):
+        fsio.write_atomic(spark, p, big_b if i % 2 else big_a)
+    stop.set()
+    t.join(30)
+    assert bad == []
+
+
+def test_store_meta_rides_on_fsio_local_fallback(spark, sf_dir, monkeypatch):
+    """End-to-end: the floored store's metadata read/write path works
+    with the gateway forced away (local store dir), so the commit
+    protocol itself is Connect-compatible on local/file: stores."""
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        claim_commit,
+        pending_commit,
+        read_store_meta,
+        write_store_meta,
+    )
+
+    monkeypatch.setattr(fsio, "_gateway", lambda s: None)
+    base = scratch_dir("majs_fsio_meta_")
+    meta = {"min_key_freq": 2, "version": 1, "landed_tables": []}
+    write_store_meta(spark, base, meta)
+    assert read_store_meta(spark, base) == meta
+    assert pending_commit(spark, base, meta) is None
+    assert claim_commit(spark, base, 2, {"tables": [["t", 9]]}) is True
+    assert claim_commit(spark, base, 2, {"tables": [["u", 8]]}) is False
+    pend = pending_commit(spark, base, meta)
+    assert pend["version"] == 2 and pend["tables"] == [["t", 9]]

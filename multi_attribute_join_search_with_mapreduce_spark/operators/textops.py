@@ -1546,7 +1546,9 @@ _SSJ_NUM, _SSJ_DEN = 1, 2
 _SSJ_SAMPLE_MOD = 10  # sampled-pair self-check: ~1/10 docs, ~1/100 pairs
 
 
-def set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+def set_similarity_join(
+    spark: SparkSession, sf: str, sample_check: bool = True
+) -> DataFrame:
     """EXACT all-pairs Jaccard join over 3-gram shingle sets at
     threshold ``NUM/DEN`` via prefix filtering (Chaudhuri et al. ICDE'06
     / Bayardo et al. WWW'07) — the deterministic counterpart to the
@@ -1640,6 +1642,11 @@ def set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
             F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
     )
+    if not sample_check:
+        # production plan alone — what the candidates-pruned plan test
+        # asserts quadratic-free (the sampled check below is a
+        # DELIBERATE bounded broadcast nested-loop over ~1/MOD of docs)
+        return out
 
     # Sampled-pair EXACT verification (VERDICT r10 #2): the prefix
     # filter's losslessness holds by theorem, but at bench scale the
@@ -1678,15 +1685,17 @@ def set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(ids_b), "doc_b", "left_semi")
         .select("doc_a", "doc_b")
     )
-    mismatches = (
-        brute_pairs.withColumn("_brute", F.lit(1))
-        .join(
-            out_pairs.withColumn("_join", F.lit(1)),
-            ["doc_a", "doc_b"],
-            "full_outer",
-        )
-        .filter(F.col("_brute").isNull() | F.col("_join").isNull())
-        .agg(F.count(F.lit(1)).alias("_bad"))
+    # symmetric difference via two BROADCAST anti-joins (a full-outer
+    # would plan as a SortMergeJoin — pointless for two sample-bounded
+    # pair sets, and the plan gate rightly rejects it)
+    missed = brute_pairs.join(
+        F.broadcast(out_pairs), ["doc_a", "doc_b"], "left_anti"
+    )
+    spurious = out_pairs.join(
+        F.broadcast(brute_pairs), ["doc_a", "doc_b"], "left_anti"
+    )
+    mismatches = missed.unionByName(spurious).agg(
+        F.count(F.lit(1)).alias("_bad")
     )
     return out.crossJoin(F.broadcast(mismatches)).select(
         "doc_a",

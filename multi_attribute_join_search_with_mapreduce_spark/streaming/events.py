@@ -1216,6 +1216,57 @@ def _floored_ingest_batch(
 _STREAM_FLOORED_STORE_CACHE: dict = {}
 
 
+def _stream_floored_store(spark: SparkSession, sf_dir: str) -> str:
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        WIDE_LAKE_TABLES,
+        session_cached,
+        write_floored_index,
+    )
+    from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
+
+    def build() -> str:
+        base = _scratch_dir("majs_stream_flidx_")
+        store = f"{base}/store"
+        initial = tuple(s for s in WIDE_LAKE_TABLES if s.name != "documents")
+        docs_spec = next(s for s in WIDE_LAKE_TABLES if s.name == "documents")
+        write_floored_index(spark, sf_dir, store, initial, min_key_freq=2)
+
+        d = load_table(spark, "documents", sf_dir)
+        src = f"{base}/src"
+        d.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, batch_id: _floored_ingest_batch(
+                    spark, store, docs_spec, batch_df, batch_id
+                )
+            )
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return store
+
+    return session_cached(
+        _STREAM_FLOORED_STORE_CACHE, spark, (sf_dir, "stream_floored"), build
+    )
+
+
+def stream_maintained_floored_store(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the session-scoped STREAM-MAINTAINED floored store
+    (built on first use per (session, sf_dir) — see
+    `stream_floored_index_ingest`). Exposed so tests can locate the
+    store the gate searched instead of diffing scratch directories."""
+    return _stream_floored_store(spark, sf_dir)
+
+
 def stream_floored_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING maintenance of the floored search index — the landing
     path composed end-to-end: the wide-lake store is built WITHOUT
@@ -1249,47 +1300,12 @@ def stream_floored_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
-    def build_stream_maintained_store() -> str:
-        base = _scratch_dir("majs_stream_flidx_")
-        store = f"{base}/store"
-        initial = tuple(s for s in WIDE_LAKE_TABLES if s.name != "documents")
-        docs_spec = next(s for s in WIDE_LAKE_TABLES if s.name == "documents")
-        write_floored_index(spark, sf_dir, store, initial, min_key_freq=2)
-
-        d = load_table(spark, "documents", sf_dir)
-        src = f"{base}/src"
-        d.repartition(3).write.parquet(src)
-        stream = (
-            spark.readStream.schema(d.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        q = (
-            stream.writeStream.foreachBatch(
-                lambda batch_df, batch_id: _floored_ingest_batch(
-                    spark, store, docs_spec, batch_df, batch_id
-                )
-            )
-            .option("checkpointLocation", f"{base}/ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return store
-
     # Session-scoped store fixture (VERDICT r10 #6): the multi-trigger
     # checkpointed streaming run — the part this gate exists to prove —
     # happens once per (session, sf_dir); repeated invocations (bench
     # best-of-3, driver re-sampling) re-run only the search over the
     # stream-maintained store.
-    store = session_cached(
-        _STREAM_FLOORED_STORE_CACHE,
-        spark,
-        (sf_dir, "stream_floored"),
-        build_stream_maintained_store,
-    )
+    store = _stream_floored_store(spark, sf_dir)
     postings = read_floored_index(spark, store)
     d = load_table(spark, "documents", sf_dir)
     tbl, _ = multi_attribute_join_search(postings, d, ["lang", "source"])

@@ -372,16 +372,18 @@ def test_stream_floored_index_equals_full_rebuild(spark, sf_dir):
         stream_floored_index_ingest,
     )
 
-    before = set(glob.glob("/tmp/majs_scratch_*/majs_stream_flidx_*"))
+    from multi_attribute_join_search_with_mapreduce_spark.streaming.events import (
+        stream_maintained_floored_store,
+    )
+
     stream_floored_index_ingest(spark, sf_dir).collect()
-    after = set(glob.glob("/tmp/majs_scratch_*/majs_stream_flidx_*"))
-    (base,) = sorted(after - before)
-    got = read_floored_index(spark, f"{base}/store")
+    store = stream_maintained_floored_store(spark, sf_dir)
+    got = read_floored_index(spark, store)
     want = build_posting_index(spark, sf_dir, WIDE_LAKE_TABLES, min_key_freq=2)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     # replay markers committed for every trigger
-    meta = read_store_meta(spark, f"{base}/store")
+    meta = read_store_meta(spark, store)
     assert meta["landed_batches"] == [0, 1, 2]
 
 

@@ -289,9 +289,21 @@ def test_set_similarity_candidates_pruned_below_all_pairs(spark, sf_dir):
     from multi_attribute_join_search_with_mapreduce_spark.sources.lake import load_table
 
     n_docs = load_table(spark, "documents", sf_dir).count()
-    plan = set_similarity_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        set_similarity_join(spark, sf_dir, sample_check=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert n_docs > 0
+    # with the sampled self-check on, the ONLY quadratic is the
+    # deliberate broadcast nested-loop over the bounded sample slice —
+    # never an unbroadcast CartesianProduct, and never a SortMergeJoin
+    # for the sample-sized symmetric difference
+    full = (
+        set_similarity_join(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in full
 
 
 def _py_shingles(text: str, w: int = 3) -> list[str]:

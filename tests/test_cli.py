@@ -360,3 +360,61 @@ def test_cli_fsck_store(spark, capsys, tmp_path):
     rc, _ = _run(capsys, ["--repair", "--query-table", "part",
                           "--attrs", "p_brand", "--sf-dir", SF001])
     assert rc == 2
+
+
+def test_cli_crashed_append_fence_repair_retry(spark, capsys, tmp_path, monkeypatch):
+    """The full operator workflow for a crashed append, end-to-end
+    through the shell entry point (ADVICE r10: the natural response to
+    a failed append is re-running the identical command, which used to
+    double-land postings): the retry is FENCED with guidance (rc 4),
+    `--fsck-store --repair` resolves the torn commit, and the re-run
+    then lands cleanly with scores identical to a never-crashed build."""
+    import json
+
+    import multi_attribute_join_search_with_mapreduce_spark.index as idx
+
+    store = str(tmp_path / "floored_crash")
+    argv = ["--query-table", "documents", "--attrs", "lang,source",
+            "--sf-dir", SF001, "--floored-store", store,
+            "--append-tables", "documents", "--min-key-freq", "2"]
+
+    # crash the first append between its index write and residual swap
+    orig = idx._stage_residual_rewrite
+
+    def crash(*a, **k):
+        raise RuntimeError("injected crash during append")
+
+    monkeypatch.setattr(idx, "_stage_residual_rewrite", crash)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        main(argv)
+    capsys.readouterr()
+    monkeypatch.setattr(idx, "_stage_residual_rewrite", orig)
+
+    # blind retry is FENCED — no silent double-land
+    rc = main(argv)
+    cap = capsys.readouterr()
+    assert rc == 4
+    assert "unresolved commit" in cap.err
+    assert "--fsck-store" in cap.err
+
+    # fsck --repair resolves (rolls the torn commit back), reports it
+    rc = main(["--fsck-store", store, "--repair"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    report = json.loads(cap.out.strip().splitlines()[-1])
+    assert report["recovery"]["action"] == "rolled_back"
+    assert report["duplicate_postings"] == 0
+
+    # the retry now lands; scores equal a store that never crashed
+    rc = main(argv)
+    cap_ok = capsys.readouterr()
+    assert rc == 0
+    clean_store = str(tmp_path / "floored_clean")
+    rc = main(["--query-table", "documents", "--attrs", "lang,source",
+               "--sf-dir", SF001, "--floored-store", clean_store,
+               "--append-tables", "documents", "--min-key-freq", "2"])
+    cap_clean = capsys.readouterr()
+    assert rc == 0
+    assert cap_ok.out == cap_clean.out

@@ -1043,6 +1043,14 @@ def fsck_floored_store(
                     continue
                 if k <= committed:
                     fsio.delete(spark, f"{base_dir}/_stage/{name}")
+            elif name.startswith(("tmp-", "fsck-")):
+                # legacy (uncommitted) append / fsck-repair stages are
+                # deleted on success; a surviving one is crash debris.
+                # Safe to GC under --repair: fsck on a store with a
+                # LIVE legacy writer is already outside the protocol
+                # (legacy appends have no fencing at all — that is
+                # what the commit protocol replaced).
+                fsio.delete(spark, f"{base_dir}/_stage/{name}")
     index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
     index = _read_parquet_or_none(spark, index_dir)
     residual = _read_parquet_or_none(spark, residual_dir)

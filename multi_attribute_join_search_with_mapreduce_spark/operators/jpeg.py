@@ -113,10 +113,6 @@ def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], in
     return {(ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()}
 
 
-_DC_DEC = _build_decoder(DC_BITS, DC_VALS)
-_AC_DEC = _build_decoder(AC_BITS, AC_VALS)
-
-
 class JpegFormatError(ValueError):
     """Unsupported or corrupt JPEG stream — rejected loudly, never
     silently decoded as garbage (the multimodal tier's contract)."""

@@ -707,3 +707,27 @@ def test_fsck_detects_duplicate_postings(spark):
         f"{base}/index"
     )
     assert fsck_floored_store(spark, base)["duplicate_postings"] == 1
+
+
+def test_fsck_repair_gcs_stage_debris(spark):
+    """Crash debris under _stage/ — a committed version's stage (crash
+    after the metadata rename but before post-commit cleanup) and a
+    legacy tmp- stage — is garbage-collected by fsck --repair; the
+    pending version's stage is owned by recovery, not the GC."""
+    import os as _os
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        fsck_floored_store,
+    )
+
+    lake, specs = _mini_lake(spark, "majs_ccr_gc_")
+    base = os.path.join(scratch_dir("majs_ccr_gc_"), "store")
+    write_floored_index(spark, lake, base, specs, FLOOR)
+    _os.makedirs(f"{base}/_stage/v{1:020d}")  # committed version's stage
+    _os.makedirs(f"{base}/_stage/tmp-deadbeef")
+    fsck_floored_store(spark, base)  # report-only: leaves debris alone
+    assert sorted(_os.listdir(f"{base}/_stage")) == [
+        "tmp-deadbeef", f"v{1:020d}",
+    ]
+    fsck_floored_store(spark, base, repair=True)
+    assert _os.listdir(f"{base}/_stage") == []

@@ -47,15 +47,32 @@ __all__ = [
 ]
 
 
+import re as _re
+
+_SCHEME = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
 def _local(path: str) -> str | None:
-    """The bare local path if ``path`` is local, else None."""
+    """The bare local path if ``path`` is local, else None.
+
+    Local = the ``file:`` scheme or no scheme at all. Classification is
+    by a real URI-scheme match, not substring probes — a relative
+    directory that happens to start with ``s3`` (``s3_results/store``)
+    is LOCAL, and routing it to the Hadoop branch would silently trade
+    the O_EXCL CAS for RawLocalFileSystem's check-then-act create."""
     if path.startswith("file:"):
         p = path[len("file:"):]
-        while p.startswith("//"):  # file:///x and file://x both mean /x
-            p = p[1:]
+        if p.startswith("//"):
+            # file://authority/path — strip the authority (empty or
+            # localhost for local files: file:///x, file://localhost/x)
+            rest = p[2:]
+            host, _slash, tail = rest.partition("/")
+            if host not in ("", "localhost"):
+                return None  # a genuinely remote file URI
+            p = "/" + tail
         return p
-    if "://" in path or path.startswith("hdfs:") or path.startswith("s3"):
-        return None
+    if _SCHEME.match(path):
+        return None  # any non-file scheme → Hadoop FS via the gateway
     return path
 
 

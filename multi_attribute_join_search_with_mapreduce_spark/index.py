@@ -360,6 +360,11 @@ class ConcurrentAppendError(RuntimeError):
     ``--fsck-store <dir> --repair``) and retry."""
 
 
+# fsck --repair keeps this many most-recent commit markers as the audit
+# tail; older ones are GC'd (pending/claim logic reads only version+1).
+_COMMIT_LOG_RETAIN = 64
+
+
 def _commit_marker(base_dir: str, version: int) -> str:
     return f"{base_dir}/_commits/v{version:020d}.json"
 
@@ -626,7 +631,29 @@ def append_floored_index(
                 f"store: {dup} — re-appending would double-count their "
                 f"postings toward the floor ({base_dir})"
             )
-        version = int(meta.get("version", 0))
+        if "version" not in meta:
+            # r9/r10-era store: metadata but FLAT index layout and no
+            # commit version. Writing cv= partitions into a flat
+            # directory would corrupt it for every subsequent read
+            # ("conflicting directory structures"), so these stores
+            # keep the legacy unfenced append path exactly as shipped
+            # (landed-table log still enforced above). Rebuild with
+            # write_floored_index to adopt the commit protocol.
+            append_floored_postings(
+                spark,
+                build_posting_index(spark, sf_dir, new_specs),
+                base_dir,
+                min_key_freq,
+                residual_buckets,
+                hashed=meta["hashed_keys"],
+            )
+            meta["landed_tables"] = sorted(
+                meta["landed_tables"]
+                + [[s.name, s.table_id] for s in new_specs]
+            )
+            write_store_meta(spark, base_dir, meta)
+            return
+        version = int(meta["version"])
         pend = pending_commit(spark, base_dir, meta)
         if pend is not None:
             raise ConcurrentAppendError(
@@ -682,6 +709,7 @@ def append_floored_index(
         commit_version=next_v,
         commit_payload={"tables": tables},
     )
+    _require_live_claim(spark, base_dir, next_v)
     meta["version"] = next_v
     meta["landed_tables"] = sorted(meta["landed_tables"] + tables)
     # one atomic rename = the commit point (version + landed log together)
@@ -689,6 +717,32 @@ def append_floored_index(
     from multi_attribute_join_search_with_mapreduce_spark import fsio
 
     fsio.delete(spark, _commit_stage(base_dir, next_v))  # post-commit GC
+
+
+def _require_live_claim(spark: SparkSession, base_dir: str, version: int) -> None:
+    """Abort an in-flight append whose claim marker has vanished —
+    i.e. `recover_floored_store` was run against this commit while the
+    appender was still alive (the marker cannot distinguish a crashed
+    claimant from a slow one, so recovery's contract is "run it only
+    when the claimant is known dead"; this check turns the operator
+    error of running it early into a LOUD abort instead of a silent
+    lost-update). Checked at the two points of no return: before the
+    residual-bucket swap (the first store mutation the rollback cannot
+    undo) and before the metadata commit. The recovery already rolled
+    the store back; the aborting appender just stops committing on top
+    of it."""
+    from multi_attribute_join_search_with_mapreduce_spark import fsio
+
+    if not fsio.exists(spark, _commit_marker(base_dir, version)):
+        raise ConcurrentAppendError(
+            f"append v{version} on {base_dir}: the commit claim was "
+            "revoked mid-append (recover_floored_store ran while this "
+            "appender was live — it must only run when the claimant is "
+            "known dead). The recovery rolled the store back; this "
+            "append is aborted WITHOUT committing. Clean up any "
+            f"re-created cv={version} index directory via fsck --repair "
+            "and re-run the append."
+        )
 
 
 def append_floored_postings(
@@ -821,6 +875,7 @@ def append_floored_postings(
         kb_list,
         commit_payload,
         cleanup=commit_version is None,
+        commit_version=commit_version,
     )
 
 
@@ -832,6 +887,7 @@ def _stage_residual_rewrite(
     kb_list: list[int],
     commit_payload: dict | None = None,
     cleanup: bool = True,
+    commit_version: int | None = None,
 ) -> None:
     """Materialize the residual-bucket rewrite under ``stage``, flag it
     complete (with the kb swap-lists + the commit payload, so recovery
@@ -862,6 +918,12 @@ def _stage_residual_rewrite(
     flag = dict(commit_payload or {})
     flag["kb_replace"] = sorted(staged)
     flag["kb_delete"] = sorted(set(kb_list) - staged)
+    if commit_version is not None:
+        # point of no return: past here the residual swap mutates
+        # shared state a rollback cannot restore — abort now if the
+        # claim was revoked by a mid-flight recovery (see
+        # _require_live_claim)
+        _require_live_claim(spark, base_dir, commit_version)
     fsio.write_atomic(spark, f"{stage}/_COMPLETE", json.dumps(flag).encode())
     _finish_residual_swap(spark, base_dir, stage, flag)
     if cleanup:
@@ -1051,6 +1113,19 @@ def fsck_floored_store(
                 # (legacy appends have no fencing at all — that is
                 # what the commit protocol replaced).
                 fsio.delete(spark, f"{base_dir}/_stage/{name}")
+        # Commit-marker GC: markers at or below the committed version
+        # are the commit log, but pending/claim checks only ever read
+        # version+1 — an unboundedly maintained store (one marker per
+        # streaming trigger) would otherwise pile up small files
+        # forever. Retain a bounded tail for auditability.
+        for name in fsio.listdir(spark, f"{base_dir}/_commits"):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    k = int(name[1:-5])
+                except ValueError:
+                    continue
+                if k <= committed - _COMMIT_LOG_RETAIN:
+                    fsio.delete(spark, f"{base_dir}/_commits/{name}")
     index_dir, residual_dir = f"{base_dir}/index", f"{base_dir}/residual"
     index = _read_parquet_or_none(spark, index_dir)
     residual = _read_parquet_or_none(spark, residual_dir)

@@ -310,6 +310,8 @@ def decode_gray_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at offset {pos}")
+        if pos + 1 >= len(payload):
+            raise JpegFormatError("truncated at a marker boundary")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -335,11 +337,15 @@ def decode_gray_jpeg(payload: bytes) -> np.ndarray:
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 if pq != 0:
                     raise JpegFormatError("16-bit quantization tables not supported")
+                if i + 65 > len(body):
+                    raise JpegFormatError("truncated quantization table")
                 qtables[tq] = np.frombuffer(
                     body[i + 1:i + 65], dtype=np.uint8
                 ).astype(np.int64)
                 i += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise JpegFormatError("truncated frame header")
             if body[0] != 8:
                 raise JpegFormatError("only 8-bit precision supported")
             h = int.from_bytes(body[1:3], "big")
@@ -356,12 +362,18 @@ def decode_gray_jpeg(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
+                if i + 17 > len(body):
+                    raise JpegFormatError("truncated Huffman table header")
                 bits = list(body[i + 1:i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise JpegFormatError("truncated Huffman table values")
                 vals = list(body[i + 17:i + 17 + n])
                 htables[(tc, th)] = _build_decoder(bits, vals)
                 i += 17 + n
         elif marker == 0xDA:  # SOS
+            if len(body) < 6:
+                raise JpegFormatError("truncated scan header")
             if body[0] != 1:
                 raise JpegFormatError("multi-component scan not supported")
             scan_dc_tbl, scan_ac_tbl = body[2] >> 4, body[2] & 0x0F

@@ -731,3 +731,126 @@ def test_fsck_repair_gcs_stage_debris(spark):
     ]
     fsck_floored_store(spark, base, repair=True)
     assert _os.listdir(f"{base}/_stage") == []
+
+
+def test_legacy_versionless_store_appends_flat(spark):
+    """An r9/r10-era store (metadata WITHOUT a commit version, flat
+    index layout) must keep the legacy append semantics — writing cv=
+    partitions into its flat directory would corrupt it for every
+    subsequent read. The landed-table log still extends."""
+    import os as _os
+
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        read_store_meta,
+        write_store_meta,
+    )
+
+    lake, specs = _mini_lake(spark, "majs_ccr_legacy_")
+    base = os.path.join(scratch_dir("majs_ccr_legacy_"), "store")
+    # fabricate the legacy layout: flat index (no cv), residual, meta
+    # without "version" — what r10's write_floored_index produced
+    write_floored_index(spark, lake, base, specs[:1], FLOOR)
+    flat = read_floored_index(spark, base)
+    idx, schema = flat.collect(), flat.schema
+    import shutil as _shutil
+
+    _shutil.rmtree(f"{base}/index")
+    spark.createDataFrame(idx, schema).write.parquet(f"{base}/index")  # flat
+    meta = read_store_meta(spark, base)
+    del meta["version"]
+    write_store_meta(spark, base, meta)
+
+    append_floored_index(spark, lake, base, (specs[1],))
+    # layout stayed flat — no cv= directories appeared
+    assert not any(
+        d.startswith("cv=") for d in _os.listdir(f"{base}/index")
+    )
+    got = read_floored_index(spark, base)
+    want = build_posting_index(spark, lake, specs[:2], min_key_freq=FLOOR)
+    _assert_same_rows(got, want)
+    assert ["t1", 2] in read_store_meta(spark, base)["landed_tables"]
+    assert "version" not in read_store_meta(spark, base)
+
+
+def test_revoked_claim_aborts_instead_of_committing(spark):
+    """If recovery runs while an appender is still alive (the operator
+    error the recovery docstring forbids), the live appender must abort
+    LOUDLY at its next point of no return instead of committing on top
+    of the rolled-back store — the lost-update can no longer be
+    silent."""
+    import pytest
+
+    import multi_attribute_join_search_with_mapreduce_spark.index as idx
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        ConcurrentAppendError,
+        read_store_meta,
+        recover_floored_store,
+    )
+
+    lake, specs = _mini_lake(spark, "majs_ccr_revoke_")
+    base = os.path.join(scratch_dir("majs_ccr_revoke_"), "store")
+    write_floored_index(spark, lake, base, specs[:1], FLOOR)
+
+    orig = idx._finish_residual_swap
+
+    def revoke_then_swap(spark_, base_, stage_, flag_):
+        # the "mid-flight recovery" fires while the appender is alive:
+        # _COMPLETE is not yet durable at the pre-swap check, so this
+        # models recovery running just before it (rollback path)
+        recover_floored_store(spark_, base_)
+        orig(spark_, base_, stage_, flag_)
+
+    # recovery between staging and the pre-swap claim check: the
+    # appender must abort before mutating the residual store
+    idx._finish_residual_swap = orig  # (unused; revocation goes below)
+
+    orig_complete = idx._require_live_claim
+    calls = {"n": 0}
+
+    def revoke_before_first_check(spark_, base_, version_):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            recover_floored_store(spark_, base_)
+        orig_complete(spark_, base_, version_)
+
+    idx._require_live_claim = revoke_before_first_check
+    try:
+        with pytest.raises(ConcurrentAppendError, match="revoked mid-append"):
+            append_floored_index(spark, lake, base, (specs[1],))
+    finally:
+        idx._require_live_claim = orig_complete
+
+    # the store is at its pre-append state (recovery rolled it back);
+    # a clean retry lands
+    assert read_store_meta(spark, base)["version"] == 1
+    append_floored_index(spark, lake, base, (specs[1],))
+    _store_equals_rebuild(spark, lake, base, specs[:2])
+
+
+def test_fsck_repair_gcs_old_commit_markers(spark):
+    """Marker GC: fsck --repair retains a bounded tail of the commit
+    log and deletes older markers (one marker per streaming trigger
+    would otherwise accumulate forever)."""
+    import os as _os
+
+    import multi_attribute_join_search_with_mapreduce_spark.index as idx
+    from multi_attribute_join_search_with_mapreduce_spark.index import (
+        claim_commit,
+        fsck_floored_store,
+        read_store_meta,
+        write_store_meta,
+    )
+
+    lake, specs = _mini_lake(spark, "majs_ccr_mgc_")
+    base = os.path.join(scratch_dir("majs_ccr_mgc_"), "store")
+    write_floored_index(spark, lake, base, specs, FLOOR)
+    meta = read_store_meta(spark, base)
+    # simulate a long-maintained store: markers v1..v100, version 100
+    for v in range(1, 101):
+        claim_commit(spark, base, v, {"batch_id": v})
+    meta["version"] = 100
+    write_store_meta(spark, base, meta)
+    fsck_floored_store(spark, base, repair=True)
+    left = sorted(_os.listdir(f"{base}/_commits"))
+    assert len(left) == idx._COMMIT_LOG_RETAIN
+    assert left[0] == f"v{100 - idx._COMMIT_LOG_RETAIN + 1:020d}.json"

@@ -170,3 +170,24 @@ def test_spark_connect_smoke_search():
         assert rows and all(r["join_score"] > 0 for r in rows)
     finally:
         connect.stop()
+
+
+def test_local_classification_is_scheme_based(spark, monkeypatch):
+    """Relative paths that merely START with a scheme-looking token are
+    local ('s3_results/store', 'hdfs_backup'); only a real URI scheme
+    routes to the Hadoop branch; file:// authorities parse correctly."""
+    monkeypatch.setattr(fsio, "_gateway", lambda s: None)
+    root = scratch_dir("majs_fsio_cls_")
+    os.makedirs(f"{root}/s3_results")
+    p = f"{root}/s3_results/m.json"
+    fsio.write_atomic(spark, p, b"local")  # would raise if misrouted
+    assert fsio.read_bytes(spark, p) == b"local"
+    assert fsio._local("s3_results/store") == "s3_results/store"
+    assert fsio._local("hdfs_backup/x") == "hdfs_backup/x"
+    assert fsio._local("s3://bucket/k") is None
+    assert fsio._local("s3a://bucket/k") is None
+    assert fsio._local("hdfs://nn/x") is None
+    assert fsio._local("file:///x/y") == "/x/y"
+    assert fsio._local("file://localhost/x/y") == "/x/y"
+    assert fsio._local("file:/x/y") == "/x/y"
+    assert fsio._local("file://otherhost/x") is None

@@ -324,3 +324,38 @@ def test_jpeg_rejections_are_loud(spark):
     nodht = good.replace(b"\xff\xc4", b"\xff\xfe", 1)  # DC DHT -> COM
     with pytest.raises(JpegFormatError, match="missing Huffman"):
         decode_gray_jpeg(nodht)
+
+
+def test_jpeg_truncation_fuzz_always_raises_format_error(spark):
+    """Every truncation point of a valid stream (and a lone trailing
+    0xFF) must surface as JpegFormatError — never IndexError or a
+    numpy shape error escaping the kernel's loud-rejection contract."""
+    import numpy as np
+    import pytest
+
+    from multi_attribute_join_search_with_mapreduce_spark.operators.jpeg import (
+        JpegFormatError,
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    good = encode_gray_jpeg(img)
+    decode_gray_jpeg(good)  # sanity
+    for cut in range(2, len(good)):
+        try:
+            decode_gray_jpeg(good[:cut])
+        except JpegFormatError:
+            pass  # the contract
+        # a prefix that still forms a complete decodable stream is
+        # impossible here (EOI is the last two bytes), but padding
+        # semantics can make the final cut decode — allow success only
+        # at the very end
+        else:
+            assert cut >= len(good) - 2, f"silent decode at cut={cut}"
+    # a lone trailing 0xFF exactly at a marker boundary (SOI + one
+    # complete APP0 segment, then the stray byte)
+    stub = b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff"
+    with pytest.raises(JpegFormatError, match="marker boundary"):
+        decode_gray_jpeg(stub)

@@ -765,40 +765,45 @@ def user_value_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user exponentially-weighted moving average of event values in
     time order — a genuinely RECURSIVE per-group computation
     (``y_t = α·x_t + (1-α)·y_{t-1}``) that no native window frame can
-    express, so this is the engine's grouped-map ``applyInPandas``
-    surface: Arrow-batched, one group per user, state never leaves the
-    executor.
+    express. It IS expressible as a native array fold, though:
+    ``collect_list → array_sort → aggregate`` runs the identical
+    sequential recurrence entirely in the JVM, so the grouped-map
+    ``applyInPandas`` this used through r10 (an Arrow transpose plus a
+    per-group pandas DataFrame both ways) is gone — the plan is one
+    hash aggregate with no Python node (guide §4.1: built-ins and
+    higher-order functions before any UDF).
 
-    Bit-exact differential in spite of the Python kernel: the oracle
-    folds DuckDB's ``list_reduce`` over the identically-ordered value
-    list with the identical ``0.25·x + 0.75·acc`` expression — the same
-    IEEE double sequence on both sides (α an exact binary fraction), so
-    no rounding tolerance is needed. Seed = first value, matching
-    ``list_reduce``'s no-initializer semantics.
+    Bit-exact differential: the oracle folds DuckDB's ``list_reduce``
+    over the identically-ordered value list with the identical
+    ``0.25·x + 0.75·acc`` expression — the same IEEE double sequence on
+    both sides (α an exact binary fraction, so ``α·x`` is exact
+    scaling), no rounding tolerance needed. Seed = first value via the
+    NULL-seeded CASE, matching ``list_reduce``'s no-initializer
+    semantics (and the r10 pandas kernel's ``acc is None`` seed, so the
+    rewrite is bit-identical to what it replaced). ``(ts, event_id)``
+    is unique in the fixture, so the struct sort's trailing ``value``
+    field never decides an ordering.
 
     Scale: the only shuffle is the groupBy(user_id) that any per-user
-    op pays; per-group work is O(events-of-user) with O(1) state.
+    op pays; per-group state is O(events-of-user) either way (the
+    pandas form held the same group in memory), folded with O(1) state.
     """
-    import pandas as pd
-
     e = load_table(spark, "events", sf).select("user_id", "ts", "event_id", "value")
-
-    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        acc = None
-        for x in pdf["value"]:
-            acc = float(x) if acc is None else EWMA_ALPHA * float(x) + (1 - EWMA_ALPHA) * acc
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "ewma": [acc],
-            }
-        )
-
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    fold = F.aggregate(
+        F.col("_vals"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc
+        ),
+    )
     return (
         e.groupBy("user_id")
-        .applyInPandas(ewma, "user_id long, n_events long, ewma double")
+        .agg(F.count(F.lit(1)).alias("n_events"), vals.alias("_vals"))
+        .select("user_id", "n_events", fold.alias("ewma"))
         .orderBy("user_id")
     )
 

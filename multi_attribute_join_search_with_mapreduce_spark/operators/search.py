@@ -510,7 +510,6 @@ def multi_attribute_join_search_batch(
         )
         for i in range(n):
             norm = norm.filter(F.col(f"_a{i}") != "")
-        norm = norm.dropDuplicates()
         q = norm.select(
             F.lit(qid).alias("qid"),
             F.concat_ws(MAPKEY_SEP, *[F.col(f"_a{i}") for i in range(n)]).alias(
@@ -521,6 +520,13 @@ def multi_attribute_join_search_batch(
             F.lit(rank_n).alias("_rank_n"),
         )
         qrows = q if qrows is None else qrows.unionByName(q)
+    # ONE dedup exchange over the unioned query metadata instead of one
+    # dropDuplicates() shuffle per entry: the normalizer's alphabet is
+    # [a-z0-9 ], so the US-joined MapKey is injective over the
+    # normalized attribute tuple (within a qid, whose n is fixed) and
+    # (qid, MapKey) determines every other column — same rows as the
+    # per-entry dedup, B exchanges fewer per plan instantiation.
+    qrows = qrows.dropDuplicates(["qid", "MapKey"])
 
     melted = qrows.select("qid", "MapKey", "_n", F.explode("_attrs").alias("key"))
     keys = melted.select("key").distinct()

@@ -171,7 +171,15 @@ def curation_decision_log(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source", "lang", "text"
     )
     w_hash = Window.partitionBy(F.md5("text"))
-    flagged = (
+    # The narrow per-doc flag table is the audit's ONE materialization
+    # barrier (the pipeline's per_doc pattern, stage 6): the rate
+    # aggregate and the log output both consume every stage flag, and
+    # without the checkpoint Catalyst instantiates the whole upstream —
+    # documents scan, content-hash window, quality/lang text
+    # expressions, both drop-set builds — once per consumer (the r10
+    # plan carried 93 Exchanges; the text gates ran twice per doc).
+    # Materialized it is doc_id + source + six booleans + n_tok.
+    flagged = truncate_lineage(
         docs.withColumn(
             "_exact_keep", F.col("doc_id") == F.min("doc_id").over(w_hash)
         )
@@ -186,6 +194,17 @@ def curation_decision_log(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("_qual", quality_score_col(F.col("text")) >= 0.75)
         .withColumn("_lang", lang_pred_col(F.col("text")) == F.col("lang"))
         .withColumn("_eval", F.col("doc_id") % _EVAL_MOD == 0)
+        .select(
+            "doc_id",
+            "source",
+            "_exact_keep",
+            "_nd",
+            "_cont",
+            "_qual",
+            "_lang",
+            "_eval",
+            _n_tokens().cast("long").alias("n_tok"),
+        )
     )
     corpus0 = flagged.filter(
         F.col("_exact_keep")
@@ -196,7 +215,7 @@ def curation_decision_log(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("_cont").isNull()
     )
     rates = temperature_rates(
-        corpus0.select("doc_id", "source", _n_tokens().cast("long").alias("n_tok"))
+        corpus0.select("doc_id", "source", "n_tok")
     ).select("source", "thr_hex")
     # left join: a source absent from the rate table has NO pre-mixture
     # survivors, so none of its docs can REACH the mixture branch — the

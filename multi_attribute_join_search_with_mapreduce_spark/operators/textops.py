@@ -1580,11 +1580,14 @@ def set_similarity_join(
     ).persist()
 
     elems = sets.select("doc_id", F.explode("sh").alias("el"))
-    dfreq = elems.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
 
-    # Per-doc elements sorted rarest-first; keep the prefix only.
+    # Per-doc elements sorted rarest-first; keep the prefix only. The
+    # document frequency rides in as a count over the el partition —
+    # ONE exchange of the corpus-sized element stream, where the r10
+    # groupBy(el)+join-back shape shuffled it twice (once into the df
+    # aggregate, once into the SMJ) and paid both join-side sorts.
     ordered = (
-        elems.join(dfreq, "el")
+        elems.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("el")))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "el"))).alias("ranked"))
         .select(
@@ -2585,9 +2588,10 @@ def containment_join(spark: SparkSession, sf: str) -> DataFrame:
     elems = sets.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("el")
     )
-    dfreq = elems.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window count over el: one exchange of the element stream
+    # instead of groupBy(el) + join-back (see set_similarity_join).
     ordered = (
-        elems.join(dfreq, "el")
+        elems.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("el")))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "el"))).alias("ranked"))
         .select(

@@ -207,11 +207,12 @@ def cached_posting_index(
     spark: SparkSession,
     sf_dir: str,
     specs: tuple[TableSpec, ...] = LAKE_TABLES,
+    min_key_freq: int = 1,
 ) -> DataFrame:
     return session_cached(
         _INDEX_CACHE,
         spark,
-        (sf_dir, specs),
+        (sf_dir, specs, min_key_freq),
         # truncate_lineage, not persist: the cached frame is joined by
         # every search-stage query, and persist alone carries the whole
         # union-of-melts logical plan into each consumer's analysis
@@ -222,7 +223,9 @@ def cached_posting_index(
         # form of the same idea is `write_posting_index` (a bucketed
         # table on disk). See truncate_lineage for the cluster
         # durability contract.
-        lambda: truncate_lineage(build_posting_index(spark, sf_dir, specs)),
+        lambda: truncate_lineage(
+            build_posting_index(spark, sf_dir, specs, min_key_freq)
+        ),
     )
 
 

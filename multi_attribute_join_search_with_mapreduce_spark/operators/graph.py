@@ -174,8 +174,20 @@ def connected_components_alternating(
     graphs are near-cliques where the simple seeded propagation loop
     wins by skipping the second per-round join (see module docstring).
     """
-    inp = edges.select(
-        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    from multi_attribute_join_search_with_mapreduce_spark.index import truncate_lineage
+
+    # Checkpoint the INPUT edge list before anything branches off it:
+    # `nodes` (kept for the final join — it must retain self-loop-only
+    # ids the star rounds drop) and `cur` both consume it, and with a
+    # lazy input the whole upstream edge pipeline (for semantic_dedup,
+    # the Arrow cosine scorer) re-instantiates under each — the live
+    # plan carried 4 ArrowEvalPython subtrees. Edge-list-sized, same
+    # magnitude the loop already checkpoints every round.
+    inp = truncate_lineage(
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
     )
     # all nodes, including self-loop-only ones the star rounds drop
     nodes = inp.select(F.col("src").alias("id")).union(

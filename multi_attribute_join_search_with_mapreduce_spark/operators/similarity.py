@@ -90,6 +90,15 @@ def _np_cosine_pre(*cols: str) -> Column:
 
     Built lazily per call: the ``pandas_udf`` wrapper needs an active
     SparkContext, which doesn't exist at import time.
+
+    Marked non-deterministic (guide §4.4): every caller filters on the
+    kernel's own output (``cosine >= threshold``), and the optimizer
+    pushes that filter below the projection by DUPLICATING the UDF —
+    the executed plan carried two ArrowEvalPython nodes of this kernel
+    and every candidate pair paid the cosine twice. The function is in
+    fact deterministic, so blocking reorder/duplication changes no
+    result; the only predicates near it are on its own output, so no
+    useful pushdown is lost.
     """
 
     def kernel(ea, eb, sq_a, sq_b):
@@ -105,7 +114,7 @@ def _np_cosine_pre(*cols: str) -> Column:
             np.round(acc / np.sqrt(sq_a.to_numpy() * sq_b.to_numpy()), 4)
         )
 
-    return F.pandas_udf(kernel, "double")(*cols)
+    return F.pandas_udf(kernel, "double").asNondeterministic()(*cols)
 
 
 def knn_brute(spark: SparkSession, sf: str) -> DataFrame:

@@ -1071,8 +1071,17 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    # Same lean state-store count as every other stateful stream here
+    # (run_stream_to_memory's rationale): the session-window store is
+    # one instance per shuffle partition, pinned at first checkpoint,
+    # and 32 stores paying open/commit per micro-batch are pure fixed
+    # overhead for single-file batches. This was the one stateful
+    # stream still starting at the session default.
+    part_key = "spark.sql.shuffle.partitions"
     tz_key = "spark.sql.session.timeZone"
+    saved_part = spark.conf.get(part_key)
     saved_tz = spark.conf.get(tz_key)
+    spark.conf.set(part_key, "8")
     spark.conf.set(tz_key, "UTC")
     try:
         q = (
@@ -1111,6 +1120,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     finally:
+        spark.conf.set(part_key, saved_part)
         spark.conf.set(tz_key, saved_tz)
     return spark.sql("SELECT * FROM stream_sesswin_sink").orderBy(
         "user_id", "window_start"

@@ -28,6 +28,12 @@ sampled calib jobs miss are captured; r9 measured a 247s/19-flag run
 whose calib endpoints were all quiet). Read the three together: high
 steal_pct or inflated calib = host epoch; all quiet + flags = look at
 the code.
+
+``epoch_ratio_median`` (r12, VERDICT r11 #4) is the in-line epoch
+control: the median of per-query now/baseline ratios across the full
+map (entries with baseline > 0.2s). Uniform host inflation moves the
+median; a real plan change on a handful of queries cannot. Compare
+headline totals ACROSS epochs as value/epoch_ratio_median.
 """
 
 from __future__ import annotations
@@ -230,6 +236,31 @@ def main() -> None:
     )
     print(f"# calibration (post): {calib_end} steal_pct={steal_pct}", file=sys.stderr)
 
+    # Epoch-normalization control (VERDICT r11 #4, additions-only): the
+    # median of per-query now/baseline ratios over the ~230-query map is
+    # a robust index of HOST-epoch inflation — a steal burst inflates
+    # (nearly) every query so the median tracks it, while a real plan
+    # change moves only its own queries and cannot move the median of
+    # 230. Read the headline as value/epoch_ratio_median to compare
+    # across epochs: r10→r11's 180→206s "regression" was epoch (median
+    # ratio ≈ 1.3 on the same code), which two verdict cycles had to
+    # establish by A/B archaeology — this field settles it in-line.
+    epoch_ratio_median = None
+    if os.path.exists(baseline_path) and base:
+        ratios = sorted(
+            dt / base[name]
+            for name, dt in timings.items()
+            if base.get(name, 0) > 0.2  # sub-0.2s entries carry no signal
+        )
+        if ratios:
+            mid = len(ratios) // 2
+            epoch_ratio_median = round(
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2,
+                3,
+            )
+
     by_cost = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     full_doc = {
         "metric": "total_query_seconds",
@@ -242,6 +273,7 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
         "calib": {"pre": calib_start, "post": calib_end, "steal_pct": steal_pct},
+        "epoch_ratio_median": epoch_ratio_median,
     }
     with open(os.path.join(repo_dir, "bench_result.json"), "w") as f:
         f.write(json.dumps(full_doc) + "\n")
@@ -261,6 +293,7 @@ def main() -> None:
         line = json.dumps(
             {
                 **{k: full_doc[k] for k in ("metric", "value", "unit", "n_queries", "sf")},
+                "epoch_ratio_median": epoch_ratio_median,
                 "n_regressions": len(regressions),
                 "full_map": "bench_result.json",
             }

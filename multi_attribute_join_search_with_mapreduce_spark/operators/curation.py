@@ -245,12 +245,12 @@ def _curation_ctes() -> str:
     source of truth for both oracles."""
     return f"""
 {_cc_ctes()},
-nd_drop AS (SELECT doc_id FROM comp WHERE cluster_id <> doc_id),
-exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-qual AS (SELECT doc_id FROM ({QUALITY_SQL}) WHERE keep),
-langok AS (SELECT doc_id FROM ({LANG_ID_SQL}) WHERE pred_lang = lang),
-contaminated AS (SELECT doc_id FROM ({decontaminate_sql()})),
-corpus0 AS (
+nd_drop AS MATERIALIZED (SELECT doc_id FROM comp WHERE cluster_id <> doc_id),
+exact_keep AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+qual AS MATERIALIZED (SELECT doc_id FROM ({QUALITY_SQL}) WHERE keep),
+langok AS MATERIALIZED (SELECT doc_id FROM ({LANG_ID_SQL}) WHERE pred_lang = lang),
+contaminated AS MATERIALIZED (SELECT doc_id FROM ({decontaminate_sql()})),
+corpus0 AS MATERIALIZED (
   SELECT d.doc_id, d.source, CAST({_N_TOKENS_SQL} AS BIGINT) AS n_tok
   FROM documents d
   WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)

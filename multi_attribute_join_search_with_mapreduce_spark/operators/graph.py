@@ -570,17 +570,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 TRIANGLE_SQL = f"""
-WITH cand AS (
+WITH cand AS MATERIALIZED (
 {NEAR_DUP_SQL}
 ),
 pairs AS (SELECT doc_a AS src, doc_b AS dst FROM cand WHERE est_jaccard >= {_EDGE_THRESHOLD}),
-sym AS (
+sym AS MATERIALIZED (
   SELECT src, dst FROM pairs
   UNION ALL
   SELECT dst, src FROM pairs
 ),
 deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY src),
-e AS (
+e AS MATERIALIZED (
   SELECT s.src, s.dst, dd.k AS kd
   FROM sym s
   JOIN deg ds ON ds.node = s.src
@@ -610,10 +610,10 @@ def _cc_ctes() -> str:
     """Shared recursive-CTE prefix: candidate pairs -> edges -> exact
     transitive closure -> per-node component min."""
     return f"""
-WITH RECURSIVE cand AS (
+WITH RECURSIVE cand AS MATERIALIZED (
 {NEAR_DUP_SQL}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM cand WHERE est_jaccard >= {_EDGE_THRESHOLD}
   UNION ALL
   SELECT doc_b, doc_a FROM cand WHERE est_jaccard >= {_EDGE_THRESHOLD}
@@ -623,7 +623,7 @@ reach(u, v) AS (
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 ),
-comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+comp AS MATERIALIZED (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
 """
 
 

@@ -401,7 +401,17 @@ def near_dup_candidates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _near_dup_sql() -> str:
-    sig_cols = ", ".join(f"{_minhash_sql(s)} AS mh{s}" for s in range(N_HASHES))
+    # MATERIALIZED CTEs (r12, oracle-side only): DuckDB 1.0 inlines
+    # these CTEs at every reference, so the shingle+md5 MinHash tree
+    # re-evaluated once per band branch and once per join side (~10x),
+    # and every oracle embedding this SQL inside a recursive CTE
+    # (graph `_cc_ctes`) re-ran it per fixpoint iteration — the r11
+    # driver verify timed out on exactly these gates. The hint pins
+    # one evaluation; results are identical by definition.
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, x -> md5(concat('{s}:', x)))) AS mh{s}"
+        for s in range(N_HASHES)
+    )
     rows_per_band = N_HASHES // N_BANDS
     band_selects = []
     for b in range(N_BANDS):
@@ -414,8 +424,9 @@ def _near_dup_sql() -> str:
         f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(N_HASHES)
     )
     return f"""
-WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
-bands AS ({bands_union}),
+WITH shingled AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+sigs AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM shingled),
+bands AS MATERIALIZED ({bands_union}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash

@@ -558,9 +558,6 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         ).count()
 
-    expected_rows_no_fallback = _expected(src_df)
-    expected_rows = _expected(all_src)
-
     stream = spark.readStream.schema(e.schema).parquet(src)
     out = purchase_click_join_stream(stream, how="leftOuter")
 
@@ -576,6 +573,18 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
+            # The expected count is a batch job independent of the
+            # stream's progress; computing it AFTER q.start() overlaps
+            # it with the stream's first micro-batches (guide §2.6 —
+            # concurrent jobs back-fill idle executors), and it is only
+            # read after the drain below. Values are identical to the
+            # pre-start computation: the batch read snapshots the src
+            # files written above, and the fallback file lands strictly
+            # later. The WITH-fallback count is deferred into the
+            # fallback branch itself — on the common path (the engine's
+            # no-data batch already evicted everything) it was computed
+            # and thrown away, a full interval-join of the fixture.
+            expected_rows_no_fallback = _expected(src_df)
             q.processAllAvailable()
             # The NULL-padded rows need a batch that EVICTS with the
             # watermark advanced by batch 1. Often the engine's own
@@ -593,7 +602,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sent2.write.mode("append").parquet(src)
                 q.processAllAvailable()
                 n = spark.sql("SELECT COUNT(*) FROM stream_louter_sink").first()[0]
-                expected = expected_rows
+                expected = _expected(all_src)
             else:
                 expected = expected_rows_no_fallback
             if n != expected:
@@ -1048,10 +1057,6 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unionByName(sent).write.parquet(src)
 
     gap = "30 minutes"
-    # exact expected cardinality, batch-side, same operator
-    expected = (
-        e.groupBy(F.session_window("ts", gap), "user_id").count().count()
-    )
 
     # Watermarks require zoned TIMESTAMP; the lake's event time is NTZ.
     # Pin the session to UTC so NTZ -> timestamp -> NTZ is lossless
@@ -1091,6 +1096,15 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
+            # Exact expected cardinality, batch-side, same operator.
+            # Started AFTER the stream so the batch job overlaps the
+            # stream's micro-batches (guide §2.6); read only after the
+            # drain. Identical value: session_window over NTZ event
+            # time is gap-relative (no zone alignment), and the batch
+            # read snapshots the already-written src files.
+            expected = (
+                e.groupBy(F.session_window("ts", gap), "user_id").count().count()
+            )
             q.processAllAvailable()
             # The engine's own no-data batch often evicts the closed
             # sessions inside the first drain — check once (no sleep).

@@ -1590,7 +1590,27 @@ def set_similarity_join(
         "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
     ).persist()
 
-    elems = sets.select("doc_id", F.explode("sh").alias("el"))
+    # The ordering/candidate path runs on xxhash64(shingle) — 8 fixed
+    # bytes — instead of the ~20-byte 3-word shingle string (guide
+    # §2.3, narrower shuffle keys): both corpus-sized exchanges below
+    # (df window by element, regroup by doc) and the candidate
+    # self-join carry longs, and the window/array sorts compare longs.
+    # EXACTNESS IS PRESERVED, not assumed: the prefix theorem holds
+    # under ANY shared total order, and (df-of-hash, hash) is a
+    # consistent total order because it is a function of the element
+    # alone. A 64-bit collision can only MERGE two elements' identities
+    # — every real shared element still shares its hash, so no
+    # qualifying pair loses its collision row (no false negatives),
+    # while a hash-only "shared element" admits an extra CANDIDATE that
+    # the exact array_intersect verify on the true shingle sets prunes.
+    # The positional bound stays lossless for the same reason: a
+    # qualifying pair's first shared REAL element yields a join row
+    # whose bound is the valid one (extra collision rows only add
+    # OR-branches). n = |distinct shingles| is computed on the true
+    # sets, unchanged.
+    elems = sets.select(
+        "doc_id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("el")
+    )
 
     # Per-doc elements sorted rarest-first; keep the prefix only. The
     # document frequency rides in as a count over the el partition —
@@ -2596,8 +2616,15 @@ def containment_join(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("sh")
     ).persist()
 
+    # Hash-keyed element stream, exactly as in set_similarity_join
+    # (guide §2.3): the ordering and the candidate join run on
+    # xxhash64(shingle); the prefix pigeonhole holds under any shared
+    # total order, collisions only add candidates, and the exact
+    # array_intersect verify prunes them — output unchanged.
     elems = sets.select(
-        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("el")
+        "doc_id",
+        F.size("sh").alias("n"),
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("el"),
     )
     # df as a window count over el: one exchange of the element stream
     # instead of groupBy(el) + join-back (see set_similarity_join).

@@ -1555,6 +1555,20 @@ ORDER BY doc_id
 # or out between Spark and the oracle.
 _SSJ_NUM, _SSJ_DEN = 1, 2
 _SSJ_SAMPLE_MOD = 10  # sampled-pair self-check: ~1/10 docs, ~1/100 pairs
+# Target SAMPLE SIZE (docs) for the self-check. The docstring contract
+# was always "shrink 1/MOD as n grows to keep the check O(n²/MOD²)
+# constant", but MOD was a static 10 — quadratic in corpus size
+# (measured r12: at a x5-replica lake the check alone was 44s of a
+# 58s query, O((n/10)²) array_intersects). The effective modulus is
+# now max(_SSJ_SAMPLE_MOD, ceil(n_docs / _SSJ_SAMPLE_TARGET)): at the
+# 5000-doc bench fixture that is exactly the old 10 (bit-identical
+# behavior), and beyond it the sampled slice pins at ~500 docs so the
+# check stays O(500²) at any scale. Output is invariant to the sample
+# (sample_verified is TRUE whenever the filter is lossless, which the
+# theorem guarantees for every sample); tests monkeypatch
+# _SSJ_SAMPLE_MOD=1 at the 500-doc fixture where ceil(n/500)=1 keeps
+# the forced-full-brute contract.
+_SSJ_SAMPLE_TARGET = 500
 
 
 def set_similarity_join(
@@ -1694,11 +1708,18 @@ def set_similarity_join(
     # surviving non-pair (false positive) flips ``sample_verified`` on
     # every output row, and the driver's hash gate turns red (the
     # ``pq_adc_search`` recall_ok pattern, `similarity.py`).
+    # scale-adaptive modulus: floor at _SSJ_SAMPLE_MOD, grow with the
+    # corpus so the sampled slice stays ~_SSJ_SAMPLE_TARGET docs (see
+    # the constant's comment; parquet-metadata count, one cheap job)
+    n_docs = d.count()
+    eff_mod = max(
+        _SSJ_SAMPLE_MOD, -(-n_docs // _SSJ_SAMPLE_TARGET)
+    )
     in_sample = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
         ).cast("long")
-        % _SSJ_SAMPLE_MOD
+        % eff_mod
         == 0
     )
     sample = sets.filter(in_sample)
